@@ -1,0 +1,412 @@
+"""Windowing — clocks, windowers and windowed aggregations.
+
+Reference: ``/root/reference/pysrc/bytewax/operators/windowing.py``
+(SURVEY §2.4). Spark-first compile: the aggregate fast path uses
+``F.window`` / ``F.session_window`` expressions — window assignment
+happens JVM-side inside codegen, the aggregation is one hash shuffle
+with partial aggregation, and event-time lateness in streaming is
+``withWatermark``. Paths that need window bounds as plain columns
+(custom folds, windowed joins) use :func:`assign_windows`, which
+compiles assignment to pure integer/sequence/lag expressions — still
+codegen'd, still SQL-expressible (hence DuckDB-oracle-able).
+
+Semantics notes (SURVEY §7.3 divergences, documented not hidden):
+
+- ``EventClock.wait_for_system_duration`` maps to the watermark delay.
+  The reference's watermark also advances on wall-clock with no data
+  (``windowing.py:264-298``); Spark's only advances with data. In
+  batch / availableNow both converge at EOF.
+- Batch mode has no arrival order, so ``WindowOut.late`` is empty in
+  batch; in streaming we surface would-be-dropped rows via an explicit
+  pre-filter side output (Spark drops late rows silently).
+- ``WindowMetadata.merged_ids`` for sessions has no built-in analog;
+  ``meta`` carries (key, window_start, window_end) bounds instead.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bytewax_spark.dataflow import KeyedStream, Stream
+from bytewax_spark.operators import _require_keyed
+
+__all__ = [
+    "UTC_ALIGN",
+    "SystemClock",
+    "EventClock",
+    "TumblingWindower",
+    "SlidingWindower",
+    "SessionWindower",
+    "WindowOut",
+    "assign_windows",
+    "window",
+    "fold_window",
+    "reduce_window",
+    "count_window",
+    "collect_window",
+    "max_window",
+    "min_window",
+    "join_window",
+]
+
+UTC_ALIGN = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _us(td: timedelta) -> int:
+    return int(td.total_seconds() * 1_000_000)
+
+
+def _interval(td: timedelta) -> str:
+    return f"{_us(td)} microseconds"
+
+
+# ---------------------------------------------------------------------------
+# clocks (reference windowing.py:78-425)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SystemClock:
+    """Timestamp = processing time (reference ``:190-221``)."""
+
+    @property
+    def watermark_delay(self) -> timedelta:
+        return timedelta(0)
+
+    def ts_col(self) -> Column:
+        return F.current_timestamp()
+
+
+@dataclass(frozen=True)
+class EventClock:
+    """Event time from a column; ``wait_for_system_duration`` is how
+    long to wait for stragglers → streaming watermark delay
+    (reference ``:224-310, :359-425``)."""
+
+    ts_field: str
+    wait_for_system_duration: timedelta = timedelta(0)
+
+    @property
+    def watermark_delay(self) -> timedelta:
+        return self.wait_for_system_duration
+
+    def ts_col(self) -> Column:
+        return F.col(self.ts_field)
+
+
+# ---------------------------------------------------------------------------
+# windowers (reference windowing.py:446-926)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TumblingWindower:
+    """Fixed-length gap-free windows (reference ``:895-926``).
+    ``align_to`` sets the window phase (Spark ``startTime``)."""
+
+    length: timedelta
+    align_to: datetime = UTC_ALIGN
+
+    def group_expr(self, ts: Column) -> Column:
+        start = (self.align_to - UTC_ALIGN) % self.length
+        return F.window(ts, _interval(self.length), _interval(self.length), _interval(start))
+
+
+@dataclass(frozen=True)
+class SlidingWindower:
+    """Overlapping windows every ``offset`` (reference ``:598-668``);
+    each row lands in ⌈length/offset⌉ windows — Spark's multi-assign
+    ``window(ts, length, slide)`` does the same expansion JVM-side."""
+
+    length: timedelta
+    offset: timedelta
+    align_to: datetime = UTC_ALIGN
+
+    def group_expr(self, ts: Column) -> Column:
+        start = (self.align_to - UTC_ALIGN) % self.offset
+        return F.window(ts, _interval(self.length), _interval(self.offset), _interval(start))
+
+
+@dataclass(frozen=True)
+class SessionWindower:
+    """Gap-based merging sessions (reference ``:671-810``).
+    ``F.session_window`` implements the same merge algorithm."""
+
+    gap: timedelta
+
+    def group_expr(self, ts: Column) -> Column:
+        return F.session_window(ts, _interval(self.gap))
+
+
+Windower = TumblingWindower | SlidingWindower | SessionWindower
+Clock = SystemClock | EventClock
+
+
+def assign_windows(
+    df: DataFrame,
+    ts: Column,
+    windower: Windower,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Add explicit ``window_start`` / ``window_end`` timestamp columns.
+
+    Pure-expression compile (no Python in the hot path), used by custom
+    folds and :func:`join_window` where the bounds must be plain
+    columns rather than a ``groupBy`` expression:
+
+    - tumbling: integer floor-align on ``unix_micros`` — codegen'd
+      arithmetic, zero shuffle.
+    - sliding: compile-time ⌈length/offset⌉ window count → ``sequence``
+      + ``explode`` (row expansion JVM-side), matching the reference's
+      assign math (``windowing.py:611-618``).
+    - session: lag/cumsum sessionization per key (one shuffle + sort on
+      the key — same cost class as the stateful merge the reference
+      does); ``window_end`` = last ts + gap, matching
+      ``F.session_window`` bounds.
+    """
+    t = F.unix_micros(ts)
+    if isinstance(windower, TumblingWindower):
+        off = _us((windower.align_to - UTC_ALIGN) % windower.length)
+        length = _us(windower.length)
+        ws = t - F.pmod(t - F.lit(off), F.lit(length))
+        return df.withColumn("window_start", F.timestamp_micros(ws)).withColumn(
+            "window_end", F.timestamp_micros(ws + F.lit(length))
+        )
+    if isinstance(windower, SlidingWindower):
+        off = _us((windower.align_to - UTC_ALIGN) % windower.offset)
+        length, step = _us(windower.length), _us(windower.offset)
+        n = math.ceil(length / step)
+        latest = t - F.pmod(t - F.lit(off), F.lit(step))
+        starts = F.sequence(latest, latest - F.lit((n - 1) * step), F.lit(-step))
+        valid = F.filter(starts, lambda s: s > t - F.lit(length))
+        out = df.withColumn("_ws", F.explode(valid))
+        return out.withColumn("window_start", F.timestamp_micros(F.col("_ws"))).withColumn(
+            "window_end", F.timestamp_micros(F.col("_ws") + F.lit(length))
+        ).drop("_ws")
+    if isinstance(windower, SessionWindower):
+        from pyspark.sql import Window as W
+
+        if key_col is None:
+            raise ValueError("session windows require a key column")
+        gap = _us(windower.gap)
+        w = W.partitionBy(key_col).orderBy(t)
+        new_session = (
+            F.when(t - F.lag(t).over(w) > F.lit(gap), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        sess = df.withColumn("_new", F.coalesce(new_session, F.lit(0))).withColumn(
+            "_sid", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        )
+        bounds = W.partitionBy(key_col, "_sid")
+        return (
+            sess.withColumn("window_start", F.timestamp_micros(F.min(t).over(bounds)))
+            .withColumn("window_end", F.timestamp_micros(F.max(t).over(bounds) + F.lit(gap)))
+            .drop("_new", "_sid")
+        )
+    raise TypeError(f"unknown windower {windower!r}")
+
+
+@dataclass(frozen=True)
+class WindowOut:
+    """(down, late, meta) triple (reference ``WindowOut``,
+    windowing.py:1193-1222)."""
+
+    down: KeyedStream
+    late: Stream
+    meta: Stream
+
+
+# ---------------------------------------------------------------------------
+# the generic windowed aggregation
+# ---------------------------------------------------------------------------
+
+def _windowed_agg(
+    step_id: str,
+    op_name: str,
+    up: KeyedStream,
+    clock: Clock,
+    windower: Windower,
+    agg_cols: list[tuple[str, Column]],
+    fold: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    schema: Any | None = None,
+) -> KeyedStream:
+    up = _require_keyed(step_id, up)
+    fq = up.flow.register(step_id, op_name, (up.step_id,))
+    df = up.df
+    ts = clock.ts_col()
+    if df.isStreaming and isinstance(clock, EventClock) and clock.watermark_delay > timedelta(0):
+        df = df.withWatermark(clock.ts_field, _interval(clock.watermark_delay))
+        ts = F.col(clock.ts_field)
+
+    if fold is not None:
+        if schema is None:
+            raise ValueError(f"step {step_id!r}: custom fold requires schema")
+        with_win = assign_windows(df, ts, windower, key_col=up.key_col)
+        out = with_win.groupBy(up.key_col, "window_start", "window_end").applyInPandas(
+            lambda pdf: fold(pdf), schema=schema
+        )
+        return KeyedStream(up.flow, fq, out, up.key_col)
+
+    win = windower.group_expr(ts).alias("_w")
+    out = (
+        df.groupBy(F.col(up.key_col), win)
+        .agg(*[c.alias(n) for n, c in agg_cols])
+        .select(
+            F.col(up.key_col),
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            *[F.col(f"`{n}`") for n, _ in agg_cols],
+        )
+    )
+    return KeyedStream(up.flow, fq, out, up.key_col)
+
+
+def window(
+    step_id: str,
+    up: KeyedStream,
+    clock: Clock,
+    windower: Windower,
+    aggs: Mapping[str, Column],
+) -> WindowOut:
+    """Generic windowed aggregation returning the (down, late, meta)
+    triple (reference ``window``, windowing.py:1254-1338)."""
+    down = fold_window(step_id, up, clock, windower, aggs)
+    late = Stream(up.flow, f"{down.step_id}.late", down.df.limit(0))
+    meta = Stream(
+        up.flow,
+        f"{down.step_id}.meta",
+        down.df.select(up.key_col, "window_start", "window_end"),
+    )
+    return WindowOut(down=down, late=late, meta=meta)
+
+
+def fold_window(
+    step_id: str,
+    up: KeyedStream,
+    clock: Clock,
+    windower: Windower,
+    aggs: Mapping[str, Column] | None = None,
+    fold: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    schema: Any | None = None,
+) -> KeyedStream:
+    """Per-(key, window) fold, emitted on window close (reference
+    windowing.py:1717-1846). Columnar ``aggs`` → ``groupBy(key,
+    window).agg`` (partial agg + codegen); opaque ``fold`` →
+    ``applyInPandas`` per (key, window)."""
+    return _windowed_agg(
+        step_id, "fold_window", up, clock, windower, list((aggs or {}).items()), fold, schema
+    )
+
+
+def reduce_window(
+    step_id: str, up: KeyedStream, clock: Clock, windower: Windower, aggs: Mapping[str, Column]
+) -> KeyedStream:
+    """Fold with first-value seed (reference ``:2239-2285``) — same
+    compile as fold_window."""
+    return fold_window(step_id, up, clock, windower, aggs=aggs)
+
+
+def count_window(
+    step_id: str, up: KeyedStream, clock: Clock, windower: Windower
+) -> KeyedStream:
+    """Count per key per window (reference ``:1579-1689``)."""
+    return fold_window(step_id, up, clock, windower, aggs={"count": F.count(F.lit(1))})
+
+
+def collect_window(
+    step_id: str,
+    up: KeyedStream,
+    clock: Clock,
+    windower: Windower,
+    value: Column | str,
+    into: str = "list",
+) -> KeyedStream:
+    """Collect values per (key, window) into list/set (reference
+    ``:1436-1576``). Sorted for cross-partitioning determinism."""
+    v = F.col(value) if isinstance(value, str) else value
+    if into == "list":
+        agg = F.array_sort(F.collect_list(v))
+    elif into == "set":
+        agg = F.array_sort(F.collect_set(v))
+    else:
+        raise ValueError(f"into must be list|set, got {into!r}")
+    return fold_window(step_id, up, clock, windower, aggs={"values": agg})
+
+
+def _extreme_window(
+    step_id: str, op_name: str, up: KeyedStream, clock: Clock, windower: Windower, by: Column | str
+) -> KeyedStream:
+    by_c = F.col(by) if isinstance(by, str) else by
+    value_cols = [c for c in up.df.columns if c != up.key_col]
+    pick = F.max_by if op_name == "max_window" else F.min_by
+    ks = _windowed_agg(
+        step_id, op_name, up, clock, windower, [("_row", pick(F.struct(*value_cols), by_c))]
+    )
+    out = ks.df.select(up.key_col, "window_start", "window_end", "_row.*")
+    return KeyedStream(up.flow, ks.step_id, out, up.key_col)
+
+
+def max_window(
+    step_id: str, up: KeyedStream, clock: Clock, windower: Windower, by: Column | str
+) -> KeyedStream:
+    """Per-window row with max ``by`` (reference ``:2145-2189``)."""
+    return _extreme_window(step_id, "max_window", up, clock, windower, by)
+
+
+def min_window(
+    step_id: str, up: KeyedStream, clock: Clock, windower: Windower, by: Column | str
+) -> KeyedStream:
+    return _extreme_window(step_id, "min_window", up, clock, windower, by)
+
+
+def join_window(
+    step_id: str,
+    clock: Clock,
+    windower: Windower,
+    *sides: KeyedStream,
+    insert_mode: str = "last",
+    emit_mode: str = "complete",
+    order_by: str | None = None,
+) -> KeyedStream:
+    """Windowed N-way join (reference ``:2055-2142``): the window
+    bounds join the key — each side becomes (key, window_start,
+    window_end, values), equi-joined on all three. Catalyst plans the
+    physical join; in streaming this is the watermark-bounded
+    stream-stream join shape."""
+    from bytewax_spark.operators import JoinMode
+
+    if insert_mode not in JoinMode.INSERT or emit_mode not in ("complete", "final"):
+        raise ValueError(f"bad join_window mode insert={insert_mode!r} emit={emit_mode!r}")
+    sides = tuple(_require_keyed(step_id, s) for s in sides)
+    key = sides[0].key_col
+    flow = sides[0].flow
+    fq = flow.register(step_id, "join_window", tuple(s.step_id for s in sides))
+
+    join_keys = [key, "window_start", "window_end"]
+    how = "inner" if emit_mode == "complete" else "full_outer"
+    dedup = insert_mode if insert_mode in ("first", "last") else "product"
+
+    def prep(s: KeyedStream) -> DataFrame:
+        df = assign_windows(s.df, clock.ts_col(), windower, key_col=key)
+        # the clock/order columns are consumed by windowing/dedup so the
+        # same-named ts column on every side doesn't collide downstream
+        consumed = {c for c in (order_by, getattr(clock, "ts_field", None)) if c}
+        if dedup == "product":
+            return df.drop(*consumed) if consumed else df
+        if order_by is None:
+            raise ValueError("insert_mode first/last requires order_by")
+        value_cols = [c for c in df.columns if c not in join_keys and c not in consumed]
+        pick = F.min_by if dedup == "first" else F.max_by
+        row = pick(F.struct(*value_cols), F.col(order_by)).alias("_row")
+        return df.groupBy(*join_keys).agg(row).select(*join_keys, "_row.*")
+
+    out = prep(sides[0])
+    for s in sides[1:]:
+        out = out.join(prep(s), on=join_keys, how=how)
+    return KeyedStream(flow, fq, out, key)

@@ -1,0 +1,70 @@
+"""Execution entry points (reference ``pysrc/bytewax/run.py`` CLI and
+``bytewax.testing.run_main``).
+
+``run_main(flow)`` executes every queued sink: batch streams write
+immediately (``df.write`` / sink callback); streaming streams start a
+``writeStream`` query per sink (availableNow by default — one
+deterministic drain, the analog of the reference's single-worker test
+entry point) and await termination.
+
+CLI: ``python -m bytewax_spark.run mymodule:flow [--checkpoint DIR]``.
+Recovery/resume (reference SQLite snapshots, ``src/recovery.rs``) is
+Structured Streaming checkpointing — pass ``--checkpoint`` and restart
+the same command to resume from the last committed micro-batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import sys
+from typing import Any
+
+from bytewax_spark.dataflow import Dataflow
+
+__all__ = ["run_main", "cli_main"]
+
+
+def run_main(flow: Dataflow, checkpoint: str | None = None, **trigger: Any) -> None:
+    """Execute all sinks queued on the flow (one pass, deterministic)."""
+    if not flow.sinks:
+        raise ValueError(f"flow {flow.flow_id!r} has no outputs; add op.output(...)")
+    queries = []
+    for _sid, stream, sink in flow.sinks:
+        if stream.is_streaming:
+            q = sink.write_stream(stream.df, checkpoint=checkpoint, **trigger)
+            queries.append(q)
+        else:
+            sink.write_batch(stream.df)
+    for q in queries:
+        q.awaitTermination()
+
+
+def _locate_flow(spec: str) -> Dataflow:
+    """Import ``module:attr`` → Dataflow (reference ``run.py:30-117``)."""
+    mod_name, _, attr = spec.partition(":")
+    mod = importlib.import_module(mod_name)
+    obj = getattr(mod, attr or "flow")
+    if callable(obj) and not isinstance(obj, Dataflow):
+        obj = obj()
+    if not isinstance(obj, Dataflow):
+        raise TypeError(f"{spec!r} did not resolve to a Dataflow")
+    return obj
+
+
+def cli_main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="python -m bytewax_spark.run")
+    p.add_argument("import_str", help="module:flow (module importable on sys.path)")
+    p.add_argument("--checkpoint", "-r", default=None, help="checkpoint dir (recovery)")
+    p.add_argument("--mermaid", action="store_true", help="print the step DAG and exit")
+    args = p.parse_args(argv)
+    sys.path.insert(0, "")
+    flow = _locate_flow(args.import_str)
+    if args.mermaid:
+        print(flow.to_mermaid())
+        return
+    run_main(flow, checkpoint=args.checkpoint)
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -1,0 +1,121 @@
+"""Keyed EOF aggregations + join modes (reference pytests/operators/
+test_fold_final.py, test_reduce_final.py, test_join.py shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import bytewax_spark.operators as op
+from bytewax_spark.dataflow import Dataflow
+from bytewax_spark.sources import TestingSource
+
+
+def rows(stream):
+    return [r.asDict() for r in stream.df.collect()]
+
+
+def keyed(flow, name, data, schema, key="k"):
+    s = op.input(name, flow, TestingSource(data, schema=schema))
+    return op.key_on(f"{name}.key", s, key)
+
+
+def test_fold_final_columnar(spark):
+    flow = Dataflow("fold")
+    ks = keyed(flow, "in", [("a", 1), ("a", 2), ("b", 5)], "k string, v long")
+    out = op.fold_final("sum", ks, aggs={"total": F.sum("v"), "n": F.count(F.lit(1))})
+    got = {r["key"]: (r["total"], r["n"]) for r in rows(out)}
+    assert got == {"a": (3, 2), "b": (5, 1)}
+
+
+def test_fold_final_opaque(spark):
+    flow = Dataflow("fold_py")
+    ks = keyed(flow, "in", [("a", 1), ("a", 2), ("b", 5)], "k string, v long")
+
+    def fold(pdf):
+        import pandas as pd
+
+        return pd.DataFrame({"key": [pdf["key"].iloc[0]], "total": [int(pdf["v"].sum())]})
+
+    out = op.fold_final("sum", ks, fold=fold, schema="key string, total long")
+    got = {r["key"]: r["total"] for r in rows(out)}
+    assert got == {"a": 3, "b": 5}
+
+
+def test_count_final(spark):
+    flow = Dataflow("count")
+    s = op.input("in", flow, TestingSource([("x",), ("x",), ("y",)], schema="k string"))
+    out = op.count_final("count", s, key="k")
+    got = {r["key"]: r["count"] for r in rows(out)}
+    assert got == {"x": 2, "y": 1}
+
+
+def test_max_min_final(spark):
+    flow = Dataflow("extreme")
+    ks = keyed(flow, "in", [("a", 1, 10.0), ("a", 2, 5.0), ("b", 3, 7.0)], "k string, i long, score double")
+    mx = op.max_final("max", ks, by="score")
+    mn = op.min_final("min", ks, by="score")
+    assert {r["key"]: r["i"] for r in rows(mx)} == {"a": 1, "b": 3}
+    assert {r["key"]: r["i"] for r in rows(mn)} == {"a": 2, "b": 3}
+
+
+def test_collect(spark):
+    flow = Dataflow("collect")
+    ks = keyed(flow, "in", [("a", 3), ("a", 1), ("b", 2)], "k string, v long")
+    out = op.collect("lists", ks, "v", into="list")
+    got = {r["key"]: r["values"] for r in rows(out)}
+    assert got == {"a": [1, 3], "b": [2]}
+
+
+def test_stateful_map_running(spark):
+    flow = Dataflow("smap")
+    ks = keyed(
+        flow, "in", [("a", 1, 10), ("a", 2, 20), ("b", 1, 5), ("a", 3, 30)], "k string, t long, v long"
+    )
+    out = op.stateful_map("running", ks, order_by="t", running={"running_sum": F.sum("v")})
+    got = sorted((r["key"], r["t"], r["running_sum"]) for r in rows(out))
+    assert got == [("a", 1, 10), ("a", 2, 30), ("a", 3, 60), ("b", 1, 5)]
+
+
+def test_stateful_map_opaque(spark):
+    flow = Dataflow("smap_py")
+    ks = keyed(flow, "in", [("a", 1, 10), ("a", 2, 20)], "k string, t long, v long")
+
+    def mapper(key, pdf):
+        pdf = pdf.copy()
+        pdf["cum"] = pdf["v"].cumsum()
+        return pdf[["key", "t", "cum"]]
+
+    out = op.stateful_map("cum", ks, order_by="t", mapper=mapper, schema="key string, t long, cum long")
+    got = sorted((r["key"], r["t"], r["cum"]) for r in rows(out))
+    assert got == [("a", 1, 10), ("a", 2, 30)]
+
+
+def test_join_complete_last(spark):
+    """insert_mode='last' keeps the per-key latest value of each side
+    (by the shared order column); emit 'complete' = inner join."""
+    flow = Dataflow("join")
+    left = keyed(flow, "l", [("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 5.0)], "k string, t long, lv double")
+    right = keyed(flow, "r", [("a", 1, 100.0), ("c", 1, 7.0)], "k string, t long, rv double")
+    out = op.join("j", left, right, insert_mode="last", emit_mode="complete", order_by="t")
+    got = rows(out)
+    assert len(got) == 1 and got[0]["key"] == "a" and got[0]["lv"] == 20.0 and got[0]["rv"] == 100.0
+
+
+def test_join_product_final(spark):
+    flow = Dataflow("joinp")
+    left = keyed(flow, "l", [("a", 1), ("a", 2)], "k string, lv long")
+    right = keyed(flow, "r", [("a", 10), ("b", 20)], "k string, rv long")
+    out = op.join("j", left, right, insert_mode="product", emit_mode="final")
+    got = sorted((r["key"], r["lv"], r["rv"]) for r in rows(out))
+    assert got == [("a", 1, 10), ("a", 2, 10), ("b", None, 20)]
+
+
+def test_running_join(spark):
+    flow = Dataflow("joinr")
+    left = keyed(flow, "l", [("a", 1, 10.0)], "k string, t long, lv double")
+    right = keyed(flow, "r", [("a", 2, 99.0)], "k string, t long, rv double")
+    left = op.map_value("lproj", left, {"t": "t", "lv": "lv"})
+    right = op.map_value("rproj", right, {"t": "t", "rv": "rv"})
+    out = op.running_join("j", left, right, order_by="t")
+    got = sorted((r["key"], r["t"], r["lv"], r["rv"]) for r in rows(out))
+    assert got == [("a", 1, 10.0, None), ("a", 2, 10.0, 99.0)]

@@ -1,0 +1,177 @@
+"""Windowing tests (reference pytests/operators/windowing/ shapes:
+tumbling fold, sliding assignment math, session merge, windowed join)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import functions as F
+
+import bytewax_spark.operators as op
+import bytewax_spark.operators.windowing as win
+from bytewax_spark.dataflow import Dataflow
+from bytewax_spark.sources import TestingSource
+
+
+def ts(minute: int, sec: int = 0):
+    return datetime(2024, 1, 1, 0, minute, sec)
+
+
+def rows(stream):
+    return [r.asDict() for r in stream.df.collect()]
+
+
+def keyed_events(flow, data):
+    s = op.input("in", flow, TestingSource(data, schema="k string, ts timestamp, v long"))
+    return op.key_on("key", s, "k")
+
+
+CLOCK = win.EventClock("ts")
+
+
+def test_tumbling_fold_window(spark):
+    flow = Dataflow("tumble")
+    ks = keyed_events(
+        flow,
+        [("a", ts(0, 10), 1), ("a", ts(0, 50), 2), ("a", ts(1, 10), 4), ("b", ts(0, 5), 7)],
+    )
+    out = win.fold_window("w", ks, CLOCK, win.TumblingWindower(timedelta(minutes=1)), {"total": F.sum("v")})
+    got = {(r["key"], r["window_start"].minute): r["total"] for r in rows(out)}
+    assert got == {("a", 0): 3, ("a", 1): 4, ("b", 0): 7}
+
+
+def test_tumbling_align_to(spark):
+    flow = Dataflow("tumble_align")
+    ks = keyed_events(flow, [("a", ts(0, 40), 1)])
+    align = datetime(2024, 1, 1, 0, 0, 30, tzinfo=timezone.utc)
+    out = win.count_window("w", ks, CLOCK, win.TumblingWindower(timedelta(minutes=1), align_to=align))
+    r = rows(out)[0]
+    assert r["window_start"].second == 30 and r["count"] == 1
+
+
+def test_sliding_window_multi_assign(spark):
+    flow = Dataflow("slide")
+    ks = keyed_events(flow, [("a", ts(1, 30), 1)])
+    out = win.count_window(
+        "w", ks, CLOCK, win.SlidingWindower(timedelta(minutes=2), timedelta(minutes=1))
+    )
+    starts = sorted(r["window_start"].minute for r in rows(out))
+    assert starts == [0, 1]  # item at 1:30 is in [0,2) and [1,3)
+
+
+def test_session_window(spark):
+    flow = Dataflow("session")
+    ks = keyed_events(
+        flow,
+        [("a", ts(0, 0), 1), ("a", ts(0, 30), 2), ("a", ts(5, 0), 4), ("b", ts(0, 0), 8)],
+    )
+    out = win.fold_window("w", ks, CLOCK, win.SessionWindower(timedelta(minutes=1)), {"total": F.sum("v")})
+    got = sorted((r["key"], r["total"]) for r in rows(out))
+    assert got == [("a", 3), ("a", 4), ("b", 8)]
+
+
+def test_collect_window(spark):
+    flow = Dataflow("collectw")
+    ks = keyed_events(flow, [("a", ts(0, 10), 3), ("a", ts(0, 20), 1)])
+    out = win.collect_window("w", ks, CLOCK, win.TumblingWindower(timedelta(minutes=1)), "v")
+    assert rows(out)[0]["values"] == [1, 3]
+
+
+def test_max_window(spark):
+    flow = Dataflow("maxw")
+    ks = keyed_events(flow, [("a", ts(0, 10), 3), ("a", ts(0, 20), 9)])
+    out = win.max_window("w", ks, CLOCK, win.TumblingWindower(timedelta(minutes=1)), by="v")
+    assert rows(out)[0]["v"] == 9
+
+
+def test_fold_window_opaque(spark):
+    flow = Dataflow("foldpy")
+    ks = keyed_events(flow, [("a", ts(0, 10), 1), ("a", ts(0, 20), 2)])
+
+    def fold(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "window_start": [pdf["window_start"].iloc[0]],
+                "total": [int(pdf["v"].sum())],
+            }
+        )
+
+    out = win.fold_window(
+        "w",
+        ks,
+        CLOCK,
+        win.TumblingWindower(timedelta(minutes=1)),
+        fold=fold,
+        schema="key string, window_start timestamp, total long",
+    )
+    assert rows(out) == [{"key": "a", "window_start": ts(0, 0), "total": 3}]
+
+
+def test_sliding_opaque_fold_multi_assign(spark):
+    """The explicit-assignment path must reproduce the groupBy path's
+    window math for sliding windows."""
+    flow = Dataflow("slidepy")
+    ks = keyed_events(flow, [("a", ts(1, 30), 1)])
+
+    def fold(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"key": pdf["key"].iloc[:1], "window_start": pdf["window_start"].iloc[:1], "n": [len(pdf)]}
+        )
+
+    out = win.fold_window(
+        "w",
+        ks,
+        CLOCK,
+        win.SlidingWindower(timedelta(minutes=2), timedelta(minutes=1)),
+        fold=fold,
+        schema="key string, window_start timestamp, n long",
+    )
+    starts = sorted(r["window_start"].minute for r in rows(out))
+    assert starts == [0, 1]
+
+
+def test_session_opaque_fold(spark):
+    flow = Dataflow("sesspy")
+    ks = keyed_events(flow, [("a", ts(0, 0), 1), ("a", ts(0, 30), 2), ("a", ts(5, 0), 4)])
+
+    def fold(pdf):
+        import pandas as pd
+
+        return pd.DataFrame({"key": pdf["key"].iloc[:1], "total": [int(pdf["v"].sum())]})
+
+    out = win.fold_window(
+        "w",
+        ks,
+        CLOCK,
+        win.SessionWindower(timedelta(minutes=1)),
+        fold=fold,
+        schema="key string, total long",
+    )
+    assert sorted(r["total"] for r in rows(out)) == [3, 4]
+
+
+def test_join_window(spark):
+    flow = Dataflow("joinw")
+    l_in = op.input("l", flow, TestingSource([("a", ts(0, 10), 1.0)], schema="k string, ts timestamp, lv double"))
+    r_in = op.input("r", flow, TestingSource([("a", ts(0, 40), 2.0), ("a", ts(2, 0), 9.0)], schema="k string, ts timestamp, rv double"))
+    left = op.key_on("lk", l_in, "k")
+    right = op.key_on("rk", r_in, "k")
+    out = win.join_window(
+        "jw", CLOCK, win.TumblingWindower(timedelta(minutes=1)), left, right, insert_mode="product"
+    )
+    got = rows(out)
+    assert len(got) == 1 and got[0]["lv"] == 1.0 and got[0]["rv"] == 2.0
+
+
+def test_window_out_triple(spark):
+    flow = Dataflow("wout")
+    ks = keyed_events(flow, [("a", ts(0, 10), 1)])
+    wo = win.window("w", ks, CLOCK, win.TumblingWindower(timedelta(minutes=1)), {"n": F.count(F.lit(1))})
+    assert rows(wo.late) == []
+    assert rows(wo.meta)[0]["key"] == "a"
+    assert rows(wo.down)[0]["n"] == 1
