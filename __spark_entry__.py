@@ -1,38 +1,505 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises one operator from SURVEY.md §2
+through the bytewax_spark engine API; ``oracle_sql()`` carries the
+equivalent ANSI SQL for the DuckDB oracle. Column names and rounding
+are aligned on both sides so the driver's order-insensitive value-hash
+matches.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import bytewax_spark.operators as op
+import bytewax_spark.operators.windowing as win
+from bytewax_spark.dataflow import Dataflow
+
+_FLOW_N = 0
+
+
+def _flow(name: str) -> Dataflow:
+    global _FLOW_N
+    _FLOW_N += 1
+    return Dataflow(f"{name}_{_FLOW_N}")
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from bytewax_spark.io import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# core-operator queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape via key_on → fold_final (SURVEY §2.3 fold_final)."""
+    flow = _flow("q1")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem"))
+    recent = op.filter("recent", li, F.col("l_shipdate") <= "1998-09-02")
+    ks = op.key_on("key", recent, F.concat_ws("|", "l_returnflag", "l_linestatus"))
+    agg = op.fold_final(
+        "agg",
+        ks,
+        aggs={
+            "sum_qty": F.sum("l_quantity"),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
+            "sum_disc_price": F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2),
+            "avg_qty": F.round(F.avg("l_quantity"), 4),
+            "avg_price": F.round(F.avg("l_extendedprice"), 4),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+    return agg.df
+
+
+def reduce_minmax_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1BRC shape (BASELINE B2) via reduce_final: min/mean/max per flag."""
+    flow = _flow("reduce")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem"))
+    ks = op.key_on("key", li, "l_returnflag")
+    agg = op.reduce_final(
+        "agg",
+        ks,
+        aggs={
+            "min_price": F.min("l_extendedprice"),
+            "mean_price": F.round(F.avg("l_extendedprice"), 4),
+            "max_price": F.max("l_extendedprice"),
+        },
+    )
+    return agg.df
+
+
+def high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map + filter (stateless fast path; pushdown to the scan)."""
+    flow = _flow("mapfilter")
+    orders = op.input("orders", flow, _t(spark, sf_dir, "orders"))
+    big = op.filter("big", orders, F.col("o_totalprice") > 100000)
+    out = op.map(
+        "proj",
+        big,
+        {
+            "o_orderkey": "o_orderkey",
+            "o_custkey": "o_custkey",
+            "o_year": F.year("o_orderdate").cast("long"),
+            "price": F.round("o_totalprice", 2),
+        },
+    )
+    return out.df
+
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flat_map (explode) + count_final — the reference's flagship
+    example (examples/wordcount.py)."""
+    flow = _flow("wc")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents"))
+    words = op.flat_map("split", docs, F.split(F.lower("text"), r"\s+"), alias="word")
+    nonempty = op.filter("nonempty", words, F.col("word") != "")
+    counts = op.count_final("count", nonempty, key="word")
+    return counts.df
+
+
+def count_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_final on a derived key."""
+    flow = _flow("countf")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    return op.count_final("count", ev, key="event_type").df
+
+
+def max_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_final (max_by with deterministic tiebreak)."""
+    flow = _flow("maxf")
+    orders = op.input("orders", flow, _t(spark, sf_dir, "orders"))
+    proj = op.map("proj", orders, {"o_custkey": "o_custkey", "o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"})
+    ks = op.key_on("key", proj, "o_custkey")
+    mx = op.max_final("max", ks, by=F.struct("o_totalprice", "o_orderkey"))
+    return mx.df
+
+
+def min_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_final."""
+    flow = _flow("minf")
+    orders = op.input("orders", flow, _t(spark, sf_dir, "orders"))
+    proj = op.map("proj", orders, {"o_custkey": "o_custkey", "o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"})
+    ks = op.key_on("key", proj, "o_custkey")
+    return op.min_final("min", ks, by=F.struct("o_totalprice", "o_orderkey")).df
+
+
+def collect_linenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect into sorted list per key."""
+    flow = _flow("collect")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem"))
+    ks = op.key_on("key", li, "l_orderkey")
+    return op.collect("lists", ks, "l_linenumber", into="list").df
+
+
+def cumulative_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stateful_map columnar path: running sum per key in event order.
+
+    Prefix sums are computed in the same total order (event_id) on
+    both sides, so doubles match bit-for-bit without rounding.
+    """
+    flow = _flow("smap")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    proj = op.map("proj", ev, {"user_id": "user_id", "event_id": "event_id", "value": "value"})
+    ks = op.key_on("key", proj, "user_id")
+    out = op.stateful_map("cum", ks, order_by="event_id", running={"running_value": F.sum("value")})
+    return op.map(
+        "final", out, {"key": "key", "event_id": "event_id", "running_value": "running_value"}
+    ).df
+
+
+def join_last_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join insert_mode='last' emit_mode='complete' (inner join of
+    per-key latest values)."""
+    flow = _flow("joinlast")
+    orders = op.input("orders", flow, _t(spark, sf_dir, "orders"))
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem"))
+    o_side = op.key_on(
+        "ok", op.map("oproj", orders, {"okey": "o_orderkey", "t": F.lit(0).cast("long"), "o_totalprice": "o_totalprice"}), "okey"
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # tie-break by extendedprice so both engines pick the same row
+    l_side = op.key_on(
+        "lk", op.map("lproj", li, {"lkey": "l_orderkey", "t": F.struct("l_linenumber", "l_extendedprice"), "l_extendedprice": "l_extendedprice"}), "lkey"
+    )
+    o_side = op.map_value("ov", o_side, {"t": "t", "o_totalprice": "o_totalprice"})
+    l_side = op.map_value("lv", l_side, {"t": "t", "l_extendedprice": "l_extendedprice"})
+    j = op.join("j", o_side, l_side, insert_mode="last", emit_mode="complete", order_by="t")
+    return j.df
+
+
+def join_product_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join insert_mode='product' emit_mode='final' (full-outer
+    relational join — Catalyst picks broadcast for the small side)."""
+    flow = _flow("joinprod")
+    cust = op.input("cust", flow, _t(spark, sf_dir, "customer"))
+    orders = op.input("orders", flow, _t(spark, sf_dir, "orders"))
+    c_side = op.key_on("ck", op.map("cproj", cust, {"ckey": "c_custkey", "c_name": "c_name"}), "ckey")
+    o_side = op.key_on("okk", op.map("oproj", orders, {"okey2": "o_custkey", "o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"}), "okey2")
+    c_side = op.map_value("cv", c_side, {"c_name": "c_name"})
+    o_side = op.map_value("ov", o_side, {"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"})
+    j = op.join("j", c_side, o_side, insert_mode="product", emit_mode="final")
+    return j.df
+
+
+def running_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """running_join: per event, latest value of each side so far."""
+    flow = _flow("runjoin")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    b = op.branch("split", ev, F.col("event_type") == "click")
+    clicks = op.key_on("ck", op.map("cproj", b.trues, {"user_id": "user_id", "t": "event_id", "click_value": "value"}), "user_id")
+    other = op.filter("is_purchase", b.falses, F.col("event_type") == "purchase")
+    purchases = op.key_on("pk", op.map("pproj", other, {"user_id2": "user_id", "t": "event_id", "purchase_value": "value"}), "user_id2")
+    clicks = op.map_value("cv", clicks, {"t": "t", "click_value": "click_value"})
+    purchases = op.map_value("pv", purchases, {"t": "t", "purchase_value": "purchase_value"})
+    return op.running_join("rj", clicks, purchases, order_by="t").df
+
+
+def merge_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge (UNION ALL by name with null-fill for missing columns)."""
+    flow = _flow("merge")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    b = op.branch("split", ev, F.col("event_type") == "click")
+    clicks = op.map("cproj", b.trues, {"event_id": "event_id", "user_id": "user_id", "click_value": "value"})
+    purchases = op.filter("is_purchase", b.falses, F.col("event_type") == "purchase")
+    purchases = op.map("pproj", purchases, {"event_id": "event_id", "user_id": "user_id", "purchase_value": "value"})
+    return op.merge("m", clicks, purchases).df
+
+
+def branch_low_or_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """branch: the falses side (NOT predicate OR NULL), then count."""
+    flow = _flow("branch")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    b = op.branch("split", ev, F.col("value") >= 50)
+    return op.count_final("count", b.falses, key="event_type").df
+
+
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_window, tumbling 1h, EventClock."""
+    flow = _flow("tumblecount")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    ks = op.key_on("key", ev, "user_id")
+    out = win.count_window("w", ks, win.EventClock("ts"), win.TumblingWindower(timedelta(hours=1)))
+    return out.df
+
+
+def daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fold_window, tumbling 1 day: sum of value per event_type."""
+    flow = _flow("tumblefold")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    ks = op.key_on("key", ev, "event_type")
+    out = win.fold_window(
+        "w", ks, win.EventClock("ts"), win.TumblingWindower(timedelta(days=1)),
+        aggs={"total_value": F.round(F.sum("value"), 2), "n": F.count(F.lit(1))},
+    )
+    return out.df
+
+
+def sliding_2h_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_window, sliding 2h every 1h (multi-assign)."""
+    flow = _flow("slide")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    ks = op.key_on("key", ev, "user_id")
+    out = win.count_window(
+        "w", ks, win.EventClock("ts"), win.SlidingWindower(timedelta(hours=2), timedelta(hours=1))
+    )
+    return out.df
+
+
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fold_window over SessionWindower (gap merge, 30 min)."""
+    flow = _flow("session")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    ks = op.key_on("key", ev, "user_id")
+    out = win.fold_window(
+        "w", ks, win.EventClock("ts"), win.SessionWindower(timedelta(minutes=30)),
+        aggs={"n_events": F.count(F.lit(1)), "session_value": F.round(F.sum("value"), 2)},
+    )
+    return out.df
+
+
+def top_event_per_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_window (per-window argmax row with tiebreak)."""
+    flow = _flow("maxw")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    proj = op.map("proj", ev, {"event_type": "event_type", "ts": "ts", "event_id": "event_id", "value": "value"})
+    ks = op.key_on("key", proj, "event_type")
+    out = win.max_window(
+        "w", ks, win.EventClock("ts"), win.TumblingWindower(timedelta(days=1)),
+        by=F.struct("value", "event_id"),
+    )
+    return out.df
+
+
+def join_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_window: per (user, 1h window) latest click + purchase value."""
+    flow = _flow("joinw")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    b = op.branch("split", ev, F.col("event_type") == "click")
+    clicks = op.key_on("ck", op.map("cproj", b.trues, {"user_id": "user_id", "ts": "ts", "oid": "event_id", "click_value": "value"}), "user_id")
+    purchases = op.filter("is_purchase", b.falses, F.col("event_type") == "purchase")
+    purchases = op.key_on("pk", op.map("pproj", purchases, {"user_id2": "user_id", "ts": "ts", "oid": "event_id", "purchase_value": "value"}), "user_id2")
+    clicks = op.map_value("cv", clicks, {"ts": "ts", "oid": "oid", "click_value": "click_value"})
+    purchases = op.map_value("pv", purchases, {"ts": "ts", "oid": "oid", "purchase_value": "purchase_value"})
+    out = win.join_window(
+        "jw", win.EventClock("ts"), win.TumblingWindower(timedelta(hours=1)),
+        clicks, purchases, insert_mode="last", emit_mode="complete", order_by="oid",
+    )
+    return out.df
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT CONCAT_WS('|', l_returnflag, l_linestatus) AS key,
+               SUM(l_quantity) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1
+    """,
+    "reduce_minmax_price": """
+        SELECT CAST(l_returnflag AS VARCHAR) AS key,
+               MIN(l_extendedprice) AS min_price,
+               ROUND(AVG(l_extendedprice), 4) AS mean_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY 1
+    """,
+    "high_value_orders": """
+        SELECT o_orderkey, o_custkey,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               ROUND(o_totalprice, 2) AS price
+        FROM orders WHERE o_totalprice > 100000
+    """,
+    "wordcount": """
+        SELECT word AS key, COUNT(*) AS "count"
+        FROM (SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS word FROM documents)
+        WHERE word <> '' GROUP BY 1
+    """,
+    "count_by_event_type": """
+        SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS "count"
+        FROM events GROUP BY 1
+    """,
+    "max_order_per_customer": """
+        SELECT CAST(o_custkey AS VARCHAR) AS key, o_custkey, o_orderkey, o_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders)
+        WHERE rn = 1
+    """,
+    "min_order_per_customer": """
+        SELECT CAST(o_custkey AS VARCHAR) AS key, o_custkey, o_orderkey, o_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn FROM orders)
+        WHERE rn = 1
+    """,
+    "collect_linenumbers": """
+        SELECT CAST(l_orderkey AS VARCHAR) AS key, LIST_SORT(LIST(l_linenumber)) AS values
+        FROM lineitem GROUP BY 1
+    """,
+    "cumulative_value_per_user": """
+        SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+               SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+        FROM events
+    """,
+    "join_last_order_lineitem": """
+        SELECT CAST(o.o_orderkey AS VARCHAR) AS key, o.o_totalprice,
+               l.l_extendedprice
+        FROM orders o
+        JOIN (
+          SELECT l_orderkey, l_extendedprice
+          FROM (SELECT l_orderkey, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_linenumber DESC, l_extendedprice DESC) AS rn
+                FROM lineitem)
+          WHERE rn = 1
+        ) l ON o.o_orderkey = l.l_orderkey
+    """,
+    "join_product_customer_orders": """
+        SELECT COALESCE(CAST(c.c_custkey AS VARCHAR), CAST(o.o_custkey AS VARCHAR)) AS key,
+               c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    "running_join_clicks_purchases": """
+        WITH unioned AS (
+          SELECT user_id, event_id AS t, value AS click_value, NULL::DOUBLE AS purchase_value
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, event_id AS t, NULL::DOUBLE AS click_value, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT CAST(user_id AS VARCHAR) AS key, t,
+               LAST_VALUE(click_value IGNORE NULLS) OVER w AS click_value,
+               LAST_VALUE(purchase_value IGNORE NULLS) OVER w AS purchase_value
+        FROM unioned
+        WINDOW w AS (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "merge_click_purchase": """
+        SELECT event_id, user_id, value AS click_value, NULL::DOUBLE AS purchase_value
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, user_id, NULL::DOUBLE AS click_value, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "branch_low_or_null": """
+        SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS "count"
+        FROM events WHERE NOT (value >= 50) OR value IS NULL GROUP BY 1
+    """,
+    "hourly_event_counts": """
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               DATE_TRUNC('hour', ts) AS window_start,
+               DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               COUNT(*) AS "count"
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "daily_value_by_type": """
+        SELECT CAST(event_type AS VARCHAR) AS key,
+               DATE_TRUNC('day', ts) AS window_start,
+               DATE_TRUNC('day', ts) + INTERVAL 1 DAY AS window_end,
+               ROUND(SUM(value), 2) AS total_value,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "sliding_2h_user_counts": """
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               window_start,
+               window_start + INTERVAL 2 HOUR AS window_end,
+               COUNT(*) AS "count"
+        FROM (
+          SELECT user_id,
+                 UNNEST([DATE_TRUNC('hour', ts), DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+          FROM events
+        ) GROUP BY 1, 2
+    """,
+    "session_windows_30m": """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               MIN(ts) AS window_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS window_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM sess GROUP BY user_id, sid
+    """,
+    "top_event_per_type_day": """
+        SELECT CAST(event_type AS VARCHAR) AS key,
+               DATE_TRUNC('day', ts) AS window_start,
+               DATE_TRUNC('day', ts) + INTERVAL 1 DAY AS window_end,
+               event_type, ts, event_id, value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                       ORDER BY value DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    "join_window_hourly": """
+        WITH c AS (
+          SELECT user_id, DATE_TRUNC('hour', ts) AS window_start,
+                 MAX_BY(value, event_id) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        ), p AS (
+          SELECT user_id, DATE_TRUNC('hour', ts) AS window_start,
+                 MAX_BY(value, event_id) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT CAST(c.user_id AS VARCHAR) AS key, c.window_start,
+               c.window_start + INTERVAL 1 HOUR AS window_end,
+               c.click_value, p.purchase_value
+        FROM c JOIN p ON c.user_id = p.user_id AND c.window_start = p.window_start
+    """,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "reduce_minmax_price": reduce_minmax_price,
+        "high_value_orders": high_value_orders,
+        "wordcount": wordcount,
+        "count_by_event_type": count_by_event_type,
+        "max_order_per_customer": max_order_per_customer,
+        "min_order_per_customer": min_order_per_customer,
+        "collect_linenumbers": collect_linenumbers,
+        "cumulative_value_per_user": cumulative_value_per_user,
+        "join_last_order_lineitem": join_last_order_lineitem,
+        "join_product_customer_orders": join_product_customer_orders,
+        "running_join_clicks_purchases": running_join_clicks_purchases,
+        "merge_click_purchase": merge_click_purchase,
+        "branch_low_or_null": branch_low_or_null,
+        "hourly_event_counts": hourly_event_counts,
+        "daily_value_by_type": daily_value_by_type,
+        "sliding_2h_user_counts": sliding_2h_user_counts,
+        "session_windows_30m": session_windows_30m,
+        "top_event_per_type_day": top_event_per_type_day,
+        "join_window_hourly": join_window_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

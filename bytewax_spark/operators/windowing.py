@@ -170,13 +170,22 @@ def assign_windows(
       does); ``window_end`` = last ts + gap, matching
       ``F.session_window`` bounds.
     """
-    t = F.unix_micros(ts)
+    # unix_micros requires TIMESTAMP; NTZ columns (parquet without tz)
+    # cast via the session TZ (pinned UTC), and bounds cast back so the
+    # output type matches the groupBy-path window bounds
+    ts_type = df.select(ts.alias("_probe")).schema[0].dataType.simpleString()
+    t = F.unix_micros(ts.cast("timestamp"))
+    _restore = ts_type if ts_type in ("timestamp", "timestamp_ntz") else "timestamp"
+
+    def _mk_ts(us: Column) -> Column:
+        return F.timestamp_micros(us).cast(_restore)
+
     if isinstance(windower, TumblingWindower):
         off = _us((windower.align_to - UTC_ALIGN) % windower.length)
         length = _us(windower.length)
         ws = t - F.pmod(t - F.lit(off), F.lit(length))
-        return df.withColumn("window_start", F.timestamp_micros(ws)).withColumn(
-            "window_end", F.timestamp_micros(ws + F.lit(length))
+        return df.withColumn("window_start", _mk_ts(ws)).withColumn(
+            "window_end", _mk_ts(ws + F.lit(length))
         )
     if isinstance(windower, SlidingWindower):
         off = _us((windower.align_to - UTC_ALIGN) % windower.offset)
@@ -186,8 +195,8 @@ def assign_windows(
         starts = F.sequence(latest, latest - F.lit((n - 1) * step), F.lit(-step))
         valid = F.filter(starts, lambda s: s > t - F.lit(length))
         out = df.withColumn("_ws", F.explode(valid))
-        return out.withColumn("window_start", F.timestamp_micros(F.col("_ws"))).withColumn(
-            "window_end", F.timestamp_micros(F.col("_ws") + F.lit(length))
+        return out.withColumn("window_start", _mk_ts(F.col("_ws"))).withColumn(
+            "window_end", _mk_ts(F.col("_ws") + F.lit(length))
         ).drop("_ws")
     if isinstance(windower, SessionWindower):
         from pyspark.sql import Window as W
@@ -205,8 +214,8 @@ def assign_windows(
         )
         bounds = W.partitionBy(key_col, "_sid")
         return (
-            sess.withColumn("window_start", F.timestamp_micros(F.min(t).over(bounds)))
-            .withColumn("window_end", F.timestamp_micros(F.max(t).over(bounds) + F.lit(gap)))
+            sess.withColumn("window_start", _mk_ts(F.min(t).over(bounds)))
+            .withColumn("window_end", _mk_ts(F.max(t).over(bounds) + F.lit(gap)))
             .drop("_new", "_sid")
         )
     raise TypeError(f"unknown windower {windower!r}")
