@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line.
+
+Queries mirror BASELINE.md's workload table:
+  B1 keyed windowed fold  -> daily_value_by_type (fold_window)
+  B2 1BRC grouped agg     -> reduce_minmax_price (reduce_final)
+  B3 wordcount            -> wordcount (flat_map + count_final)
+  B4 keyed join           -> join_product_customer_orders (join)
+  B5 tumbling count       -> hourly_event_counts (count_window)
+plus the flagship q1_pricing_summary.
+
+Each query is materialized through the noop sink (computes every
+column, writes nothing) — measures engine time, not collect/driver
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "reduce_minmax_price",
+    "wordcount",
+    "join_product_customer_orders",
+    "join_last_order_lineitem",
+    "hourly_event_counts",
+    "daily_value_by_type",
+    "sliding_2h_user_counts",
+    "session_windows_30m",
+    "cumulative_value_per_user",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as e
+    from bytewax_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.range(1).count()  # JVM warm
+    # warm the scans (footer read, codegen, Arrow init) so timings
+    # measure query compute, not one-time JVM/file-index setup
+    from bytewax_spark.io import read_parquet
+
+    for t in ("lineitem", "orders", "customer", "events", "documents"):
+        read_parquet(spark, f"{sf_dir}/{t}.parquet").count()
+
+    qs = e.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
