@@ -296,6 +296,116 @@ def join_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# beyond-reference queries (SURVEY §2.7 / BASELINE north star):
+# dedup, similarity search, text analysis — each over documents/embeddings
+# ---------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts (ws + BPE-ish), quality score,
+    language ID — pure expressions over the documents table."""
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("textstats")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents"))
+    out = op.map(
+        "stats",
+        docs,
+        {
+            "doc_id": "doc_id",
+            "n_tokens": tx.token_count("text"),
+            "n_bpe": tx.token_count("text", mode="bpe"),
+            "quality": tx.quality_score("text"),
+            "lang": tx.lang_id("text"),
+        },
+    )
+    return out.df
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprints (md5-int64 of the sorted
+    distinct token set)."""
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("fps")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents"))
+    return op.map("fp", docs, {"doc_id": "doc_id", "fp": tx.fingerprint("text")}).df
+
+
+def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after canonicalization: keep min doc_id per
+    token-set fingerprint (54 dupes exist in the synthetic corpus)."""
+    from bytewax_spark.functions import dedup as dd
+    from bytewax_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = dd.dedup_exact(docs, "text", "doc_id", key=tx.fingerprint("text"))
+    return survivors.select("doc_id")
+
+
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard near-dup pairs, j >= 0.95."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.95)
+
+
+def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (K=32, 4 bands x 8 rows) — the
+    100 TB-scale near-dup path."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, "text", "doc_id", n=1, k=32, bands=4)
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash(docs, "text", "doc_id", bits=16)
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (cos >= 0.35)."""
+    from bytewax_spark.functions import dedup as dd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_cosine_pairs(emb, "embedding", "vec_id", "label", threshold=0.35)
+
+
+def cosine_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the query vector vec_id=0."""
+    from pyspark.sql import functions as SF
+
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = list(emb.filter(SF.col("vec_id") == 0).first()["embedding"])
+    return sim.cosine_topk(emb, "embedding", "vec_id", q, k=10)
+
+
+def ivf_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style probed top-10 (label cells, nprobe=2) for vec_id=0."""
+    from pyspark.sql import functions as SF
+
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = list(emb.filter(SF.col("vec_id") == 0).first()["embedding"])
+    return sim.ivf_topk(emb, "embedding", "vec_id", "label", q, k=10, nprobe=2)
+
+
+def lsh_buckets_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per embedding (8 seeded planes)."""
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_buckets(emb, "embedding", "vec_id", n_planes=8, dims=64, seed=42)
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
@@ -471,6 +581,177 @@ _ORACLES: dict[str, str] = {
 }
 
 
+# shared oracle fragments (match bytewax_spark.functions.text/dedup exactly)
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_SQL_H64 = "('0x' || SUBSTR(MD5({0}), 1, 15))::BIGINT"
+_SW = {
+    "de": "['der','die','das','und','ist','ein','eine','zu','mit','nicht']",
+    "en": "['the','a','and','of','to','in','is','that','it','for']",
+    "es": "['el','la','los','las','es','un','una','para','con','que']",
+    "fr": "['le','la','les','et','est','un','une','pour','dans','que']",
+}
+_SQL_HITS = {
+    lang: f"CAST(LEN(list_filter(toks, x -> list_contains({lst}, x))) AS DOUBLE)"
+    for lang, lst in _SW.items()
+}
+
+_ORACLES["text_stats"] = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             CAST(LEN(toks) AS DOUBLE) AS n_words,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) AS alpha,
+             {_SQL_HITS['en']} AS sw_hits,
+             {_SQL_HITS['de']} AS h_de, {_SQL_HITS['en']} AS h_en,
+             {_SQL_HITS['es']} AS h_es, {_SQL_HITS['fr']} AS h_fr
+      FROM t
+    ), m2 AS (
+      SELECT *,
+             CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END AS mean_wlen,
+             CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN n_words > 0 THEN sw_hits / n_words ELSE 0.0 END AS sw_ratio,
+             GREATEST(h_de, h_en, h_es, h_fr) AS best
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+           ROUND(0.25 * (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+               + 0.25 * (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.0 END)
+               + 0.25 * LEAST(alpha_ratio * 1.25, 1.0)
+               + 0.25 * LEAST(sw_ratio * 5.0, 1.0), 4) AS quality,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN h_de = best THEN 'de'
+                WHEN h_en = best THEN 'en'
+                WHEN h_es = best THEN 'es'
+                ELSE 'fr' END AS lang
+    FROM m2
+"""
+
+_SQL_CANON = f"ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT({_SQL_TOKS})), ' ')"
+
+_ORACLES["doc_fingerprints"] = f"""
+    SELECT doc_id, {_SQL_H64.format(_SQL_CANON)} AS fp FROM documents
+"""
+
+_ORACLES["dedup_fingerprint_docs"] = f"""
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_SQL_CANON}
+"""
+
+_SQL_SHINGLES_N1 = f"""
+    sh AS (
+      SELECT DISTINCT doc_id, {_SQL_H64.format('w')} AS shingle
+      FROM (SELECT doc_id, UNNEST({_SQL_TOKS}) AS w FROM documents)
+    )
+"""
+
+_ORACLES["ngram_jaccard_pairs_docs"] = f"""
+    WITH {_SQL_SHINGLES_N1},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.95
+"""
+
+_ORACLES["minhash_lsh_pairs_docs"] = f"""
+    WITH {_SQL_SHINGLES_N1},
+    sig AS (
+      SELECT doc_id, i,
+             MIN((((i * 2654435761) % 2147483647) * (shingle % 2147483647)
+                  + ((i * 40503 + 17) % 2147483647)) % 2147483647) AS minhash
+      FROM sh CROSS JOIN (SELECT UNNEST(RANGE(1, 33)) AS i)
+      GROUP BY doc_id, i
+    ),
+    banded AS (
+      SELECT doc_id, (i - 1) // 8 AS band,
+             MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+_ORACLES["simhash_docs"] = f"""
+    WITH th AS (
+      SELECT doc_id, ({_SQL_H64.format('w')}) % 65536 AS h
+      FROM (SELECT doc_id, UNNEST(LIST_DISTINCT({_SQL_TOKS})) AS w FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id, b AS bit,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+"""
+
+_SQL_COS = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x * x))) * "
+    "sqrt(list_sum(list_transform({b}::DOUBLE[], x -> x * x))))"
+)
+
+_ORACLES["embedding_near_dup_pairs"] = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
+"""
+
+_ORACLES["cosine_topk_vec0"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_SQL_COS.format(a='embedding', b='qv')}, 6) AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+_ORACLES["ivf_topk_vec0"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cent AS (
+      SELECT label, i, AVG(embedding[i]::DOUBLE) AS cx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i)
+      GROUP BY label, i
+    ),
+    cvec AS (SELECT label, LIST(cx ORDER BY i) AS cv FROM cent GROUP BY label),
+    probes AS (
+      SELECT label FROM cvec, q
+      ORDER BY ROUND({_SQL_COS.format(a='cv', b='qv')}, 6) DESC, label
+      LIMIT 2
+    )
+    SELECT e.vec_id, e.label, ROUND({_SQL_COS.format(a='e.embedding', b='qv')}, 6) AS cosine
+    FROM embeddings e JOIN probes USING (label), q
+    ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def _lsh_oracle() -> str:
+    from bytewax_spark.functions.similarity import _planes
+
+    planes = _planes(8, 64, seed=42)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        dot = f"list_sum(list_transform(range(1, 65), j -> embedding[j]::DOUBLE * ({lit})[j]))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return f"SELECT vec_id, CAST({' + '.join(terms)} AS BIGINT) AS bucket FROM embeddings"
+
+
+_ORACLES["lsh_buckets_embeddings"] = _lsh_oracle()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -498,6 +779,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows_30m": session_windows_30m,
         "top_event_per_type_day": top_event_per_type_day,
         "join_window_hourly": join_window_hourly,
+        # beyond-reference: text analysis / dedup / similarity
+        "text_stats": text_stats,
+        "doc_fingerprints": doc_fingerprints,
+        "dedup_fingerprint_docs": dedup_fingerprint_docs,
+        "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
+        "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "simhash_docs": simhash_docs,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "cosine_topk_vec0": cosine_topk_vec0,
+        "ivf_topk_vec0": ivf_topk_vec0,
+        "lsh_buckets_embeddings": lsh_buckets_embeddings,
     }
 
 

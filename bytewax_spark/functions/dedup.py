@@ -1,0 +1,256 @@
+"""Deduplication — exact and near-duplicate, designed for 100 TB.
+
+Scale posture per method:
+
+- **exact**: one hash shuffle on the dedup key (map-side partial
+  ``min_by``). Never ``dropDuplicates()`` over all columns at scale —
+  hash the payload first so the shuffle carries 8 bytes, not the doc.
+- **n-gram Jaccard (exact)**: explode shingles → self-join on shingle
+  → count intersections. The shingle join is the scale hazard: hot
+  shingles (boilerplate) explode quadratically — ``max_doc_freq``
+  drops the head of the distribution (standard prefix filtering), AQE
+  skew-join splits the rest.
+- **MinHash+LSH**: fixed-size signature (K int32s) per doc regardless
+  of length → band buckets → equi-join on (band, bucket). The join key
+  is uniform by construction; candidate verification re-checks exact
+  Jaccard only on the (tiny) candidate set. This is THE 100 TB path.
+- **SimHash**: one 16-bit fingerprint per doc; near-dups collide
+  exactly → a groupBy, no pairwise join at all.
+- **embedding cosine**: blocked self-join (block = label/IVF cell),
+  cosine inside the block only.
+
+All hashes are md5-derived (see ``text.hash64``) so the DuckDB oracle
+reproduces every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bytewax_spark.functions.text import hash64, tokenize, word_shingles
+
+__all__ = [
+    "MINHASH_K",
+    "MINHASH_P",
+    "MINHASH_BANDS",
+    "dedup_exact",
+    "shingle_docs",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_cosine_pairs",
+]
+
+MINHASH_K = 32          # signature length
+MINHASH_P = 2147483647  # 2^31-1 (Mersenne); a*h+b stays < 2^62
+MINHASH_BANDS = 8       # 8 bands x 4 rows
+_MINHASH_A_MUL = 2654435761  # Knuth multiplicative constants — any
+_MINHASH_B_MUL = 40503       # fixed odd constants work; shared with oracle
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str, key: Column | None = None) -> DataFrame:
+    """Exact dedup: keep the min-id row per content hash.
+
+    ``key`` overrides the dedup key (e.g. ``text.fingerprint(...)`` for
+    exact-after-canonicalization dedup). Shuffles (hash, id) only — at
+    100 TB the doc bodies never move; survivors are recovered by a
+    self-semi-join on the id."""
+    h = (key if key is not None else hash64(text_col)).alias("_h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def shingle_docs(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle_hash) distinct rows — the exploded form shared by
+    Jaccard and MinHash. Hashing the shingle BEFORE the explode keeps
+    the shuffled rows at 16 bytes."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_sh"))
+        .select(id_col, hash64(F.col("_sh")).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    ``max_doc_freq`` enables prefix filtering: shingles present in more
+    than that many docs are dropped before the self-join (they only
+    create candidate pairs that exact verification would reject, and
+    they're exactly the quadratic-blowup keys)."""
+    sh = shingle_docs(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("_sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_common") / (F.col("_sa") + F.col("_sb") - F.col("_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """(id, i, minhash) — K permutation minima per doc.
+
+    h_i(x) = (a_i * (x mod P) + b_i) mod P with a_i, b_i derived from
+    fixed multiplicative constants (i in 1..K). One explode + one
+    groupBy(id, i) with partial ``min`` — no joins."""
+    sh = shingle_docs(df, text_col, id_col, n)
+    hmod = F.pmod(F.col("shingle"), F.lit(MINHASH_P))
+    params = F.explode(
+        F.array(
+            [
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit((i * _MINHASH_A_MUL) % MINHASH_P).alias("a"),
+                    F.lit((i * _MINHASH_B_MUL + 17) % MINHASH_P).alias("b"),
+                )
+                for i in range(1, k + 1)
+            ]
+        )
+    ).alias("p")
+    expanded = sh.select(F.col(id_col), hmod.alias("h"), params)
+    return (
+        expanded.select(
+            id_col,
+            F.col("p.i").alias("i"),
+            F.pmod(F.col("p.a") * F.col("h") + F.col("p.b"), F.lit(MINHASH_P)).alias("mh"),
+        )
+        .groupBy(id_col, "i")
+        .agg(F.min("mh").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH (id_a < id_b).
+
+    Signature rows → per-(doc, band) bucket key (md5 of the band's
+    minima in i-order) → equi-join on (band, bucket). At 100 TB the
+    bucket join replaces the quadratic shingle join; callers verify
+    candidates with exact Jaccard on the candidate set only."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    banded = (
+        sig.withColumn("band", ((F.col("i") - 1) / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "minhash"))),
+                        lambda s: s.getField("minhash").cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket")
+        )
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash) — per-doc SimHash fingerprint over token hashes.
+
+    Near-dup docs differ in few bits; at scale group directly on the
+    fingerprint (or on rotated bands for hamming>0 tolerance) — no
+    pairwise join. Pure expressions: tokens × bits expansion happens
+    inside ``aggregate``, not as rows."""
+    toks = F.array_distinct(tokenize(text_col))
+    th = F.transform(toks, lambda t: F.pmod(hash64(t), F.lit(1 << bits)))
+    bit_votes = [
+        F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.pmod(F.shiftright(h, i), F.lit(2)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        for i in range(bits)
+    ]
+    fp = None
+    for i, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return df.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs within blocks (id_a < id_b, cos ≥ t).
+
+    Blocked self-join: cosine is only computed inside ``block_col``
+    groups (label, IVF cell, LSH bucket) — the 100 TB pattern where the
+    all-pairs join is impossible. Dot products via ``zip_with`` +
+    ``aggregate``: JVM-side, no UDF."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), v.alias("_v"))
+    a = base.select(F.col(id_col).alias("id_a"), "_blk", F.col("_v").alias("_va"))
+    b = base.select(F.col(id_col).alias("id_b"), "_blk", F.col("_v").alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("_va")) * norm(F.col("_vb"))), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, matching how ANN is actually deployed on big tables:
+
+- :func:`cosine_topk` — brute force. O(N·d) per query, exact. The
+  baseline and the in-cell kernel for IVF. Pure ``zip_with`` /
+  ``aggregate`` expressions — codegen'd, no Python, no shuffle beyond
+  the final top-k (``orderBy(...).limit(k)`` compiles to Spark's
+  TakeOrderedAndProject: per-partition heaps + driver merge of k rows,
+  NOT a global sort).
+- :func:`ivf_topk` — inverted-file: centroid per cell (here the
+  ``label`` column or any clustering), probe the ``nprobe`` nearest
+  cells, brute-force inside. At 100 TB: cells are the partition key,
+  so a query touches nprobe partitions instead of the full table.
+- :func:`lsh_buckets` — random-hyperplane signatures (seeded,
+  deterministic): sign-bit bucket key for join-based candidate
+  generation; hamming-adjacent buckets = multiprobe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["as_double", "cosine", "cosine_topk", "ivf_topk", "lsh_buckets"]
+
+
+def as_double(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _qvec(query_vec: list[float]) -> Column:
+    return F.array([F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine to a query vector (ties broken by id)."""
+    q = _qvec(query_vec)
+    v = as_double(vec_col)
+    scored = df.select(F.col(id_col), F.round(cosine(v, q), 6).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style probed search: mean-vector centroid per cell →
+    ``nprobe`` closest cells by cosine → exact top-k inside them.
+
+    Centroids via ``posexplode`` + groupBy(cell, pos) + partial avg —
+    one small shuffle (cells × dims rows); the probe set is a tiny
+    broadcast semi-join against the full table."""
+    q = _qvec(query_vec)
+    exploded = df.select(F.col(cell_col).alias("_cell"), F.posexplode(as_double(vec_col)).alias("_pos", "_x"))
+    centroids = (
+        exploded.groupBy("_cell", "_pos")
+        .agg(F.avg("_x").alias("_cx"))
+        .groupBy("_cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_cx"))), lambda s: s.getField("_cx")
+            ).alias("_centroid")
+        )
+    )
+    probes = (
+        centroids.select("_cell", F.round(cosine(F.col("_centroid"), q), 6).alias("_ccos"))
+        .orderBy(F.col("_ccos").desc(), F.col("_cell"))
+        .limit(nprobe)
+        .select("_cell")
+    )
+    in_cells = df.join(
+        F.broadcast(probes), df[cell_col] == probes["_cell"], "left_semi"
+    )
+    v = as_double(vec_col)
+    return (
+        in_cells.select(F.col(id_col), F.col(cell_col), F.round(cosine(v, q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _planes(n_planes: int, dims: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — reproducible
+    everywhere, including in a SQL oracle)."""
+    out, state = [], seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dims):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+        out.append(row)
+    return out
+
+
+def lsh_buckets(
+    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 8, dims: int | None = None, seed: int = 42
+) -> DataFrame:
+    """(id, bucket) — random-hyperplane sign signature as an int key.
+
+    Rows with equal buckets are ANN candidates; join on the bucket for
+    candidate pairs. nprobe-style recall: also join on buckets at
+    hamming distance 1 (flip each bit)."""
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
+    v = as_double(vec_col)
+    bucket = None
+    for i, plane in enumerate(_planes(n_planes, dims, seed)):
+        p = F.array([F.lit(x) for x in plane])
+        bit = F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), bucket.cast("long").alias("bucket"))

@@ -1,0 +1,153 @@
+"""Text analysis for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expressions — no Python in the hot
+path, so a 100 TB documents table runs at whole-stage-codegen rate
+with full column pruning (only ``text`` is read).
+
+Hashing convention: ``hash64`` = first 15 hex digits of md5 as int64
+(60 bits). md5 exists in every engine (so DuckDB oracles reproduce
+results exactly) and is stable across runs/partitionings, unlike
+``F.hash``'s murmur seed-dependence guarantees across versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash64",
+    "tokenize",
+    "token_count",
+    "char_ngrams",
+    "word_shingles",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "para", "con", "que"],
+}
+
+
+def hash64(c: Column | str) -> Column:
+    """Deterministic 60-bit int64 hash (md5-derived, oracle-friendly)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def tokenize(c: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (lowercased)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(c: Column | str, mode: str = "whitespace") -> Column:
+    """Token count: ``whitespace`` or ``bpe`` (BPE-ish regex: runs of
+    alphanumerics, plus each punctuation mark — approximates subword
+    pre-tokenization)."""
+    c = F.col(c) if isinstance(c, str) else c
+    if mode == "whitespace":
+        return F.size(tokenize(c)).cast("long")
+    if mode == "bpe":
+        return F.regexp_count(c, F.lit(_TOKEN_RE)).cast("long")
+    raise ValueError(f"mode must be whitespace|bpe, got {mode!r}")
+
+
+def char_ngrams(c: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles → array<string> (may repeat).
+
+    ``sequence`` + ``transform`` — JVM-side, one pass, no explode until
+    the caller needs rows."""
+    c = F.col(c) if isinstance(c, str) else c
+    # F.sequence(a, b) descends when b < a — guard the too-short case
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles over whitespace tokens → array<string>."""
+    toks = tokenize(c)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite document quality in [0,1]: length band, alpha ratio,
+    stopword presence, mean word length band — the classic cheap
+    pre-filter before expensive dedup/scoring stages."""
+    c = F.col(c) if isinstance(c, str) else c
+    n_chars = F.length(c).cast("double")
+    toks = tokenize(c)
+    n_words = F.size(toks).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+    sw_ratio = F.when(n_words > 0, sw_hits / n_words).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(F.lit(0.0))
+    len_band = F.when((n_words >= 10) & (n_words <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_band = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.25) * len_band
+        + F.lit(0.25) * wlen_band
+        + F.lit(0.25) * F.least(alpha_ratio * F.lit(1.25), F.lit(1.0))
+        + F.lit(0.25) * F.least(sw_ratio * F.lit(5.0), F.lit(1.0))
+    )
+    return F.round(score, 4)
+
+
+def lang_id(c: Column | str) -> Column:
+    """Stopword-hit language ID over {en,de,fr,es} with deterministic
+    tie-break (highest count, then alphabetical). Returns 'und' when no
+    stopword hits at all — an n-gram heuristic, not a model."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = tokenize(c)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on struct compares (hits, lang) lexicographically; we
+    # want max hits then MIN lang, so invert the lang for the compare
+    best = F.array_max(
+        F.array(
+            [
+                F.struct(
+                    s.getField("hits").alias("hits"),
+                    # 'zz...' minus lang would need custom collation; use
+                    # negative index of the sorted list instead
+                    F.lit(len(scores) - i).alias("prio"),
+                    s.getField("lang").alias("lang"),
+                )
+                for i, s in enumerate(scores)
+            ]
+        )
+    )
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5-int64 of the sorted
+    distinct token set — robust to word order and duplication, the
+    cheap key for exact-after-normalization dedup."""
+    c = F.col(c) if isinstance(c, str) else c
+    canon = F.array_join(F.array_sort(F.array_distinct(tokenize(c))), " ")
+    return hash64(canon)

@@ -1,0 +1,171 @@
+"""Beyond-reference function tests: text analysis, dedup, similarity,
+multimodal plumbing — against the real sf0.001 tables."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bytewax_spark.functions import dedup, multimodal, similarity, text
+from tests.conftest import load
+
+
+def test_tokenize_and_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    row = docs.select(
+        text.token_count("text").alias("ws"),
+        text.token_count("text", mode="bpe").alias("bpe"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("expected_ws"),
+    ).first()
+    assert row["ws"] == row["expected_ws"]
+    assert row["bpe"] >= row["ws"]  # punctuation adds tokens, never removes
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcdef",)], "s string")
+    got = df.select(text.char_ngrams("s", 3).alias("g")).first()["g"]
+    assert got == ["abc", "bcd", "cde", "def"]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "s string")
+    got = df.select(text.word_shingles("s", 2).alias("g")).first()["g"]
+    assert got == ["a b", "b c", "c d"]
+    empty = spark.createDataFrame([("a",)], "s string")
+    assert empty.select(text.word_shingles("s", 2).alias("g")).first()["g"] == []
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and it is a fine day for sitting",), ("der hund und die katze ist ein tier zu hause nicht allein",), ("@@@ ### !!!",)],
+        "text string",
+    )
+    rows = df.select(text.lang_id("text").alias("lang"), text.quality_score("text").alias("q")).collect()
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "de"
+    assert rows[2]["lang"] == "und"
+    assert rows[0]["q"] > rows[2]["q"]
+    assert 0.0 <= rows[2]["q"] <= 1.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame([("b a c",), ("c b a a",), ("a b d",)], "text string")
+    fps = [r["fp"] for r in df.select(text.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = dedup.dedup_exact(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.3).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    j = pairs[0]["jaccard"]
+    assert 0.5 < j < 0.9  # 6 of 8+8 bigrams shared -> 6/10
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near_b = near_a.replace("kappa", "lambda")
+    df = spark.createDataFrame(
+        [(1, near_a), (2, near_b), (3, "totally unrelated content with other tokens " * 3)],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(df, "text", "doc_id", n=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_agrees_with_jaccard(spark, sf_dir):
+    """Signature similarity must approximate exact Jaccard on real docs."""
+    docs = load(spark, sf_dir, "documents").limit(50)
+    sig = dedup.minhash_signatures(docs, "text", "doc_id", n=3).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], {})[r["i"]] = r["minhash"]
+    assert all(len(v) == dedup.MINHASH_K for v in by_doc.values())
+
+
+def test_simhash_near_dups_collide(spark):
+    a = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, a), (2, a + " eleven"), (3, "x y z entirely unlike anything q w")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "text", "doc_id").collect()}
+    ham12 = bin(rows[1] ^ rows[2]).count("1")
+    ham13 = bin(rows[1] ^ rows[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_embedding_cosine_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.99, 0.1, 0.0], 0),
+            (3, [0.0, 1.0, 0.0], 0),
+            (4, [1.0, 0.0, 0.0], 1),  # same direction, different block -> excluded
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = dedup.embedding_cosine_pairs(df, "embedding", "vec_id", "label", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = similarity.cosine_topk(emb, "embedding", "vec_id", list(q), k=5).collect()
+    assert top[0]["vec_id"] == 0 and math.isclose(top[0]["cosine"], 1.0, abs_tol=1e-5)
+    assert len(top) == 5
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_topk_probes(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    brute = similarity.cosine_topk(emb, "embedding", "vec_id", q, k=1).first()
+    ivf = similarity.ivf_topk(emb, "embedding", "vec_id", "label", q, k=1, nprobe=3).first()
+    assert ivf["vec_id"] == brute["vec_id"]  # query's own vector must be found
+
+
+def test_lsh_buckets_deterministic(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(20)
+    b1 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb, "embedding", "vec_id").collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb, "embedding", "vec_id").collect()}
+    assert b1 == b2 and all(0 <= v < 256 for v in b1.values())
+
+
+def test_multimodal_features_and_frames(spark):
+    rows = [
+        (1, "image", b"\x89PNGfake", {"mime": "image/png", "width": 4, "height": 4, "duration_ms": None, "sample_rate": None}),
+        (2, "video", b"\x00\x00vid", {"mime": "video/mp4", "width": 16, "height": 16, "duration_ms": 3500, "sample_rate": None}),
+    ]
+    df = multimodal.media_table(spark, rows)
+    feats = multimodal.decode_image_features(df.filter(F.col("kind") == "image")).collect()
+    assert len(feats[0]["features"]) == 8
+    assert all(0.0 <= x <= 1.0 for x in feats[0]["features"])
+    # determinism: same bytes -> same features
+    feats2 = multimodal.decode_image_features(df.filter(F.col("kind") == "image")).collect()
+    assert feats[0]["features"] == feats2[0]["features"]
+
+    frames = multimodal.sample_frames(df.filter(F.col("kind") == "video"), every_ms=1000).collect()
+    assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
+
+    resized = multimodal.resize_images(df.filter(F.col("kind") == "image"), 8, 8).collect()
+    assert resized[0]["meta"]["width"] == 8
