@@ -122,8 +122,14 @@ class TestingSource(Source):
     exercise the real micro-batch path.
     """
 
-    def __init__(self, items: Iterable[Any], schema: Any | None = None, streaming: bool = False) -> None:
-        self.items, self.schema, self.streaming = list(items), schema, streaming
+    def __init__(
+        self,
+        items: Iterable[Any],
+        schema: Any | None = None,
+        streaming: bool = False,
+        files: int = 1,
+    ) -> None:
+        self.items, self.schema, self.streaming, self.files = list(items), schema, streaming, files
 
     def to_df(self) -> DataFrame:
         spark = self._spark()
@@ -137,11 +143,35 @@ class TestingSource(Source):
             batch = spark.createDataFrame(data, schema=self.schema)
         if not self.streaming:
             return batch
+        import os
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="bwspark_testing_src_")
-        batch.write.mode("overwrite").parquet(tmp)
-        return spark.readStream.schema(batch.schema).parquet(tmp)
+        if self.files <= 1:
+            batch.write.mode("overwrite").parquet(tmp)
+        else:
+            # one file per chunk, written in order -> with
+            # maxFilesPerTrigger=1 each chunk becomes one micro-batch
+            per = max(1, (len(data) + self.files - 1) // self.files)
+            for i in range(self.files):
+                chunk = data[i * per : (i + 1) * per]
+                if not chunk:
+                    break
+                cdf = spark.createDataFrame(chunk, schema=batch.schema)
+                cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, f"_b{i}"))
+            import glob
+            import shutil
+
+            n = 0
+            for i in range(self.files):
+                for f in sorted(glob.glob(os.path.join(tmp, f"_b{i}", "part-*.parquet"))):
+                    shutil.move(f, os.path.join(tmp, f"batch-{n:05d}.parquet"))
+                    n += 1
+                shutil.rmtree(os.path.join(tmp, f"_b{i}"), ignore_errors=True)
+        reader = spark.readStream.schema(batch.schema)
+        if self.files > 1:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        return reader.parquet(tmp)
 
 
 class KafkaSource(Source):

@@ -1,0 +1,189 @@
+"""Streaming execution: the generic keyed-stateful primitive and
+streaming compile helpers.
+
+The reference's engine core is ONE stateful operator —
+``stateful_batch`` with the ``StatefulBatchLogic`` lifecycle
+(``on_batch / on_notify / on_eof / notify_at / snapshot``,
+``pysrc/bytewax/operators/__init__.py:593-915`` →
+``src/operators.rs:441-1041``). Here it compiles to:
+
+- **streaming**: ``groupBy(key).applyInPandasWithState`` — the logic
+  object lives in the Spark state store (pickled snapshot, exactly the
+  reference's pickle snapshot protocol), ``notify_at`` maps to group
+  state timeouts, recovery is checkpointing (no custom code, SURVEY
+  §3).
+- **batch**: ``groupBy(key).applyInPandas`` — one batch per key, then
+  ``on_eof`` (batch EOF = all input seen), deterministic and
+  oracle-checkable.
+
+Semantics divergences (documented, not hidden):
+- Streaming has no EOF signal; ``on_eof`` fires in batch mode and,
+  in streaming, when a processing-time timeout set by ``notify_at``
+  expires (the reference's wall-clock-advancing watermark has the same
+  role, SURVEY §7.3).
+- Items arrive batched per micro-batch per key, ordered within a
+  batch by the source; cross-batch order follows event arrival as in
+  the reference.
+"""
+
+from __future__ import annotations
+
+import pickle
+from abc import ABC, abstractmethod
+from collections.abc import Callable
+from datetime import datetime, timedelta
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bytewax_spark.dataflow import KeyedStream
+from bytewax_spark.operators import _require_keyed
+
+__all__ = ["StatefulBatchLogic", "stateful_batch", "stateful"]
+
+
+class StatefulBatchLogic(ABC):
+    """Per-key user logic (reference ``StatefulBatchLogic`` ABC).
+
+    ``on_batch`` receives the key's rows of one (micro-)batch as a
+    pandas DataFrame and returns ``(emit_df_or_None, is_complete)``;
+    ``is_complete=True`` discards the key's state. ``snapshot`` must
+    return something picklable; ``builder`` receives the unpickled
+    snapshot (or None) to resume."""
+
+    RETAIN = False
+    DISCARD = True
+
+    @abstractmethod
+    def on_batch(self, pdf: pd.DataFrame) -> tuple[pd.DataFrame | None, bool]: ...
+
+    def on_notify(self) -> tuple[pd.DataFrame | None, bool]:
+        """Timer fired (streaming only; set via notify_at)."""
+        return None, False
+
+    def on_eof(self) -> tuple[pd.DataFrame | None, bool]:
+        """End of input (batch mode; streaming: after notify timeout)."""
+        return None, False
+
+    def notify_at(self) -> datetime | timedelta | None:
+        """Next wakeup: timedelta = processing-time delay from now."""
+        return None
+
+    def snapshot(self) -> Any:
+        return None
+
+
+def _ensure_key(pdf: pd.DataFrame | None, key_col: str, key_val: Any) -> pd.DataFrame | None:
+    if pdf is None or len(pdf) == 0:
+        return pdf
+    if key_col not in pdf.columns:
+        pdf = pdf.copy()
+        pdf[key_col] = key_val
+    return pdf
+
+
+def stateful_batch(
+    step_id: str,
+    up: KeyedStream,
+    builder: Callable[[Any], StatefulBatchLogic],
+    schema: Any,
+    timers: str = "none",
+) -> KeyedStream:
+    """THE generic keyed-stateful operator.
+
+    ``schema`` is the output schema (must contain the key column; it is
+    auto-filled if the logic omits it). Streaming: state = pickled
+    ``logic.snapshot()`` in the state store; ``notify_at`` returning a
+    ``timedelta`` arms a processing-time timeout which fires
+    ``on_notify`` then ``on_eof`` if the logic still exists.
+
+    ``timers``: ``none`` (default) | ``processing`` | ``event``.
+    Logic that uses ``notify_at`` must opt into ``processing``/``event``
+    — and note that a timeout-enabled query never goes idle under
+    ``trigger(availableNow)`` (Spark schedules state-cleanup batches
+    while any state exists), so drive it with a processing-time
+    trigger and stop it explicitly, like any long-running stream.
+    """
+    up = _require_keyed(step_id, up)
+    fq = up.flow.register(step_id, "stateful_batch", (up.step_id,))
+    key_col = up.key_col
+
+    if not up.df.isStreaming:
+        def run_batch(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            logic = builder(None)
+            outs = []
+            out, complete = logic.on_batch(pdf)
+            if out is not None:
+                outs.append(out)
+            if not complete:
+                out, _ = logic.on_eof()
+                if out is not None:
+                    outs.append(out)
+            outs = [_ensure_key(o, key_col, key[0]) for o in outs if o is not None and len(o)]
+            if not outs:
+                return pd.DataFrame()
+            return pd.concat(outs, ignore_index=True)
+
+        out_df = up.df.groupBy(key_col).applyInPandas(run_batch, schema=schema)
+        return KeyedStream(up.flow, fq, out_df, key_col)
+
+    def run_stream(key: tuple, pdfs, state: GroupState):
+        snap = pickle.loads(state.get[0]) if state.exists else None
+        logic = builder(snap)
+        outs = []
+        complete = False
+        if state.hasTimedOut:
+            out, complete = logic.on_notify()
+            if out is not None:
+                outs.append(out)
+            if not complete:
+                out, complete = logic.on_eof()
+                if out is not None:
+                    outs.append(out)
+        else:
+            for pdf in pdfs:
+                out, complete = logic.on_batch(pdf)
+                if out is not None:
+                    outs.append(out)
+                if complete:
+                    break
+        if complete:
+            state.remove()
+        else:
+            state.update((pickle.dumps(logic.snapshot()),))
+            na = logic.notify_at()
+            if isinstance(na, timedelta):
+                state.setTimeoutDuration(int(na.total_seconds() * 1000))
+            elif isinstance(na, datetime):
+                state.setTimeoutTimestamp(int(na.timestamp() * 1000))
+        for o in outs:
+            o = _ensure_key(o, key_col, key[0])
+            if o is not None and len(o):
+                yield o
+
+    timeout_conf = {
+        "none": GroupStateTimeout.NoTimeout,
+        "processing": GroupStateTimeout.ProcessingTimeTimeout,
+        "event": GroupStateTimeout.EventTimeTimeout,
+    }[timers]
+    out_df = up.df.groupBy(key_col).applyInPandasWithState(
+        run_stream,
+        outputStructType=schema,
+        stateStructType="snapshot binary",
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+    return KeyedStream(up.flow, fq, out_df, key_col)
+
+
+def stateful(
+    step_id: str,
+    up: KeyedStream,
+    builder: Callable[[Any], StatefulBatchLogic],
+    schema: Any,
+) -> KeyedStream:
+    """Per-item flavor (reference ``stateful``): same engine primitive;
+    logic authors simply iterate the batch rows."""
+    return stateful_batch(step_id, up, builder, schema)

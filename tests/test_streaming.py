@@ -1,0 +1,202 @@
+"""Streaming execution tests: stateless ops, windowed aggs and the
+stateful_batch primitive under availableNow micro-batch execution
+(the reference's run_main single-drain analog)."""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import bytewax_spark.operators as op
+import bytewax_spark.operators.windowing as win
+from bytewax_spark.dataflow import Dataflow
+from bytewax_spark.run import run_main
+from bytewax_spark.sinks import MemorySink
+from bytewax_spark.sources import TestingSource
+from bytewax_spark.streaming import StatefulBatchLogic, stateful_batch
+
+
+def drain(spark, flow, name, **trigger):
+    run_main(flow, checkpoint=tempfile.mkdtemp(prefix="bw_ckpt_"), **trigger)
+    return [r.asDict() for r in spark.sql(f"SELECT * FROM {name}").collect()]
+
+
+def test_streaming_stateless_pipeline(spark):
+    flow = Dataflow("s_stateless")
+    s = op.input("in", flow, TestingSource([(i,) for i in range(10)], schema="x long", streaming=True))
+    out = op.map("sq", op.filter("even", s, F.col("x") % 2 == 0), {"x": "x", "y": F.col("x") * F.col("x")})
+    assert out.is_streaming
+    sink = MemorySink("s_stateless_out")
+    op.output("out", out, sink)
+    rows = drain(spark, flow, "s_stateless_out")
+    assert sorted((r["x"], r["y"]) for r in rows) == [(0, 0), (2, 4), (4, 16), (6, 36), (8, 64)]
+
+
+def test_streaming_windowed_count_complete(spark):
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    flow = Dataflow("s_window")
+    s = op.input(
+        "in",
+        flow,
+        TestingSource(
+            [("a", ts(0)), ("a", ts(1)), ("a", ts(30)), ("b", ts(2))],
+            schema="k string, ts timestamp",
+            streaming=True,
+        ),
+    )
+    ks = op.key_on("key", s, "k")
+    counts = win.count_window("w", ks, win.EventClock("ts"), win.TumblingWindower(timedelta(minutes=10)))
+    sink = MemorySink("s_window_out")
+    op.output("out", counts, sink)
+    rows = drain(spark, flow, "s_window_out", output_mode="complete")
+    got = {(r["key"], r["window_start"].minute): r["count"] for r in rows}
+    assert got == {("a", 0): 2, ("a", 30): 1, ("b", 0): 1}
+
+
+def test_stateful_batch_streaming_state_across_batches(spark):
+    class RunningTotal(StatefulBatchLogic):
+        """Per-key running sum, emitting the updated total per batch.
+
+        Defined inside the test so cloudpickle ships it by value —
+        executors don't have the tests/ dir on their path."""
+
+        def __init__(self, snap):
+            self.total = snap or 0
+
+        def on_batch(self, pdf: pd.DataFrame):
+            self.total += int(pdf["v"].sum())
+            return pd.DataFrame({"total": [self.total]}), self.RETAIN
+
+        def snapshot(self):
+            return self.total
+
+    flow = Dataflow("s_stateful")
+    src = TestingSource(
+        [("a", 1), ("b", 10), ("a", 2), ("a", 3), ("b", 20)],
+        schema="k string, v long",
+        streaming=True,
+        files=5,  # one row per micro-batch -> state must persist across batches
+    )
+    s = op.input("in", flow, src)
+    ks = op.key_on("key", s, "k")
+    out = stateful_batch("totals", ks, RunningTotal, schema="key string, total long")
+    sink = MemorySink("s_stateful_out")
+    op.output("out", out, sink)
+    rows = drain(spark, flow, "s_stateful_out")
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r["total"])
+    for v in by_key.values():
+        v.sort()
+    # emissions accumulate: a sees 1,3,6 (in some batch grouping), b sees 10,30
+    assert by_key["a"][-1] == 6 and by_key["b"][-1] == 30
+
+
+def test_stateful_batch_batch_mode_on_eof(spark):
+    class EmitAtEof(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.n = 0
+
+        def on_batch(self, pdf):
+            self.n += len(pdf)
+            return None, self.RETAIN
+
+        def on_eof(self):
+            return pd.DataFrame({"n": [self.n]}), self.DISCARD
+
+    flow = Dataflow("b_stateful")
+    s = op.input("in", flow, TestingSource([("a", 1), ("a", 2), ("b", 5)], schema="k string, v long"))
+    ks = op.key_on("key", s, "k")
+    out = stateful_batch("eof", ks, EmitAtEof, schema="key string, n long")
+    got = {r["key"]: r["n"] for r in out.df.collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_stateful_batch_discard_completes(spark):
+    class FirstOnly(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.seen = snap or False
+
+        def on_batch(self, pdf):
+            if self.seen:
+                return None, self.DISCARD
+            self.seen = True
+            return pdf.head(1)[["v"]], self.DISCARD  # complete after first batch
+
+        def snapshot(self):
+            return self.seen
+
+    flow = Dataflow("s_discard")
+    s = op.input("in", flow, TestingSource([("a", 1), ("a", 2)], schema="k string, v long", streaming=True, files=2))
+    ks = op.key_on("key", s, "k")
+    out = stateful_batch("first", ks, FirstOnly, schema="key string, v long")
+    sink = MemorySink("s_discard_out")
+    op.output("out", out, sink)
+    rows = drain(spark, flow, "s_discard_out")
+    # state discarded after first batch; second batch builds fresh logic
+    # (fresh build also emits) -> one row per batch, both is_complete
+    assert all(r["key"] == "a" for r in rows)
+    assert len(rows) == 2
+
+
+def test_stateful_batch_timers_notify(spark):
+    """notify_at -> on_notify lifecycle: a 1s processing-time timeout
+    flushes the buffered count (the reference's collect-with-timeout
+    shape, operators/__init__.py:1106-1145)."""
+    import time
+
+    class FlushAfterTimeout(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.n = snap or 0
+
+        def on_batch(self, pdf):
+            self.n += len(pdf)
+            return None, self.RETAIN  # buffer silently
+
+        def on_notify(self):
+            return pd.DataFrame({"n": [self.n]}), self.DISCARD
+
+        def notify_at(self):
+            return timedelta(seconds=1)
+
+        def snapshot(self):
+            return self.n
+
+    flow = Dataflow("s_timers")
+    s = op.input("in", flow, TestingSource([("a", 1), ("a", 2)], schema="k string, v long", streaming=True))
+    ks = op.key_on("key", s, "k")
+    out = stateful_batch("flush", ks, FlushAfterTimeout, schema="key string, n long", timers="processing")
+    q = (
+        out.df.writeStream.format("memory")
+        .queryName("s_timers_out")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bw_ckpt_"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM s_timers_out").collect()
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert [(r["key"], r["n"]) for r in rows] == [("a", 2)]
+
+
+def test_streaming_parquet_sink_exactly_once_layout(spark, tmp_path):
+    flow = Dataflow("s_parquet")
+    s = op.input("in", flow, TestingSource([(1,), (2,)], schema="x long", streaming=True))
+    from bytewax_spark.sinks import ParquetSink
+
+    out_dir = str(tmp_path / "out")
+    op.output("sink", s, ParquetSink(out_dir))
+    run_main(flow, checkpoint=str(tmp_path / "ckpt"))
+    assert sorted(r["x"] for r in spark.read.parquet(out_dir).collect()) == [1, 2]
