@@ -1,0 +1,7 @@
+"""Connector operator layer (reference ``connectors/kafka/operators.py``
+and ``serde.py``): serialization/deserialization with ok/err split
+streams, over the raw key/value bytes of Kafka-shaped streams."""
+
+from bytewax_spark.connectors import serde
+
+__all__ = ["serde"]
