@@ -445,27 +445,27 @@ _ORACLES: dict[str, str] = {
         FROM events GROUP BY 1
     """,
     "max_order_per_customer": """
-        SELECT CAST(o_custkey AS VARCHAR) AS key, o_custkey, o_orderkey, o_totalprice
+        SELECT o_custkey AS key, o_custkey, o_orderkey, o_totalprice
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders)
         WHERE rn = 1
     """,
     "min_order_per_customer": """
-        SELECT CAST(o_custkey AS VARCHAR) AS key, o_custkey, o_orderkey, o_totalprice
+        SELECT o_custkey AS key, o_custkey, o_orderkey, o_totalprice
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn FROM orders)
         WHERE rn = 1
     """,
     "collect_linenumbers": """
-        SELECT CAST(l_orderkey AS VARCHAR) AS key, LIST_SORT(LIST(l_linenumber)) AS values
+        SELECT l_orderkey AS key, LIST_SORT(LIST(l_linenumber)) AS values
         FROM lineitem GROUP BY 1
     """,
     "cumulative_value_per_user": """
-        SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+        SELECT user_id AS key, event_id,
                SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
         FROM events
     """,
     "join_last_order_lineitem": """
-        SELECT CAST(o.o_orderkey AS VARCHAR) AS key, o.o_totalprice,
+        SELECT o.o_orderkey AS key, o.o_totalprice,
                l.l_extendedprice
         FROM orders o
         JOIN (
@@ -478,7 +478,7 @@ _ORACLES: dict[str, str] = {
         ) l ON o.o_orderkey = l.l_orderkey
     """,
     "join_product_customer_orders": """
-        SELECT COALESCE(CAST(c.c_custkey AS VARCHAR), CAST(o.o_custkey AS VARCHAR)) AS key,
+        SELECT COALESCE(c.c_custkey, o.o_custkey) AS key,
                c.c_name, o.o_orderkey, o.o_totalprice
         FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
     """,
@@ -490,7 +490,7 @@ _ORACLES: dict[str, str] = {
           SELECT user_id, event_id AS t, NULL::DOUBLE AS click_value, value AS purchase_value
           FROM events WHERE event_type = 'purchase'
         )
-        SELECT CAST(user_id AS VARCHAR) AS key, t,
+        SELECT user_id AS key, t,
                LAST_VALUE(click_value IGNORE NULLS) OVER w AS click_value,
                LAST_VALUE(purchase_value IGNORE NULLS) OVER w AS purchase_value
         FROM unioned
@@ -508,7 +508,7 @@ _ORACLES: dict[str, str] = {
         FROM events WHERE NOT (value >= 50) OR value IS NULL GROUP BY 1
     """,
     "hourly_event_counts": """
-        SELECT CAST(user_id AS VARCHAR) AS key,
+        SELECT user_id AS key,
                DATE_TRUNC('hour', ts) AS window_start,
                DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
                COUNT(*) AS "count"
@@ -523,7 +523,7 @@ _ORACLES: dict[str, str] = {
         FROM events GROUP BY 1, 2, 3
     """,
     "sliding_2h_user_counts": """
-        SELECT CAST(user_id AS VARCHAR) AS key,
+        SELECT user_id AS key,
                window_start,
                window_start + INTERVAL 2 HOUR AS window_end,
                COUNT(*) AS "count"
@@ -545,7 +545,7 @@ _ORACLES: dict[str, str] = {
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
           FROM flagged
         )
-        SELECT CAST(user_id AS VARCHAR) AS key,
+        SELECT user_id AS key,
                MIN(ts) AS window_start,
                MAX(ts) + INTERVAL 30 MINUTE AS window_end,
                COUNT(*) AS n_events,
@@ -573,7 +573,7 @@ _ORACLES: dict[str, str] = {
                  MAX_BY(value, event_id) AS purchase_value
           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
         )
-        SELECT CAST(c.user_id AS VARCHAR) AS key, c.window_start,
+        SELECT c.user_id AS key, c.window_start,
                c.window_start + INTERVAL 1 HOUR AS window_end,
                c.click_value, p.purchase_value
         FROM c JOIN p ON c.user_id = p.user_id AND c.window_start = p.window_start

@@ -411,11 +411,28 @@ def raises(step_id: str, up: Stream) -> None:
     up.flow.sinks.append((fq, up, _RaisesSink()))
 
 
-def key_on(step_id: str, up: Stream, key: Column | str, key_col: str = DEFAULT_KEY_COL) -> KeyedStream:
-    """Derive the string routing key; downstream keyed ops hash-shuffle
-    on it (≙ reference's key-routed exchange)."""
+def key_on(
+    step_id: str,
+    up: Stream,
+    key: Column | str,
+    key_col: str = DEFAULT_KEY_COL,
+    cast: str | None = None,
+) -> KeyedStream:
+    """Derive the routing key; downstream keyed ops hash-shuffle on it
+    (≙ reference's key-routed exchange).
+
+    The reference forces ``str`` keys (``src/operators.rs:390-405``) —
+    an artifact of its Python-object router. We keep the key's natural
+    type: hashing/sorting/joining on e.g. BIGINT is several times
+    faster than on its string rendering, and at 100 TB the key column
+    dominates every shuffle. Pass ``cast="string"`` to reproduce the
+    reference's rule exactly.
+    """
     fq = up.flow.register(step_id, "key_on", (up.step_id,))
-    df = up.df.withColumn(key_col, _col(key).cast("string"))
+    expr = _col(key)
+    if cast is not None:
+        expr = expr.cast(cast)
+    df = up.df.withColumn(key_col, expr)
     return KeyedStream(up.flow, fq, df, key_col)
 
 
@@ -521,14 +538,18 @@ def _extreme_final(step_id: str, op_name: str, up: KeyedStream, by: Column | str
     up = _require_keyed(step_id, up)
     fq = up.flow.register(step_id, op_name, (up.step_id,))
     value_cols = [c for c in up.df.columns if c != up.key_col]
-    pick = F.max_by if op_name == "max_final" else F.min_by
-    row = pick(F.struct(*[F.col(c) for c in value_cols]), _col(by)).alias("_row")
-    out = up.df.groupBy(up.key_col).agg(row).select(up.key_col, "_row.*")
+    # argmax as lexicographic struct extreme: struct(by, values...) —
+    # one aggregate buffer, deterministic tie-break by value columns
+    pick = F.max if op_name == "max_final" else F.min
+    row = pick(F.struct(_col(by).alias("_ord"), *[F.col(c) for c in value_cols])).alias("_row")
+    out = up.df.groupBy(up.key_col).agg(row).select(
+        up.key_col, *[F.col(f"_row.{c}") for c in value_cols]
+    )
     return KeyedStream(up.flow, fq, out, up.key_col)
 
 
 def max_final(step_id: str, up: KeyedStream, by: Column | str) -> KeyedStream:
-    """Per-key row with max ``by`` (``max_by`` — single shuffle, no sort)."""
+    """Per-key row with max ``by`` (single shuffle, no per-key sort)."""
     return _extreme_final(step_id, "max_final", up, by)
 
 
@@ -653,9 +674,11 @@ def _dedup_side(df: DataFrame, key_col: str, order_by: str | None, mode: str) ->
     if order_by is None:
         raise ValueError("insert_mode first/last requires order_by to define arrival order in batch")
     value_cols = [c for c in df.columns if c not in (key_col, order_by)]
-    pick = F.min_by if mode == "first" else F.max_by
-    row = pick(F.struct(*[F.col(c) for c in value_cols]), F.col(order_by)).alias("_row")
-    return df.groupBy(key_col).agg(row).select(key_col, "_row.*")
+    # lexicographic min/max over struct(order, values...) — one buffer
+    # instead of max_by's two, and a deterministic value tie-break
+    pick = F.min if mode == "first" else F.max
+    row = pick(F.struct(F.col(order_by).alias("_ord"), *[F.col(c) for c in value_cols])).alias("_row")
+    return df.groupBy(key_col).agg(row).select(key_col, *[F.col(f"_row.{c}") for c in value_cols])
 
 
 def join(

@@ -353,11 +353,14 @@ def _extreme_window(
 ) -> KeyedStream:
     by_c = F.col(by) if isinstance(by, str) else by
     value_cols = [c for c in up.df.columns if c != up.key_col]
-    pick = F.max_by if op_name == "max_window" else F.min_by
-    ks = _windowed_agg(
-        step_id, op_name, up, clock, windower, [("_row", pick(F.struct(*value_cols), by_c))]
+    # lexicographic struct extreme (one buffer, deterministic value
+    # tie-break) instead of max_by/min_by's two-buffer SortAggregate
+    pick = F.max if op_name == "max_window" else F.min
+    row = pick(F.struct(by_c.alias("_ord"), *[F.col(c) for c in value_cols]))
+    ks = _windowed_agg(step_id, op_name, up, clock, windower, [("_row", row)])
+    out = ks.df.select(
+        up.key_col, "window_start", "window_end", *[F.col(f"_row.{c}") for c in value_cols]
     )
-    out = ks.df.select(up.key_col, "window_start", "window_end", "_row.*")
     return KeyedStream(up.flow, ks.step_id, out, up.key_col)
 
 
