@@ -171,7 +171,12 @@ def join_last_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o_side = op.map_value("ov", o_side, {"t": "t", "o_totalprice": "o_totalprice"})
     l_side = op.map_value("lv", l_side, {"t": "t", "l_extendedprice": "l_extendedprice"})
-    j = op.join("j", o_side, l_side, insert_mode="last", emit_mode="complete", order_by="t")
+    # orders is keyed on its own primary key -> declare side 0 unique:
+    # skips a full shuffle+aggregate of the orders input
+    j = op.join(
+        "j", o_side, l_side, insert_mode="last", emit_mode="complete", order_by="t",
+        unique_sides=(0,),
+    )
     return j.df
 
 

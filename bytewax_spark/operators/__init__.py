@@ -25,7 +25,7 @@ Design rules (scale posture):
 from __future__ import annotations
 
 import time
-from collections.abc import Callable, Iterable, Mapping
+from collections.abc import Callable, Iterable, Mapping, Sequence
 from dataclasses import dataclass
 from typing import Any
 
@@ -663,13 +663,13 @@ class JoinMode:
 
 def _dedup_side(df: DataFrame, key_col: str, order_by: str | None, mode: str) -> DataFrame:
     """Reduce a side to one row per key for first/last insert modes —
-    ``min_by``/``max_by`` on a struct: one shuffle, no window sort.
+    a lexicographic struct extreme: one shuffle, no per-key sort.
 
     The order column is consumed (dropped from the output), so every
     side may carry the same-named arrival-order column without
     colliding downstream.
     """
-    if mode == "product":
+    if mode in ("product", "unique"):
         return df.drop(order_by) if order_by and order_by in df.columns else df
     if order_by is None:
         raise ValueError("insert_mode first/last requires order_by to define arrival order in batch")
@@ -687,6 +687,7 @@ def join(
     insert_mode: str = "last",
     emit_mode: str = "complete",
     order_by: str | None = None,
+    unique_sides: Sequence[int] = (),
 ) -> KeyedStream:
     """N-way keyed join (reference operators/__init__.py:2324-2372).
 
@@ -699,6 +700,11 @@ def join(
     Non-key column names must be disjoint across sides (alias upstream).
     Catalyst picks the physical join; pre-wrap a known-small side with
     ``F.broadcast`` before ``key_on`` to force a broadcast join.
+
+    ``unique_sides`` lists side indices the caller guarantees are
+    already one-row-per-key (e.g. keyed on their own primary key):
+    those sides skip the per-key extreme aggregation entirely — at
+    scale that deletes a full shuffle+agg of the largest input.
     """
     if insert_mode not in JoinMode.INSERT or emit_mode not in JoinMode.EMIT:
         raise ValueError(f"bad join mode insert={insert_mode!r} emit={emit_mode!r}")
@@ -715,9 +721,13 @@ def join(
 
     how = "inner" if emit_mode == "complete" else "full_outer"
     dedup = insert_mode if insert_mode in ("first", "last") else "product"
-    out = _dedup_side(sides[0].df, key, order_by, dedup)
-    for s in sides[1:]:
-        out = out.join(_dedup_side(s.df, key, order_by, dedup), on=key, how=how)
+
+    def _mode(i: int) -> str:
+        return "unique" if i in unique_sides else dedup
+
+    out = _dedup_side(sides[0].df, key, order_by, _mode(0))
+    for i, s in enumerate(sides[1:], start=1):
+        out = out.join(_dedup_side(s.df, key, order_by, _mode(i)), on=key, how=how)
     return KeyedStream(flow, fq, out, key)
 
 

@@ -101,6 +101,24 @@ def test_join_complete_last(spark):
     assert len(got) == 1 and got[0]["key"] == "a" and got[0]["lv"] == 20.0 and got[0]["rv"] == 100.0
 
 
+def test_join_unique_side_skips_dedup(spark):
+    """unique_sides declares a side one-row-per-key: same result,
+    no aggregation of that side (its Exchange disappears)."""
+    flow = Dataflow("joinu")
+    left = keyed(flow, "l", [("a", 1, 10.0), ("b", 1, 5.0)], "k string, t long, lv double")
+    right = keyed(flow, "r", [("a", 1, 1.0), ("a", 2, 2.0), ("b", 9, 9.0)], "k string, t long, rv double")
+    out = op.join(
+        "j", left, right, insert_mode="last", emit_mode="complete", order_by="t",
+        unique_sides=(0,),
+    )
+    got = sorted((r["key"], r["lv"], r["rv"]) for r in rows(out))
+    assert got == [("a", 10.0, 2.0), ("b", 5.0, 9.0)]
+    # exactly one aggregate (right side); the unique side has none
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("partial_max") == 1
+
+
 def test_join_product_final(spark):
     flow = Dataflow("joinp")
     left = keyed(flow, "l", [("a", 1), ("a", 2)], "k string, lv long")
