@@ -410,6 +410,64 @@ def lsh_buckets_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_buckets(emb, "embedding", "vec_id", n_planes=8, dims=64, seed=42)
 
 
+def _media_from_docs(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Deterministic media rows derived from ``documents``: content =
+    utf-8 text bytes, duration from n_chars — exercises the real
+    multimodal plumbing (binary column + typed meta struct) with
+    oracle-checkable values."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") % 4000).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_image_features over mapInPandas (Arrow batches): binary
+    content → 8-dim feature vector. The container has no image codecs,
+    so the decode kernel is the documented deterministic digest fake —
+    the Spark plumbing (schema, batch shape, partitioning) is real."""
+    from bytewax_spark.functions import multimodal as mm
+
+    media = _media_from_docs(spark, sf_dir, "image")
+    feats = mm.decode_image_features(media, n_features=8)
+    return feats.select("media_id", "features")
+
+
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_frames: one row per 1000ms frame timestamp per video —
+    the row-expansion contract of a frame extractor (real decoder
+    stubbed; deterministic frame tags)."""
+    from bytewax_spark.functions import multimodal as mm
+
+    media = _media_from_docs(spark, sf_dir, "video")
+    frames = mm.sample_frames(media, every_ms=1000)
+    return frames.select("media_id", "frame_ts_ms")
+
+
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images: meta rewrite + per-item decode fallback; output
+    meta dims are the requested target size."""
+    from bytewax_spark.functions import multimodal as mm
+
+    media = _media_from_docs(spark, sf_dir, "image")
+    resized = mm.resize_images(media, 224, 224)
+    return resized.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("content").alias("content_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -756,6 +814,27 @@ def _lsh_oracle() -> str:
 
 _ORACLES["lsh_buckets_embeddings"] = _lsh_oracle()
 
+# multimodal: the digest-fake decode is sha256(content)[:8] / 255.0 —
+# bit-identical IEEE division on both engines, so exact value compare
+_ORACLES["multimodal_image_features"] = """
+    SELECT doc_id AS media_id,
+           list_transform(range(1, 9),
+               i -> ('0x' || SUBSTR(sha256(text), (i - 1) * 2 + 1, 2))::INT / 255.0
+           ) AS features
+    FROM documents
+"""
+
+_ORACLES["multimodal_frame_samples"] = """
+    SELECT doc_id AS media_id, UNNEST(RANGE(0, n_chars % 4000, 1000)) AS frame_ts_ms
+    FROM documents
+"""
+
+_ORACLES["multimodal_resize_meta"] = """
+    SELECT doc_id AS media_id, 224 AS width, 224 AS height,
+           OCTET_LENGTH(ENCODE(text)) AS content_len
+    FROM documents
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -795,6 +874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_vec0": cosine_topk_vec0,
         "ivf_topk_vec0": ivf_topk_vec0,
         "lsh_buckets_embeddings": lsh_buckets_embeddings,
+        # multimodal plumbing (binary media columns; stubbed codecs)
+        "multimodal_image_features": multimodal_image_features,
+        "multimodal_frame_samples": multimodal_frame_samples,
+        "multimodal_resize_meta": multimodal_resize_meta,
     }
 
 

@@ -123,10 +123,13 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             from PIL import Image
 
             def rz(b):
-                img = Image.open(io.BytesIO(b)).resize((width, height))
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                return buf.getvalue()
+                try:
+                    img = Image.open(io.BytesIO(b)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    return buf.getvalue()
+                except Exception:
+                    return b  # undecodable bytes pass through unchanged
 
             decode = rz
         except Exception:
