@@ -305,6 +305,30 @@ def join_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup, similarity search, text analysis — each over documents/embeddings
 # ---------------------------------------------------------------------------
 
+def late_arrivals_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowOut.late side output (reference surfaces dropped-late
+    items; Spark drops them silently): events whose 1h tumbling window
+    already closed under the running watermark (wait_for = 5 min).
+    Arrival order is a deterministic pseudo-shuffle of event_id so the
+    input is genuinely out-of-order (in-order input has no late data)."""
+    flow = _flow("late")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    shuffled = op.map(
+        "arr", ev,
+        {
+            "event_id": "event_id", "user_id": "user_id", "ts": "ts", "value": "value",
+            "arr": (F.col("event_id") * 2654435761) % 1000000007,
+        },
+    )
+    ks = op.key_on("k", shuffled, "user_id")
+    wo = win.window(
+        "w", ks, win.EventClock("ts", timedelta(minutes=5)),
+        win.TumblingWindower(timedelta(hours=1)),
+        {"n": F.count(F.lit(1))}, arrival_col="arr",
+    )
+    return wo.late.df.select("event_id", "user_id", "ts", "value")
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts (ws + BPE-ish), quality score,
     language ID — pure expressions over the documents table."""
@@ -615,6 +639,18 @@ _ORACLES: dict[str, str] = {
                ROUND(SUM(value), 2) AS session_value
         FROM sess GROUP BY user_id, sid
     """,
+    "late_arrivals_hourly": """
+        WITH w AS (
+          SELECT event_id, user_id, ts, value,
+                 MAX(ts) OVER (ORDER BY (event_id * 2654435761) % 1000000007
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - INTERVAL 5 MINUTE AS wm
+          FROM events
+        )
+        SELECT event_id, user_id, ts, value
+        FROM w
+        WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm
+    """,
     "top_event_per_type_day": """
         SELECT CAST(event_type AS VARCHAR) AS key,
                DATE_TRUNC('day', ts) AS window_start,
@@ -863,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows_30m": session_windows_30m,
         "top_event_per_type_day": top_event_per_type_day,
         "join_window_hourly": join_window_hourly,
+        "late_arrivals_hourly": late_arrivals_hourly,
         # beyond-reference: text analysis / dedup / similarity
         "text_stats": text_stats,
         "doc_fingerprints": doc_fingerprints,

@@ -282,16 +282,77 @@ def window(
     clock: Clock,
     windower: Windower,
     aggs: Mapping[str, Column],
+    arrival_col: str | None = None,
 ) -> WindowOut:
     """Generic windowed aggregation returning the (down, late, meta)
-    triple (reference ``window``, windowing.py:1254-1338)."""
-    down = fold_window(step_id, up, clock, windower, aggs)
-    late = Stream(up.flow, f"{down.step_id}.late", down.df.limit(0))
-    meta = Stream(
-        up.flow,
-        f"{down.step_id}.meta",
-        down.df.select(up.key_col, "window_start", "window_end"),
+    triple (reference ``window``, windowing.py:1254-1338).
+
+    Late-data side output (reference emits dropped items on
+    ``WindowOut.late``; Spark drops them silently — SURVEY §7.3):
+
+    - batch + ``arrival_col``: replays the reference's single-worker
+      watermark exactly — the watermark after each arrival is
+      ``max(ts seen so far) - wait_for_system_duration``, and an item
+      is late iff every window it maps to has already closed
+      (``window_end <= watermark``). Late rows are excluded from
+      ``down`` and emitted on ``late`` with their arrival order. The
+      running max needs a total order, so this path sorts globally —
+      it reproduces test/debug semantics, not a 100 TB operator; at
+      scale use streaming, where ``withWatermark`` enforces the same
+      contract and ``late`` stays empty (Spark gives no dropped-row
+      side channel).
+    - otherwise: the whole input is one epoch (nothing is late), the
+      reference's behavior for a single-batch ``TestingSource``.
+
+    ``SessionWindower`` + ``arrival_col`` is not supported: session
+    lateness needs the reference's ``LATE_SESSION_ID`` merge protocol.
+    """
+    if arrival_col is None or up.df.isStreaming:
+        down = fold_window(step_id, up, clock, windower, aggs)
+        late = Stream(up.flow, f"{down.step_id}.late", down.df.limit(0))
+        meta = Stream(
+            up.flow,
+            f"{down.step_id}.meta",
+            down.df.select(up.key_col, "window_start", "window_end"),
+        )
+        return WindowOut(down=down, late=late, meta=meta)
+
+    if isinstance(windower, SessionWindower):
+        raise ValueError("late-split over sessions is not supported (LATE_SESSION_ID)")
+    up = _require_keyed(step_id, up)
+    fq = up.flow.register(step_id, "window", (up.step_id,))
+    from pyspark.sql import Window as W
+
+    ts = clock.ts_col()
+    delay = _us(clock.watermark_delay)
+    wm = (
+        F.max(F.unix_micros(ts.cast("timestamp")))
+        .over(W.orderBy(F.col(arrival_col)).rowsBetween(W.unboundedPreceding, W.currentRow))
+        - F.lit(delay)
     )
+    assigned = assign_windows(
+        up.df.withColumn("_wm_us", wm), ts, windower, key_col=up.key_col
+    )
+    is_late = F.unix_micros(F.col("window_end").cast("timestamp")) <= F.col("_wm_us")
+    # closed assignments are dropped from the agg; an item goes to the
+    # late stream only when ALL its windows are closed (for sliding's
+    # multi-assign, one open window keeps it out of `late` — exactly
+    # the reference's insert-into-open-windows rule)
+    ok = assigned.filter(~is_late).drop("_wm_us")
+    late_df = (
+        assigned.withColumn("_open", (~is_late).cast("int"))
+        .groupBy(*[c for c in up.df.columns])
+        .agg(F.max("_open").alias("_any_open"))
+        .filter(F.col("_any_open") == 0)
+        .drop("_any_open")
+    )
+    down_df = (
+        ok.groupBy(up.key_col, "window_start", "window_end")
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    down = KeyedStream(up.flow, fq, down_df, up.key_col)
+    late = Stream(up.flow, f"{fq}.late", late_df)
+    meta = Stream(up.flow, f"{fq}.meta", down_df.select(up.key_col, "window_start", "window_end"))
     return WindowOut(down=down, late=late, meta=meta)
 
 

@@ -175,3 +175,51 @@ def test_window_out_triple(spark):
     assert rows(wo.late) == []
     assert rows(wo.meta)[0]["key"] == "a"
     assert rows(wo.down)[0]["n"] == 1
+
+
+def test_window_late_split_replays_reference_watermark(spark):
+    """Reference fold_window late-data scenario (pytests/operators/
+    windowing/test_fold_window.py:95-160 shape): an item arriving after
+    its 1-minute window closed (watermark = running max ts - wait_for)
+    goes to `late`, is excluded from `down`."""
+    flow = Dataflow("wlate")
+    data = [
+        # (key, ts, v, arrival order)
+        ("a", ts(0, 10), 1, 1),
+        ("a", ts(2, 0), 2, 2),   # advances watermark to 00:02:00
+        ("a", ts(0, 50), 3, 3),  # late: window [00:00,00:01) closed
+        ("a", ts(2, 30), 4, 4),
+    ]
+    s = op.input("in", flow, TestingSource(data, schema="k string, ts timestamp, v long, arr long"))
+    ks = op.key_on("key", s, "k")
+    wo = win.window(
+        "w", ks, CLOCK, win.TumblingWindower(timedelta(minutes=1)),
+        {"total": F.sum("v")}, arrival_col="arr",
+    )
+    late = rows(wo.late)
+    assert [(r["k"], r["v"]) for r in late] == [("a", 3)]
+    down = {(r["window_start"].minute, r["total"]) for r in rows(wo.down)}
+    assert down == {(0, 1), (2, 6)}
+
+
+def test_window_late_split_sliding_partial_open(spark):
+    """Sliding multi-assign: an item with one still-open window is NOT
+    late; its closed assignments are simply dropped from the agg."""
+    flow = Dataflow("wlate2")
+    data = [
+        ("a", ts(1, 30), 1, 1),   # windows [0,2) and [1,3)
+        ("a", ts(2, 30), 10, 2),  # watermark -> 00:02:30; [0,2) closes
+        ("a", ts(1, 40), 5, 3),   # [0,2) closed but [1,3) open -> not late
+    ]
+    s = op.input("in", flow, TestingSource(data, schema="k string, ts timestamp, v long, arr long"))
+    ks = op.key_on("key", s, "k")
+    wo = win.window(
+        "w", ks, win.EventClock("ts"),
+        win.SlidingWindower(timedelta(minutes=2), timedelta(minutes=1)),
+        {"total": F.sum("v")}, arrival_col="arr",
+    )
+    assert rows(wo.late) == []
+    got = {(r["window_start"].minute, r["total"]) for r in rows(wo.down)}
+    # [0,2): only the first item (5 arrived after close); [1,3): 1+10+5
+    # [2,4): 10
+    assert got == {(0, 1), (1, 16), (2, 10)}
