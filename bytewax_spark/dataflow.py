@@ -61,6 +61,7 @@ class Dataflow:
         self.steps: dict[str, Step] = {}
         self._scope_stack: list[str] = []
         self.sinks: list[Any] = []  # (step_id, Stream, Sink) triples queued by op.output
+        self.observations: dict[str, Any] = {}  # step_id -> pyspark Observation (batch metrics)
 
     # -- step bookkeeping ------------------------------------------------
     def _qualify(self, step_id: str) -> str:
@@ -106,6 +107,38 @@ class Dataflow:
             for up in step.upstream_steps:
                 if up in ids:
                     lines.append(f"  {ids[up]} --> {ids[sid]}")
+        return "\n".join(lines)
+
+    def to_json(self) -> str:
+        """Serialize the step DAG (reference ``visualize.py`` to_json)."""
+        import json
+
+        return json.dumps(
+            {
+                "flow_id": self.flow_id,
+                "steps": [
+                    {
+                        "step_id": s.step_id,
+                        "op": s.op_name,
+                        "upstreams": list(s.upstream_steps),
+                    }
+                    for s in self.steps.values()
+                ],
+            },
+            indent=2,
+        )
+
+    def to_plantuml(self) -> str:
+        """Render the step DAG as PlantUML (reference ``visualize.py``)."""
+        lines = ["@startuml", "skinparam componentStyle rectangle"]
+        for sid, step in self.steps.items():
+            lines.append(f'component "{sid}\\n({step.op_name})" as {sid.replace(".", "_").replace("-", "_")}')
+        for sid, step in self.steps.items():
+            dst = sid.replace(".", "_").replace("-", "_")
+            for up in step.upstream_steps:
+                if up in self.steps:
+                    lines.append(f'{up.replace(".", "_").replace("-", "_")} --> {dst}')
+        lines.append("@enduml")
         return "\n".join(lines)
 
     def __repr__(self) -> str:

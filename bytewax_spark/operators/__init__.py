@@ -54,6 +54,8 @@ __all__ = [
     "redistribute",
     "inspect",
     "inspect_debug",
+    "observe",
+    "MetricsListener",
     "raises",
     "key_on",
     "key_rm",
@@ -68,6 +70,7 @@ __all__ = [
     "stateful_map",
     "stateful_flat_map",
     "join",
+    "running_join",
     "JoinMode",
 ]
 
@@ -396,6 +399,56 @@ def inspect_debug(
             yield pdf
 
     return _keep_keyed(up, fq, up.df.mapInPandas(tee, schema=up.df.schema))
+
+
+def observe(step_id: str, up: Stream, **metrics: Column) -> Stream:
+    """Attach named step metrics, computed JVM-side with zero Python
+    overhead (reference's per-step Prometheus counters,
+    ``src/operators.rs:154-170`` ``item_inp_count``/``item_out_count``).
+
+    Default metric: ``item_count``. Batch: read them after an action
+    via ``flow.observations[fq].get``. Streaming: they arrive in every
+    ``StreamingQueryProgress`` under ``observedMetrics[fq]`` (use
+    :class:`bytewax_spark.operators.MetricsListener`).
+    """
+    fq = up.flow.register(step_id, "observe", (up.step_id,))
+    if not metrics:
+        metrics = {"item_count": F.count(F.lit(1))}
+    cols = [c.alias(n) for n, c in metrics.items()]
+    if up.df.isStreaming:
+        df = up.df.observe(fq, *cols)
+    else:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = up.df.observe(obs, *cols)
+        up.flow.observations[fq] = obs
+    return _keep_keyed(up, fq, df)
+
+
+class MetricsListener:
+    """Collects streaming observed metrics per step into ``.latest``
+    (step_id -> {metric: value}); register with
+    ``spark.streams.addListener(MetricsListener())``."""
+
+    def __new__(cls):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _L(StreamingQueryListener):
+            def __init__(self) -> None:
+                self.latest: dict[str, dict] = {}
+
+            def onQueryStarted(self, event) -> None: ...
+
+            def onQueryProgress(self, event) -> None:
+                for name, row in (event.progress.observedMetrics or {}).items():
+                    self.latest[name] = row.asDict()
+
+            def onQueryIdle(self, event) -> None: ...
+
+            def onQueryTerminated(self, event) -> None: ...
+
+        return _L()
 
 
 def raises(step_id: str, up: Stream) -> None:
