@@ -41,7 +41,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from bytewax_spark.dataflow import KeyedStream
 from bytewax_spark.operators import _require_keyed
 
-__all__ = ["StatefulBatchLogic", "stateful_batch", "stateful"]
+__all__ = ["StatefulBatchLogic", "stateful_batch", "stateful", "collect_stream"]
 
 
 class StatefulBatchLogic(ABC):
@@ -187,3 +187,60 @@ def stateful(
     """Per-item flavor (reference ``stateful``): same engine primitive;
     logic authors simply iterate the batch rows."""
     return stateful_batch(step_id, up, builder, schema)
+
+
+def collect_stream(
+    step_id: str,
+    up: KeyedStream,
+    value_col: str,
+    timeout: timedelta,
+    max_size: int,
+) -> KeyedStream:
+    """Streaming ``collect``: per-key batches emitted when ``max_size``
+    values accumulate OR ``timeout`` elapses since the last emit —
+    the reference's size/timeout pair (``operators/__init__.py:
+    1106-1218``), which no Spark built-in provides (``collect_list``
+    has no trigger). Built on :func:`stateful_batch` with a
+    processing-time timer ≙ the reference's ``notify_at``.
+
+    Output rows: ``(key, values: array)``. State per key is at most
+    ``max_size`` buffered values — bounded, checkpoint-covered.
+    """
+    if max_size < 1:
+        raise ValueError("max_size must be >= 1")
+
+    class _Collect(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.buf = list(snap) if snap else []
+
+        def on_batch(self, pdf):
+            self.buf.extend(pdf[value_col].tolist())
+            out = []
+            while len(self.buf) >= max_size:
+                out.append(self.buf[:max_size])
+                self.buf = self.buf[max_size:]
+            if out:
+                return pd.DataFrame({"values": out}), self.RETAIN
+            return None, self.RETAIN
+
+        def on_notify(self):
+            if self.buf:
+                out = pd.DataFrame({"values": [self.buf]})
+                self.buf = []
+                return out, self.RETAIN
+            return None, self.DISCARD
+
+        def on_eof(self):
+            # batch mode / final flush: emit the partial tail
+            return self.on_notify()
+
+        def notify_at(self):
+            return timeout if self.buf else None
+
+        def snapshot(self):
+            return self.buf
+
+    up = _require_keyed(step_id, up)
+    vtype = up.df.schema[value_col].dataType.simpleString()
+    schema = f"{up.key_col} {up.df.schema[up.key_col].dataType.simpleString()}, values array<{vtype}>"
+    return stateful_batch(step_id, up, _Collect, schema=schema, timers="processing")

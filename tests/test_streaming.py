@@ -191,6 +191,58 @@ def test_stateful_batch_timers_notify(spark):
     assert [(r["key"], r["n"]) for r in rows] == [("a", 2)]
 
 
+def test_collect_stream_size_trigger_batch_mode(spark):
+    """collect_stream chunks per key at max_size and flushes the tail
+    at EOF (reference collect's size/timeout batching)."""
+    from bytewax_spark.streaming import collect_stream
+
+    flow = Dataflow("coll_b")
+    s = op.input(
+        "in", flow,
+        TestingSource([("a", i) for i in range(5)] + [("b", 9)], schema="k string, v long"),
+    )
+    ks = op.key_on("key", s, "k")
+    out = collect_stream("c", ks, "v", timeout=timedelta(seconds=5), max_size=2)
+    got = sorted((r["key"], tuple(r["values"])) for r in out.df.collect())
+    assert got == [("a", (0, 1)), ("a", (2, 3)), ("a", (4,)), ("b", (9,))]
+
+
+def test_collect_stream_timeout_flush_streaming(spark):
+    """Streaming: size-triggered chunks emit immediately; the tail
+    flushes when the processing-time timeout fires."""
+    import time
+
+    from bytewax_spark.streaming import collect_stream
+
+    flow = Dataflow("coll_s")
+    s = op.input(
+        "in", flow,
+        TestingSource([("a", 0), ("a", 1), ("a", 2)], schema="k string, v long", streaming=True),
+    )
+    ks = op.key_on("key", s, "k")
+    out = collect_stream("c", ks, "v", timeout=timedelta(seconds=1), max_size=2)
+    q = (
+        out.df.writeStream.format("memory")
+        .queryName("coll_s_out")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bw_ckpt_"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM coll_s_out").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted((r["key"], tuple(r["values"])) for r in rows)
+    assert got == [("a", (0, 1)), ("a", (2,))]
+
+
 def test_streaming_parquet_sink_exactly_once_layout(spark, tmp_path):
     flow = Dataflow("s_parquet")
     s = op.input("in", flow, TestingSource([(1,), (2,)], schema="x long", streaming=True))
