@@ -305,6 +305,128 @@ def join_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup, similarity search, text analysis — each over documents/embeddings
 # ---------------------------------------------------------------------------
 
+def filter_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_map: parse-or-drop (JSON k field; NULL parses dropped)."""
+    flow = _flow("fmap")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    parsed = op.filter_map(
+        "parse", ev,
+        {"event_id": "event_id", "k": F.get_json_object("props", "$.k").cast("long")},
+    )
+    return parsed.df
+
+
+def distinct_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten (stream of iterables -> items) + distinct count."""
+    flow = _flow("flt")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents"))
+    arrays = op.map("split", docs, {"words": F.split(F.lower("text"), r"\s+")})
+    words = op.flatten("words", arrays, "words", alias="word")
+    nonempty = op.filter("ne", words, F.col("word") != "")
+    return nonempty.df.agg(F.count_distinct("word").alias("n_words"))
+
+
+def high_value_clicks_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_value on a keyed stream, then count_final."""
+    flow = _flow("fval")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    clicks = op.filter("clicks", ev, F.col("event_type") == "click")
+    ks = op.key_on("k", clicks, "user_id")
+    high = op.filter_value("high", ks, F.col("value") > 90)
+    return op.count_final("n", high).df
+
+
+def words_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flat_map_value (1 value -> many, key preserved) + count_final."""
+    flow = _flow("fmv")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents"))
+    ks = op.key_on("k", docs, "doc_id")
+    words = op.flat_map_value("w", ks, F.split(F.lower("text"), r"\s+"), alias="word")
+    nonempty = op.filter_value("ne", words, F.col("word") != "")
+    return op.count_final("n", nonempty).df
+
+
+def rebalanced_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """redistribute (round-robin reshuffle) + key_rm: results must be
+    partitioning-invariant; key_rm drops the routing key, output is
+    re-projected."""
+    flow = _flow("rr")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    rr = op.redistribute("rr", ev, num_partitions=8)
+    counts = op.count_final("n", rr, key="event_type")
+    bare = op.key_rm("bare", op.map("rk", counts, {"key": "key", "count": "count", "et": "key"}))
+    return bare.df.select(F.col("et").alias("event_type"), "count")
+
+
+def enrich_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """enrich_cached: per-executor TTL-cached lookup against an
+    'external service' (here a nation-key resolver); the reference's
+    enrich pattern for volatile/remote dims. For snapshot-able dims a
+    broadcast join is preferred — this exercises the cache path."""
+    flow = _flow("enrich")
+    cust = op.input("c", flow, _t(spark, sf_dir, "customer"))
+
+    def nation_service(nk):
+        return f"NATION_{nk}" if nk is not None else None
+
+    enriched = op.enrich_cached(
+        "nation", cust, nation_service, key="c_nationkey", out_col="n_name", out_type="string"
+    )
+    return enriched.df.select("c_custkey", "c_nationkey", "n_name")
+
+
+def rising_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stateful_flat_map: per user in event order, emit only events
+    whose value strictly exceeds the running max so far (0..n rows per
+    input row — the flat-map part); state = running max."""
+    flow = _flow("rise")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    ks = op.key_on("k", ev, "user_id")
+
+    def rising(key, pdf):
+        out = pdf[pdf["value"] > pdf["value"].shift(1, fill_value=float("-inf")).cummax()]
+        return out[["key", "user_id", "event_id", "value"]]
+
+    out = op.stateful_flat_map(
+        "rise", ks, "event_id", rising,
+        schema="key long, user_id long, event_id long, value double",
+    )
+    return out.df.select("user_id", "event_id", "value")
+
+
+def reduce_window_daily_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce_window (first-value-seeded fold): min/max value per
+    (event_type, day)."""
+    flow = _flow("rwin")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    ks = op.key_on("k", ev, "event_type")
+    return win.reduce_window(
+        "w", ks, win.EventClock("ts"), win.TumblingWindower(timedelta(days=1)),
+        aggs={"min_value": F.round(F.min("value"), 2), "max_value": F.round(F.max("value"), 2)},
+    ).df
+
+
+def collect_window_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_window: sorted list of event ids per (user, day)."""
+    flow = _flow("cwin")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    ks = op.key_on("k", ev, "user_id")
+    return win.collect_window(
+        "w", ks, win.EventClock("ts"), win.TumblingWindower(timedelta(days=1)), "event_id"
+    ).df
+
+
+def bottom_event_per_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_window (per-window argmin with deterministic tiebreak)."""
+    flow = _flow("minw")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    ks = op.key_on("k", ev, "event_type")
+    sel = op.map_value("proj", ks, {"ts": "ts", "event_id": "event_id", "value": "value"})
+    return win.min_window(
+        "w", sel, win.EventClock("ts"), win.TumblingWindower(timedelta(days=1)), "value"
+    ).df
+
+
 def late_arrivals_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WindowOut.late side output (reference surfaces dropped-late
     items; Spark drops them silently): events whose 1h tumbling window
@@ -651,6 +773,66 @@ _ORACLES: dict[str, str] = {
         FROM w
         WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm
     """,
+    "filter_map_props": """
+        SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+        FROM events WHERE props->>'k' IS NOT NULL
+    """,
+    "distinct_word_count": """
+        SELECT COUNT(DISTINCT word) AS n_words
+        FROM (SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS word FROM documents)
+        WHERE word <> ''
+    """,
+    "high_value_clicks_per_user": """
+        SELECT user_id AS key, COUNT(*) AS "count"
+        FROM events WHERE event_type = 'click' AND value > 90 GROUP BY 1
+    """,
+    "words_per_doc": """
+        SELECT doc_id AS key, COUNT(*) AS "count"
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS word FROM documents)
+        WHERE word <> '' GROUP BY 1
+    """,
+    "rebalanced_type_counts": """
+        SELECT event_type, COUNT(*) AS "count" FROM events GROUP BY 1
+    """,
+    "enrich_customer_nation": """
+        SELECT c_custkey, c_nationkey, 'NATION_' || c_nationkey AS n_name FROM customer
+    """,
+    "rising_value_events": """
+        WITH m AS (
+          SELECT user_id, event_id, value,
+                 MAX(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          FROM events
+        )
+        SELECT user_id, event_id, value
+        FROM m WHERE prev_max IS NULL OR value > prev_max
+    """,
+    "reduce_window_daily_min": """
+        SELECT event_type AS key,
+               DATE_TRUNC('day', ts) AS window_start,
+               DATE_TRUNC('day', ts) + INTERVAL 1 DAY AS window_end,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "collect_window_daily_events": """
+        SELECT user_id AS key,
+               DATE_TRUNC('day', ts) AS window_start,
+               DATE_TRUNC('day', ts) + INTERVAL 1 DAY AS window_end,
+               LIST_SORT(LIST(event_id)) AS values
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "bottom_event_per_type_day": """
+        SELECT event_type AS key,
+               DATE_TRUNC('day', ts) AS window_start,
+               DATE_TRUNC('day', ts) + INTERVAL 1 DAY AS window_end,
+               ts, event_id, value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                       ORDER BY value ASC, ts ASC, event_id ASC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
     "top_event_per_type_day": """
         SELECT CAST(event_type AS VARCHAR) AS key,
                DATE_TRUNC('day', ts) AS window_start,
@@ -900,6 +1082,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_per_type_day": top_event_per_type_day,
         "join_window_hourly": join_window_hourly,
         "late_arrivals_hourly": late_arrivals_hourly,
+        "filter_map_props": filter_map_props,
+        "distinct_word_count": distinct_word_count,
+        "high_value_clicks_per_user": high_value_clicks_per_user,
+        "words_per_doc": words_per_doc,
+        "rebalanced_type_counts": rebalanced_type_counts,
+        "enrich_customer_nation": enrich_customer_nation,
+        "rising_value_events": rising_value_events,
+        "reduce_window_daily_min": reduce_window_daily_min,
+        "collect_window_daily_events": collect_window_daily_events,
+        "bottom_event_per_type_day": bottom_event_per_type_day,
         # beyond-reference: text analysis / dedup / similarity
         "text_stats": text_stats,
         "doc_fingerprints": doc_fingerprints,

@@ -195,6 +195,7 @@ def collect_stream(
     value_col: str,
     timeout: timedelta,
     max_size: int,
+    order_by: str | None = None,
 ) -> KeyedStream:
     """Streaming ``collect``: per-key batches emitted when ``max_size``
     values accumulate OR ``timeout`` elapses since the last emit —
@@ -205,6 +206,12 @@ def collect_stream(
 
     Output rows: ``(key, values: array)``. State per key is at most
     ``max_size`` buffered values — bounded, checkpoint-covered.
+
+    ``order_by`` sorts each delivered micro-batch's rows for a key
+    before buffering: the shuffle to the stateful operator does not
+    preserve source order (the reference's per-worker arrival order),
+    so deterministic chunking needs an explicit order column.
+    Cross-batch order is micro-batch arrival, as in the reference.
     """
     if max_size < 1:
         raise ValueError("max_size must be >= 1")
@@ -214,6 +221,8 @@ def collect_stream(
             self.buf = list(snap) if snap else []
 
         def on_batch(self, pdf):
+            if order_by is not None:
+                pdf = pdf.sort_values(order_by)
             self.buf.extend(pdf[value_col].tolist())
             out = []
             while len(self.buf) >= max_size:

@@ -202,7 +202,7 @@ def test_collect_stream_size_trigger_batch_mode(spark):
         TestingSource([("a", i) for i in range(5)] + [("b", 9)], schema="k string, v long"),
     )
     ks = op.key_on("key", s, "k")
-    out = collect_stream("c", ks, "v", timeout=timedelta(seconds=5), max_size=2)
+    out = collect_stream("c", ks, "v", timeout=timedelta(seconds=5), max_size=2, order_by="v")
     got = sorted((r["key"], tuple(r["values"])) for r in out.df.collect())
     assert got == [("a", (0, 1)), ("a", (2, 3)), ("a", (4,)), ("b", (9,))]
 
@@ -220,7 +220,7 @@ def test_collect_stream_timeout_flush_streaming(spark):
         TestingSource([("a", 0), ("a", 1), ("a", 2)], schema="k string, v long", streaming=True),
     )
     ks = op.key_on("key", s, "k")
-    out = collect_stream("c", ks, "v", timeout=timedelta(seconds=1), max_size=2)
+    out = collect_stream("c", ks, "v", timeout=timedelta(seconds=1), max_size=2, order_by="v")
     q = (
         out.df.writeStream.format("memory")
         .queryName("coll_s_out")
