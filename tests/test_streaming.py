@@ -57,6 +57,38 @@ def test_streaming_windowed_count_complete(spark):
     assert got == {("a", 0): 2, ("a", 30): 1, ("b", 0): 1}
 
 
+def test_streaming_windowed_count_append_watermark(spark):
+    """Append mode: a window emits exactly once, when the watermark
+    (event-time - delay, advanced by later micro-batches) passes its
+    end — the reference's emit-on-close. The last open window never
+    emits under append until closed; availableNow's final batch closes
+    what the watermark allows."""
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    flow = Dataflow("s_window_ap")
+    s = op.input(
+        "in",
+        flow,
+        TestingSource(
+            # file 1: minutes 0-2 → file 2: minute 30 pushes the
+            # watermark past windows [0,10) so they close and emit
+            [("a", ts(0)), ("a", ts(1)), ("b", ts(2)), ("a", ts(30))],
+            schema="k string, ts timestamp",
+            streaming=True,
+            files=2,
+        ),
+    )
+    ks = op.key_on("key", s, "k")
+    counts = win.count_window(
+        "w", ks, win.EventClock("ts", timedelta(minutes=1)), win.TumblingWindower(timedelta(minutes=10))
+    )
+    sink = MemorySink("s_window_ap_out")
+    op.output("out", counts, sink)
+    rows = drain(spark, flow, "s_window_ap_out", output_mode="append")
+    got = {(r["key"], r["window_start"].minute): r["count"] for r in rows}
+    # [30,40) stays open (watermark 00:29 < 00:40): not emitted
+    assert got == {("a", 0): 2, ("b", 0): 1}
+
+
 def test_stateful_batch_streaming_state_across_batches(spark):
     class RunningTotal(StatefulBatchLogic):
         """Per-key running sum, emitting the updated total per batch.
