@@ -84,41 +84,62 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t)
+    via prefix filtering (PPJoin family: Xiao et al., WWW'08 — public
+    algorithm).
 
-    ``max_doc_freq`` enables prefix filtering: shingles present in more
-    than that many docs are dropped before the self-join (they only
-    create candidate pairs that exact verification would reject, and
-    they're exactly the quadratic-blowup keys)."""
+    A naive shingle self-join detonates on high-document-frequency
+    shingles (one shingle shared by 25k docs → 625M candidate rows; it
+    OOMs at sf0.1 already). Prefix filtering is EXACT for a given
+    threshold: order each doc's shingles globally by rarity; two sets
+    with J ≥ t must share at least one shingle inside each one's first
+    ``|s| - ceil(t·|s|) + 1`` shingles. Candidates come only from
+    those prefixes (hot shingles land in almost no prefix), plus the
+    length filter ``t·|a| ≤ |b| ≤ |a|/t``; each surviving pair is then
+    verified with one ``array_intersect`` over the full sets — no
+    quadratic key ever shuffles.
+    """
     sh = shingle_docs(df, text_col, id_col, n)
-    if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_doc_freq)
-            .select("shingle")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_freq"))
+    # per doc: shingle array ordered rarest-first (global (freq, shingle)
+    # order makes prefixes consistent across docs), plus set size
+    docs = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_freq", "shingle"))).alias("_ord"),
+            F.count(F.lit(1)).alias("_size"),
         )
-        sh = sh.join(rare, "shingle", "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_common"))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform("_ord", lambda s: s["shingle"]).alias("_toks"),
+            "_size",
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("_sa"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("_sb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("_common") / (F.col("_sa") + F.col("_sb") - F.col("_common")), 6),
+    prefix_len = (F.col("_size") - F.ceil(F.lit(threshold) * F.col("_size")) + 1).cast("int")
+    prefix = docs.select(
+        "_id", "_size", F.explode(F.slice("_toks", F.lit(1), prefix_len)).alias("_tok")
+    )
+    pa = prefix.select(F.col("_id").alias("id_a"), F.col("_size").alias("_sa"), "_tok")
+    pb = prefix.select(F.col("_id").alias("id_b"), F.col("_size").alias("_sb"), "_tok")
+    cand = (
+        pa.join(pb, "_tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_sb") * threshold <= F.col("_sa"))
+            & (F.col("_sa") * threshold <= F.col("_sb"))
         )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docs.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"), F.col("_size").alias("_sa"))
+    db = docs.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"), F.col("_size").alias("_sb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", F.round(inter / (F.col("_sa") + F.col("_sb") - inter), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
