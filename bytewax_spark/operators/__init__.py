@@ -532,7 +532,10 @@ def enrich_cached(
         cache = TTLCache(getter, ttl_sec)  # one per task; module-level state would outlive tasks
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [cache.get(k) for k in pdf[key]]
+            # unique-first: one service/cache call per distinct key in
+            # the batch, then a C-speed dict map over the rows
+            vals = {k: cache.get(k) for k in pd.unique(pdf[key])}
+            pdf[out_col] = pdf[key].map(vals)
             yield pdf
 
     return _keep_keyed(up, fq, up.df.mapInPandas(run, schema=schema))
@@ -616,6 +619,7 @@ def collect(
     value: Column | str,
     into: str = "list",
     sort: bool = True,
+    salt: int | None = None,
 ) -> KeyedStream:
     """Collect values per key into list/set/map at EOF.
 
@@ -624,19 +628,41 @@ def collect(
     makes output deterministic across partitionings — required for
     oracle comparison; at scale prefer ``sort=False`` when order is
     irrelevant. ``into='map'`` expects a struct{key,value} column.
+
+    ``salt=N`` enables two-stage aggregation for skewed keys: collect
+    is holistic (no map-side reduction — every value of a hot key
+    lands on one reducer), so a key with 10^8 values OOMs a task. With
+    salt, stage 1 collects per ``(key, hash(value) % N)`` sub-lists in
+    parallel, stage 2 flattens N sub-lists per key — the hot key's
+    rows spread over N reducers and the final task merges N arrays
+    instead of 10^8 rows. Output is identical when ``sort=True``
+    (order differs otherwise).
     """
     up = _require_keyed(step_id, up)
     fq = up.flow.register(step_id, "collect", (up.step_id,))
     v = _col(value)
+    if into not in ("list", "set", "map"):
+        raise ValueError(f"into must be list|set|map, got {into!r}")
+    if salt is not None and salt > 1:
+        salted = up.df.withColumn("_salt", F.pmod(F.hash(v), F.lit(salt)))
+        sub = salted.groupBy(up.key_col, "_salt").agg(F.collect_list(v).alias("_part"))
+        merged = sub.groupBy(up.key_col).agg(F.flatten(F.collect_list("_part")).alias("_vals"))
+        arr = F.col("_vals")
+        if into == "list":
+            agg = F.array_sort(arr) if sort else arr
+        elif into == "set":
+            agg = F.array_sort(F.array_distinct(arr))
+        else:
+            agg = F.map_from_entries(F.array_sort(arr))
+        out = merged.select(up.key_col, agg.alias("values"))
+        return KeyedStream(up.flow, fq, out, up.key_col)
     if into == "list":
         agg = F.collect_list(v)
         agg = F.array_sort(agg) if sort else agg
     elif into == "set":
         agg = F.array_sort(F.collect_set(v))
-    elif into == "map":
-        agg = F.map_from_entries(F.array_sort(F.collect_list(v)))
     else:
-        raise ValueError(f"into must be list|set|map, got {into!r}")
+        agg = F.map_from_entries(F.array_sort(F.collect_list(v)))
     out = up.df.groupBy(up.key_col).agg(agg.alias("values"))
     return KeyedStream(up.flow, fq, out, up.key_col)
 

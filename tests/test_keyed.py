@@ -101,6 +101,24 @@ def test_join_complete_last(spark):
     assert len(got) == 1 and got[0]["key"] == "a" and got[0]["lv"] == 20.0 and got[0]["rv"] == 100.0
 
 
+def test_collect_salted_matches_plain(spark):
+    """salt=N two-stage collect (skewed-key path) produces identical
+    sorted output to the single-stage plan."""
+    data = [("hot", i) for i in range(200)] + [("cold", 1), ("cold", 2)]
+    flow = Dataflow("csalt")
+    ks = keyed(flow, "in", data, "k string, v long")
+    plain = op.collect("plain", ks, "v")
+    flow2 = Dataflow("csalt2")
+    ks2 = keyed(flow2, "in", data, "k string, v long")
+    salted = op.collect("salted", ks2, "v", salt=8)
+    a = {r["key"]: list(r["values"]) for r in rows(plain)}
+    b = {r["key"]: list(r["values"]) for r in rows(salted)}
+    assert a == b
+    # the salted plan has two aggregation exchanges (key,_salt then key)
+    plan = salted.df._jdf.queryExecution().executedPlan().toString()
+    assert plan.split("== Initial Plan ==")[0].count("Exchange hashpartitioning") >= 2
+
+
 def test_join_unique_side_skips_dedup(spark):
     """unique_sides declares a side one-row-per-key: same result,
     no aggregation of that side (its Exchange disappears)."""
