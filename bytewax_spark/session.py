@@ -43,6 +43,9 @@ def get_spark(app_name: str = "bytewax_spark", master: str | None = None) -> Spa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # MIN/MAX/COUNT over unfiltered scans answered from parquet
+        # footer statistics — no row reads at all
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
