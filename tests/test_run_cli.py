@@ -1,0 +1,82 @@
+"""CLI runner behavior (reference ``pysrc/bytewax/run.py`` entry
+points): flow location, mermaid render, error paths, and the demo
+sources' streaming plumbing."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+from bytewax_spark import operators as op
+from bytewax_spark.dataflow import Dataflow
+from bytewax_spark.run import _locate_flow, run_main
+from bytewax_spark.sources import RandomMetricSource, SimplePollingSource
+
+
+def test_locate_flow_module_attr(tmp_path, monkeypatch):
+    mod = tmp_path / "someflow.py"
+    mod.write_text(
+        "from bytewax_spark.dataflow import Dataflow\n"
+        "flow = Dataflow('located')\n"
+        "def make(): return Dataflow('factory')\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    assert _locate_flow("someflow:flow").flow_id == "located"
+    assert _locate_flow("someflow").flow_id == "located"  # default attr
+    assert _locate_flow("someflow:make").flow_id == "factory"  # factory fn
+    sys.modules.pop("someflow", None)
+
+
+def test_locate_flow_bad_attr(tmp_path, monkeypatch):
+    mod = tmp_path / "badflow.py"
+    mod.write_text("not_a_flow = 42\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    with pytest.raises(TypeError, match="did not resolve"):
+        _locate_flow("badflow:not_a_flow")
+    sys.modules.pop("badflow", None)
+
+
+def test_run_main_requires_sinks(spark):
+    flow = Dataflow("nosink")
+    with pytest.raises(ValueError, match="sink"):
+        run_main(flow)
+
+
+def test_random_metric_source_schema(spark):
+    flow = Dataflow("rnd")
+    s = op.input("in", flow, RandomMetricSource("cpu", rows_per_second=5))
+    assert s.df.isStreaming
+    assert [f.name for f in s.df.schema.fields] == ["metric_name", "ts", "value"]
+
+
+def test_simple_polling_source_fetches(spark, tmp_path):
+    """Ticks drive the getter; rows appear with the declared schema."""
+    import time
+
+    calls = {"n": 0}
+
+    def getter():
+        calls["n"] += 1
+        return {"metric": "up", "v": 1}
+
+    flow = Dataflow("poll")
+    s = op.input("in", flow, SimplePollingSource(getter, 1, "metric string, v long"))
+    q = (
+        s.df.writeStream.format("memory")
+        .queryName("poll_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM poll_out").collect()
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert rows and rows[0]["metric"] == "up" and rows[0]["v"] == 1
