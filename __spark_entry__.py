@@ -305,6 +305,76 @@ def join_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup, similarity search, text analysis — each over documents/embeddings
 # ---------------------------------------------------------------------------
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) via
+    join(product/final) + fold_final revenue. Catalyst broadcasts the
+    filtered customer side; filters reach every scan."""
+    flow = _flow("q3")
+    cust = op.input("c", flow, _t(spark, sf_dir, "customer"))
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders"))
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem"))
+
+    bld = op.filter("seg", cust, F.col("c_mktsegment") == "BUILDING")
+    bld_k = op.key_on("ck", op.map("cproj", bld, {"c_custkey2": "c_custkey"}), "c_custkey2")
+    ord_pre = op.filter("odate", orders, F.col("o_orderdate") < "1998-01-01")
+    ord_k = op.key_on(
+        "okk", op.map("oproj", ord_pre, {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey", "o_orderdate": "o_orderdate"}),
+        "o_custkey",
+    )
+    co = op.join("co", bld_k, ord_k, insert_mode="product", emit_mode="complete")
+
+    co_k = op.key_on("cok", co, "o_orderkey", key_col="jk")
+    li_f = op.filter("ldate", li, F.col("l_shipdate") > "1998-01-01")
+    li_k = op.key_on(
+        "lk",
+        op.map(
+            "lproj", li_f,
+            # decimal accumulation: double sums differ in the last cent
+            # across partition orders; decimal addition is exact
+            {"l_orderkey": "l_orderkey",
+             "rev": (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")},
+        ),
+        "l_orderkey", key_col="jk",
+    )
+    col = op.join("col", co_k, li_k, insert_mode="product", emit_mode="complete")
+
+    g = op.key_on("gk", col, F.struct("o_orderkey", "o_orderdate"), key_col="gkey")
+    agg = op.fold_final("agg", g, aggs={"revenue": F.round(F.sum("rev"), 2).cast("double")})
+    return agg.df.select(
+        F.col("gkey.o_orderkey").alias("o_orderkey"),
+        F.col("gkey.o_orderdate").alias("o_orderdate"),
+        "revenue",
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join through nation/region dims (ASIA,
+    one year) — the dims broadcast; only the fact tables shuffle."""
+    flow = _flow("q5")
+    cust = op.input("c", flow, _t(spark, sf_dir, "customer")).df
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    nat = op.input("n", flow, _t(spark, sf_dir, "nation")).df
+    reg = op.input("r", flow, _t(spark, sf_dir, "region")).df
+
+    asia = reg.filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(asia), F.col("n_regionkey") == asia["r_regionkey"])
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
 def filter_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_map: parse-or-drop (JSON k field; NULL parses dropped)."""
     flow = _flow("fmap")
@@ -773,6 +843,30 @@ _ORACLES: dict[str, str] = {
         FROM w
         WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm
     """,
+    "q3_shipping_priority": """
+        SELECT o.o_orderkey, o.o_orderdate,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2
+    """,
+    "q5_region_revenue": """
+        SELECT n.n_name,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    """,
     "filter_map_props": """
         SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         FROM events WHERE props->>'k' IS NOT NULL
@@ -1082,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_per_type_day": top_event_per_type_day,
         "join_window_hourly": join_window_hourly,
         "late_arrivals_hourly": late_arrivals_hourly,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
         "filter_map_props": filter_map_props,
         "distinct_word_count": distinct_word_count,
         "high_value_clicks_per_user": high_value_clicks_per_user,
