@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
     "reduce_minmax_price",
     "wordcount",
     "join_product_customer_orders",
