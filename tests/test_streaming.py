@@ -89,6 +89,50 @@ def test_streaming_windowed_count_append_watermark(spark):
     assert got == {("a", 0): 2, ("b", 0): 1}
 
 
+def test_streaming_custom_fold_window_emits_on_close(spark):
+    """Streaming custom (opaque Python) window fold — the reference's
+    WindowLogic path: rows buffer per (key, window) in the state store
+    across micro-batches; the window folds and emits exactly once when
+    the watermark passes its end."""
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+
+    def concat_fold(pdf):
+        pdf = pdf.sort_values("ts")  # ordered=True replay inside the window
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "window_start": [pdf["window_start"].iloc[0]],
+                "joined": ["-".join(pdf["tag"])],
+            }
+        )
+
+    flow = Dataflow("s_cfold")
+    s = op.input(
+        "in",
+        flow,
+        TestingSource(
+            # batch 1: two tagged rows in window [0,10); batch 2 pushes
+            # the watermark (1 min delay) past 00:10 -> window closes
+            [("a", ts(1), "x"), ("a", ts(2), "y"), ("a", ts(30), "z")],
+            schema="k string, ts timestamp, tag string",
+            streaming=True,
+            files=2,
+        ),
+    )
+    ks = op.key_on("key", s, "k")
+    folded = win.fold_window(
+        "w", ks, win.EventClock("ts", timedelta(minutes=1)),
+        win.TumblingWindower(timedelta(minutes=10)),
+        fold=concat_fold, schema="key string, window_start timestamp, joined string",
+    )
+    sink = MemorySink("s_cfold_out")
+    op.output("out", folded, sink)
+    rows = drain(spark, flow, "s_cfold_out", output_mode="append")
+    got = [(r["key"], r["window_start"].minute, r["joined"]) for r in rows]
+    # [0,10) closed and folded in ts order; [30,40) still open
+    assert got == [("a", 0, "x-y")]
+
+
 def test_stateful_batch_streaming_state_across_batches(spark):
     class RunningTotal(StatefulBatchLogic):
         """Per-key running sum, emitting the updated total per batch.
