@@ -308,6 +308,13 @@ def _windowed_agg(
     if fold is not None:
         if schema is None:
             raise ValueError(f"step {step_id!r}: custom fold requires schema")
+        if df.isStreaming and isinstance(windower, SessionWindower):
+            raise NotImplementedError(
+                f"step {step_id!r}: streaming session windows support declarative aggs "
+                "(F.session_window handles the gap merge); a custom fold would need the "
+                "reference's on_merge protocol (windowing.py:979-992) in a stateful "
+                "processor — run this fold in batch mode, or use aggs="
+            )
         with_win = assign_windows(df, ts, windower, key_col=up.key_col)
         if df.isStreaming:
             out = _streaming_window_fold(with_win, up.key_col, fold, schema)
