@@ -33,8 +33,13 @@ def default_parallelism() -> int:
 def get_spark(app_name: str = "bytewax_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine defaults."""
     par = default_parallelism()
+    # local mode: the driver JVM is the whole engine — the 1g default
+    # heap causes GC-locker stalls/OOM on wide shuffles long before the
+    # machine is used. Sized for this 128 GiB box; override via env.
+    mem = os.environ.get("SPARK_GRAFT_MEM", "24g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", str(par))
         .config("spark.default.parallelism", str(par))
         .config("spark.sql.adaptive.enabled", "true")
