@@ -305,6 +305,23 @@ def join_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup, similarity search, text analysis — each over documents/embeddings
 # ---------------------------------------------------------------------------
 
+def price_bands_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flat_map_batch: the opaque Arrow-batch escape hatch — a pandas
+    transform per batch (banding + row filter), then a JVM-side agg."""
+    import pandas as pd
+
+    flow = _flow("fmb")
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders"))
+
+    def band(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["o_totalprice"] > 0].copy()
+        pdf["band"] = (pdf["o_totalprice"] // 50000).astype("int64") * 50000
+        return pdf[["o_orderkey", "band"]]
+
+    banded = op.flat_map_batch("band", orders, band, schema="o_orderkey long, band long")
+    return op.count_final("n", banded, key="band").df
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) via
     join(product/final) + fold_final revenue. Catalyst broadcasts the
@@ -843,6 +860,11 @@ _ORACLES: dict[str, str] = {
         FROM w
         WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm
     """,
+    "price_bands_arrow": """
+        SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS key,
+               COUNT(*) AS "count"
+        FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    """,
     "q3_shipping_priority": """
         SELECT o.o_orderkey, o.o_orderdate,
                CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
@@ -1176,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_per_type_day": top_event_per_type_day,
         "join_window_hourly": join_window_hourly,
         "late_arrivals_hourly": late_arrivals_hourly,
+        "price_bands_arrow": price_bands_arrow,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "filter_map_props": filter_map_props,

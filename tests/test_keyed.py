@@ -101,6 +101,18 @@ def test_join_complete_last(spark):
     assert len(got) == 1 and got[0]["key"] == "a" and got[0]["lv"] == 20.0 and got[0]["rv"] == 100.0
 
 
+def test_join_three_way(spark):
+    """N-way join (reference join takes *sides): three sides, final
+    emit — full outer with NULLs for absent sides."""
+    flow = Dataflow("join3")
+    a = keyed(flow, "a", [("k1", 1)], "k string, av long")
+    b = keyed(flow, "b", [("k1", 2), ("k2", 20)], "k string, bv long")
+    c = keyed(flow, "c", [("k2", 3)], "k string, cv long")
+    out = op.join("j", a, b, c, insert_mode="product", emit_mode="final")
+    got = sorted((r["key"], r["av"], r["bv"], r["cv"]) for r in rows(out))
+    assert got == [("k1", 1, 2, None), ("k2", None, 20, 3)]
+
+
 def test_collect_salted_matches_plain(spark):
     """salt=N two-stage collect (skewed-key path) produces identical
     sorted output to the single-stage plan."""
