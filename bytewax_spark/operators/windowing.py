@@ -537,9 +537,11 @@ def join_window(
         if order_by is None:
             raise ValueError("insert_mode first/last requires order_by")
         value_cols = [c for c in df.columns if c not in join_keys and c not in consumed]
-        pick = F.min_by if dedup == "first" else F.max_by
-        row = pick(F.struct(*value_cols), F.col(order_by)).alias("_row")
-        return df.groupBy(*join_keys).agg(row).select(*join_keys, "_row.*")
+        # lexicographic struct extreme — single aggregation buffer,
+        # deterministic value tie-break (same shape as op.join's dedup)
+        pick = F.min if dedup == "first" else F.max
+        row = pick(F.struct(F.col(order_by).alias("_ord"), *[F.col(c) for c in value_cols])).alias("_row")
+        return df.groupBy(*join_keys).agg(row).select(*join_keys, *[F.col(f"_row.{c}") for c in value_cols])
 
     out = prep(sides[0])
     for s in sides[1:]:
