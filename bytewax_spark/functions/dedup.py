@@ -67,6 +67,24 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str, key: Column | None = 
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def dedup_exact_stream(
+    df: DataFrame, text_col: str, watermark_col: str, delay: str, key: Column | None = None
+) -> DataFrame:
+    """Streaming exact dedup: first-seen row per content hash wins,
+    with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — duplicates arriving within
+    ``delay`` of each other are suppressed; state for hashes older
+    than the watermark is evicted, so this runs forever at 100 TB/day
+    instead of accreting an unbounded seen-set)."""
+    h = (key if key is not None else hash64(text_col)).alias("_h")
+    return (
+        df.withColumn("_h", h)
+        .withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+
+
 def shingle_docs(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingle_hash) distinct rows — the exploded form shared by
     Jaccard and MinHash. Hashing the shingle BEFORE the explode keeps

@@ -151,6 +151,33 @@ def test_lsh_buckets_deterministic(spark, sf_dir):
     assert b1 == b2 and all(0 <= v < 256 for v in b1.values())
 
 
+def test_dedup_exact_stream_within_watermark(spark, tmp_path):
+    """Streaming dedup: the duplicate text arriving inside the
+    watermark window is suppressed; state is watermark-bounded."""
+    from datetime import datetime
+
+    from bytewax_spark.sources import TestingSource
+
+    rows = [
+        (1, "same text", datetime(2024, 1, 1, 0, 0)),
+        (2, "same text", datetime(2024, 1, 1, 0, 1)),  # dup within delay
+        (3, "other", datetime(2024, 1, 1, 0, 2)),
+    ]
+    src = TestingSource(rows, schema="doc_id long, text string, ts timestamp", streaming=True)
+    df = src.to_df()
+    out = dedup.dedup_exact_stream(df, "text", "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dds_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM dds_out").collect())
+    assert got == [1, 3]
+
+
 def test_multimodal_features_and_frames(spark):
     rows = [
         (1, "image", b"\x89PNGfake", {"mime": "image/png", "width": 4, "height": 4, "duration_ms": None, "sample_rate": None}),
