@@ -56,6 +56,46 @@ def test_deserialize_json_plan_stays_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_kafka_shaped_stream_serde_to_stateful(spark, tmp_path):
+    """End-to-end kafka-shaped pipeline without the kafka jar: binary
+    key/value frames (the kafka source schema) → deserialize_json oks/
+    errs split → keyed windowless count, streaming. The errs stream is
+    sunk separately — the reference's oks/errs operator contract."""
+    frames = [
+        (b"u1", b'{"v": 1}'),
+        (b"u1", b'{"v": 2}'),
+        (b"u2", b"corrupt!"),
+        (b"u2", b'{"v": 5}'),
+    ]
+    flow = Dataflow("kshape")
+    src = TestingSource(frames, schema="key binary, value binary", streaming=True)
+    raw = op.input("in", flow, src)
+    out = serde.deserialize_json("de", raw, "value", "v INT")
+    keyed = op.key_on("k", out.oks, F.col("key").cast("string"), key_col="user")
+    counts = keyed.df.groupBy("user").agg(F.sum("v").alias("total"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("kshape_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        out.errs.df.writeStream.format("memory")
+        .queryName("kshape_errs")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q2.awaitTermination(120)
+    got = {r["user"]: r["total"] for r in spark.sql("SELECT * FROM kshape_out").collect()}
+    errs = [bytes(r["value"]) for r in spark.sql("SELECT * FROM kshape_errs").collect()]
+    assert got == {"u1": 3, "u2": 5}
+    assert errs == [b"corrupt!"]
+
+
 def test_avro_gated_import():
     import pytest
 
