@@ -1,0 +1,57 @@
+"""Plan-quality gates: the scale properties — pushdown, pruning,
+broadcast, partial aggregation — asserted on real plans so a refactor
+cannot silently regress them. (A correct result with a bad plan is
+not done.)"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _plan(spark, qname, sf_dir):
+    df = entry.queries()[qname](spark, sf_dir)
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    # the shipdate filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in plan
+    # no Python in the hot path
+    assert "EvalPython" not in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, "high_value_orders", sf_dir)
+    # only the four needed columns are read
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]" in plan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, "q5_region_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_join_last_unique_side_has_single_agg(spark, sf_dir):
+    plan = _plan(spark, "join_last_order_lineitem", sf_dir)
+    # the orders side (declared unique) must not aggregate
+    assert plan.count("partial_max") == 1
+
+
+def test_keyed_agg_keys_stay_natural_type(spark, sf_dir):
+    plan = _plan(spark, "max_order_per_customer", sf_dir)
+    # no string casts of the bigint key anywhere in the plan
+    assert "cast(o_custkey#" not in plan or "as string" not in plan.lower()
+
+
+@pytest.mark.parametrize("qname", ["wordcount", "hourly_event_counts", "reduce_minmax_price"])
+def test_no_python_eval_in_declarative_queries(spark, sf_dir, qname):
+    plan = _plan(spark, qname, sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
