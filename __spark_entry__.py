@@ -305,6 +305,46 @@ def join_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup, similarity search, text analysis — each over documents/embeddings
 # ---------------------------------------------------------------------------
 
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (SURVEY §2.7): grouping-set rollup — the
+    reference has no grouping sets/cube/rollup at all; Spark gives the
+    multi-level aggregate in one shuffle."""
+    flow = _flow("rollup")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem")).df
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (SURVEY §2.7): ranking window functions — the
+    reference has no row_number/rank/lag of any kind."""
+    from pyspark.sql import Window as W
+
+    flow = _flow("top3")
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (SURVEY §2.7): set ops — the reference only
+    has union (merge); INTERSECT dedups and co-partitions in one pass."""
+    flow = _flow("setops")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
 def price_bands_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """flat_map_batch: the opaque Arrow-batch escape hatch — a pandas
     transform per batch (banding + row filter), then a JVM-side agg."""
@@ -860,6 +900,26 @@ _ORACLES: dict[str, str] = {
         FROM w
         WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm
     """,
+    "rollup_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "top3_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk
+        FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS INT) AS rk
+          FROM orders
+        ) WHERE rk <= 3
+    """,
+    "users_click_and_purchase": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
     "price_bands_arrow": """
         SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS key,
                COUNT(*) AS "count"
@@ -1199,6 +1259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_window_hourly": join_window_hourly,
         "late_arrivals_hourly": late_arrivals_hourly,
         "price_bands_arrow": price_bands_arrow,
+        "rollup_revenue": rollup_revenue,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "users_click_and_purchase": users_click_and_purchase,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "filter_map_props": filter_map_props,
