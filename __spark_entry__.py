@@ -305,6 +305,27 @@ def join_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup, similarity search, text analysis — each over documents/embeddings
 # ---------------------------------------------------------------------------
 
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join: each click matched with the user's latest purchase
+    at-or-before it (backward as-of; one shuffle, no range join)."""
+    flow = _flow("asof")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    clicks = op.key_on(
+        "ck",
+        op.map("cproj", op.filter("cf", ev, F.col("event_type") == "click"),
+               {"u": "user_id", "ts": "ts", "click_id": "event_id"}),
+        "u", key_col="u",
+    )
+    purchases = op.key_on(
+        "pk",
+        op.map("pproj", op.filter("pf", ev, F.col("event_type") == "purchase"),
+               {"u": "user_id", "ts": "ts", "purchase_value": "value"}),
+        "u", key_col="u",
+    )
+    j = op.asof_join("j", clicks, purchases, ts_col="ts")
+    return j.df.select(F.col("u").alias("user_id"), "ts", "click_id", "purchase_value")
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference (SURVEY §2.7): grouping-set rollup — the
     reference has no grouping sets/cube/rollup at all; Spark gives the
@@ -900,6 +921,14 @@ _ORACLES: dict[str, str] = {
         FROM w
         WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= wm
     """,
+    "asof_click_purchase": """
+        SELECT c.user_id, c.ts, c.click_id, p.purchase_value
+        FROM (SELECT user_id, ts, event_id AS click_id FROM events
+              WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value FROM events
+                        WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
     "rollup_revenue": """
         SELECT l_returnflag, l_linestatus,
                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
@@ -1259,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_window_hourly": join_window_hourly,
         "late_arrivals_hourly": late_arrivals_hourly,
         "price_bands_arrow": price_bands_arrow,
+        "asof_click_purchase": asof_click_purchase,
         "rollup_revenue": rollup_revenue,
         "top3_orders_per_customer": top3_orders_per_customer,
         "users_click_and_purchase": users_click_and_purchase,

@@ -71,6 +71,7 @@ __all__ = [
     "stateful_flat_map",
     "join",
     "running_join",
+    "asof_join",
     "JoinMode",
 ]
 
@@ -807,6 +808,79 @@ def join(
     out = _dedup_side(sides[0].df, key, order_by, _mode(0))
     for i, s in enumerate(sides[1:], start=1):
         out = out.join(_dedup_side(s.df, key, order_by, _mode(i)), on=key, how=how)
+    return KeyedStream(flow, fq, out, key)
+
+
+def asof_join(
+    step_id: str,
+    left: KeyedStream,
+    right: KeyedStream,
+    ts_col: str,
+    tolerance: Column | None = None,
+) -> KeyedStream:
+    """Per-key as-of (backward) join: each left row is matched with the
+    latest right row whose ``ts_col`` <= the left row's. Beyond the
+    reference (its closest shape is ``join_window``, which buckets both
+    sides — SURVEY §2.7 lists as-of joins as absent).
+
+    Spark-first compile: tag + UNION ALL both sides, then
+    ``last(value, ignorenulls)`` over ``(partitionBy key ORDER BY ts,
+    tag)`` and keep the left rows — ONE shuffle and a per-key sort, no
+    range-condition nested-loop join (the naive non-equi join is a
+    cross product per key and dies at scale). Right rows sort before
+    left rows at equal ``ts`` so exact-timestamp matches are included
+    (DuckDB/pandas ``merge_asof`` backward semantics).
+
+    ``tolerance``: an INTERVAL column (e.g. ``F.expr("INTERVAL 5
+    MINUTES")``); matches staler than it are nulled out.
+
+    Left and right value column names must be disjoint (alias
+    upstream). Returns left rows + right value columns.
+    """
+    from pyspark.sql import Window as W
+
+    left = _require_keyed(step_id, left)
+    right = _require_keyed(step_id, right)
+    key = left.key_col
+    if right.key_col != key:
+        raise ValueError("asof_join sides must share the key column name")
+    flow = left.flow
+    fq = flow.register(step_id, "asof_join", (left.step_id, right.step_id))
+
+    lcols = [c for c in left.df.columns if c not in (key, ts_col)]
+    rcols = [c for c in right.df.columns if c not in (key, ts_col)]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"asof_join value columns overlap: {sorted(overlap)}")
+
+    lt = left.df.select(key, ts_col, *lcols).withColumn("_side", F.lit(1))
+    rt = right.df.select(key, ts_col, *rcols).withColumn("_side", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.select(
+        key,
+        ts_col,
+        "_side",
+        *lcols,
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True)
+        .over(w)
+        .alias("_rts"),
+    )
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        stale = F.col("_rts") < (F.col(ts_col) - tolerance)
+        out = out.select(
+            key, ts_col, *lcols,
+            *[F.when(~stale, F.col(c)).alias(c) for c in rcols],
+        )
+    else:
+        out = out.select(key, ts_col, *lcols, *rcols)
     return KeyedStream(flow, fq, out, key)
 
 

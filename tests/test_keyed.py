@@ -101,6 +101,35 @@ def test_join_complete_last(spark):
     assert len(got) == 1 and got[0]["key"] == "a" and got[0]["lv"] == 20.0 and got[0]["rv"] == 100.0
 
 
+def test_asof_join_backward_with_tolerance(spark):
+    """Backward as-of: latest right row at-or-before each left ts;
+    tolerance nulls matches staler than the interval."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    flow = Dataflow("asof")
+    left = keyed(flow, "l", [("a", t(5), 100), ("a", t(20), 200), ("b", t(1), 300)],
+                 "k string, ts timestamp, lv long")
+    right = keyed(flow, "r", [("a", t(3), 1.0), ("a", t(5), 2.0), ("a", t(10), 3.0)],
+                  "k string, ts timestamp, rv double")
+    left = op.map_value("lp", left, {"ts": "ts", "lv": "lv"})
+    right = op.map_value("rp", right, {"ts": "ts", "rv": "rv"})
+    out = op.asof_join("j", left, right, ts_col="ts")
+    got = sorted((r["key"], r["lv"], r["rv"]) for r in rows(out))
+    # a@5 matches r@5 (equal ts included); a@20 matches r@10; b has none
+    assert got == [("a", 100, 2.0), ("a", 200, 3.0), ("b", 300, None)]
+
+    flow2 = Dataflow("asof_tol")
+    left2 = keyed(flow2, "l", [("a", t(5), 100), ("a", t(20), 200)], "k string, ts timestamp, lv long")
+    right2 = keyed(flow2, "r", [("a", t(3), 1.0), ("a", t(10), 3.0)], "k string, ts timestamp, rv double")
+    left2 = op.map_value("lp", left2, {"ts": "ts", "lv": "lv"})
+    right2 = op.map_value("rp", right2, {"ts": "ts", "rv": "rv"})
+    out2 = op.asof_join("j", left2, right2, ts_col="ts", tolerance=F.expr("INTERVAL 5 MINUTES"))
+    got2 = sorted((r["key"], r["lv"], r["rv"]) for r in rows(out2))
+    # a@20's match r@10 is 10 min stale > 5 min tolerance -> nulled
+    assert got2 == [("a", 100, 1.0), ("a", 200, None)]
+
+
 def test_join_three_way(spark):
     """N-way join (reference join takes *sides): three sides, final
     emit — full outer with NULLs for absent sides."""
