@@ -326,6 +326,34 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.df.select(F.col("u").alias("user_id"), "ts", "click_id", "purchase_value")
 
 
+def clicks_within_purchase_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interval_join (bucketed range join): every click inside the
+    hour following any purchase by the same user. The 1h bucket makes
+    the join pure equi on (user, bucket); containment is a
+    post-filter."""
+    flow = _flow("ivj")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    clicks = op.key_on(
+        "ck",
+        op.map("cproj", op.filter("cf", ev, F.col("event_type") == "click"),
+               {"u": "user_id", "cts": "ts", "click_id": "event_id"}),
+        "u", key_col="u",
+    )
+    windows = op.key_on(
+        "pk",
+        op.map("pproj", op.filter("pf", ev, F.col("event_type") == "purchase"),
+               {"u": "user_id", "pstart": "ts",
+                "pend": F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+                "purchase_id": "event_id"}),
+        "u", key_col="u",
+    )
+    j = op.interval_join(
+        "j", clicks, windows, ts_col="cts", start_col="pstart", end_col="pend",
+        bucket=timedelta(hours=1),
+    )
+    return j.df.select(F.col("u").alias("user_id"), "click_id", "purchase_id")
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference (SURVEY §2.7): grouping-set rollup — the
     reference has no grouping sets/cube/rollup at all; Spark gives the
@@ -929,6 +957,13 @@ _ORACLES: dict[str, str] = {
                         WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
+    "clicks_within_purchase_hour": """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+    """,
     "rollup_revenue": """
         SELECT l_returnflag, l_linestatus,
                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
@@ -1289,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_arrivals_hourly": late_arrivals_hourly,
         "price_bands_arrow": price_bands_arrow,
         "asof_click_purchase": asof_click_purchase,
+        "clicks_within_purchase_hour": clicks_within_purchase_hour,
         "rollup_revenue": rollup_revenue,
         "top3_orders_per_customer": top3_orders_per_customer,
         "users_click_and_purchase": users_click_and_purchase,

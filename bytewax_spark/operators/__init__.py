@@ -72,6 +72,7 @@ __all__ = [
     "join",
     "running_join",
     "asof_join",
+    "interval_join",
     "JoinMode",
 ]
 
@@ -881,6 +882,65 @@ def asof_join(
         )
     else:
         out = out.select(key, ts_col, *lcols, *rcols)
+    return KeyedStream(flow, fq, out, key)
+
+
+def interval_join(
+    step_id: str,
+    points: KeyedStream,
+    intervals: KeyedStream,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: "timedelta | None" = None,
+) -> KeyedStream:
+    """Per-key range join: each point row is matched with every
+    interval row whose ``[start, end)`` contains its timestamp. Beyond
+    the reference (SURVEY §2.7: no interval/range joins).
+
+    Spark plans a plain ``ts >= start AND ts < end`` non-equi join as
+    a per-key nested loop — a cross product on hot keys. With
+    ``bucket``, intervals explode into the coarse time buckets they
+    overlap and points carry their single bucket, so the join is pure
+    equi ``(key, bucket)`` — hash-shuffled, AQE-skew-splittable — with
+    the exact containment check as a post-filter. Pick ``bucket`` near
+    the typical interval length: shorter → more interval duplication;
+    longer → more false candidates filtered after the join.
+
+    Column names across sides must be disjoint apart from the key.
+    """
+    points = _require_keyed(step_id, points)
+    intervals = _require_keyed(step_id, intervals)
+    key = points.key_col
+    if intervals.key_col != key:
+        raise ValueError("interval_join sides must share the key column name")
+    flow = points.flow
+    fq = flow.register(step_id, "interval_join", (points.step_id, intervals.step_id))
+
+    overlap = (set(points.df.columns) & set(intervals.df.columns)) - {key}
+    if overlap:
+        raise ValueError(f"interval_join value columns overlap: {sorted(overlap)}")
+
+    contained = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    if bucket is None:
+        out = points.df.join(intervals.df, on=key).filter(contained)
+        return KeyedStream(flow, fq, out, key)
+
+    b_us = int(bucket.total_seconds() * 1_000_000)
+    p_b = points.df.withColumn(
+        "_b", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / b_us)
+    )
+    i_b = intervals.df.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / b_us),
+                # end is exclusive: the bucket of (end - 1us) is the last
+                F.floor((F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / b_us),
+            )
+        ),
+    )
+    out = p_b.join(i_b, on=[key, "_b"]).filter(contained).drop("_b")
     return KeyedStream(flow, fq, out, key)
 
 

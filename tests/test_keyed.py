@@ -130,6 +130,29 @@ def test_asof_join_backward_with_tolerance(spark):
     assert got2 == [("a", 100, 1.0), ("a", 200, None)]
 
 
+def test_interval_join_bucketed_is_equi(spark):
+    """Bucketed range join: correct containment matches (boundary
+    inclusive start / exclusive end, cross-bucket intervals) and a
+    hash-join plan — no nested-loop join."""
+    from datetime import datetime, timedelta
+
+    t = lambda m: datetime(2024, 1, 1, 0, 0) + timedelta(minutes=m)  # noqa: E731
+    flow = Dataflow("ivj")
+    pts = keyed(flow, "p", [("a", t(5), 1), ("a", t(59), 2), ("a", t(61), 3), ("b", t(5), 9)],
+                "k string, ts timestamp, pid long")
+    pts = op.map_value("pp", pts, {"ts": "ts", "pid": "pid"})
+    iv = keyed(flow, "i", [("a", t(0), t(60), 100), ("a", t(58), t(62), 200)],
+               "k string, s timestamp, e timestamp, iid long")
+    iv = op.map_value("ip", iv, {"s": "s", "e": "e", "iid": "iid"})
+    out = op.interval_join("j", pts, iv, ts_col="ts", start_col="s", end_col="e",
+                           bucket=timedelta(minutes=30))
+    got = sorted((r["pid"], r["iid"]) for r in rows(out))
+    # t(5)->iv100; t(59)->both; t(61)->iv200 only (60 exclusive in iv100)
+    assert got == [(1, 100), (2, 100), (2, 200), (3, 200)]
+    plan = out.df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_join_three_way(spark):
     """N-way join (reference join takes *sides): three sides, final
     emit — full outer with NULLs for absent sides."""
