@@ -43,7 +43,29 @@ def run_main(flow: Dataflow, checkpoint: str | None = None, **trigger: Any) -> N
 def _locate_flow(spec: str) -> Dataflow:
     """Import ``module:attr`` → Dataflow (reference ``run.py:30-117``)."""
     mod_name, _, attr = spec.partition(":")
-    mod = importlib.import_module(mod_name)
+    # Flow modules build their Dataflow eagerly at import time; any
+    # UDF-backed operator they call pickles its callback right then.
+    # Register the module for pickle-by-VALUE before its body runs, or
+    # executors deserializing a module-level callback would re-import
+    # the module — re-running flow construction on a worker and hitting
+    # SPARK-5063 (SparkContext only valid on the driver).
+    from pyspark import cloudpickle
+
+    mod = sys.modules.get(mod_name)
+    if mod is None:
+        modspec = importlib.util.find_spec(mod_name)
+        if modspec is None:
+            raise ModuleNotFoundError(f"No module named {mod_name!r}")
+        mod = importlib.util.module_from_spec(modspec)
+        sys.modules[mod_name] = mod
+        cloudpickle.register_pickle_by_value(mod)
+        try:
+            modspec.loader.exec_module(mod)
+        except BaseException:
+            del sys.modules[mod_name]
+            raise
+    else:
+        cloudpickle.register_pickle_by_value(mod)
     obj = getattr(mod, attr or "flow")
     if callable(obj) and not isinstance(obj, Dataflow):
         obj = obj()

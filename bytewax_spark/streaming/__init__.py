@@ -41,7 +41,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from bytewax_spark.dataflow import KeyedStream
 from bytewax_spark.operators import _require_keyed
 
-__all__ = ["StatefulBatchLogic", "stateful_batch", "stateful", "collect_stream"]
+__all__ = [
+    "StatefulBatchLogic",
+    "stateful_batch",
+    "stateful",
+    "collect_stream",
+    "stateful_map_stream",
+]
 
 
 class StatefulBatchLogic(ABC):
@@ -187,6 +193,51 @@ def stateful(
     """Per-item flavor (reference ``stateful``): same engine primitive;
     logic authors simply iterate the batch rows."""
     return stateful_batch(step_id, up, builder, schema)
+
+
+def stateful_map_stream(
+    step_id: str,
+    up: KeyedStream,
+    mapper: Callable[[Any, Any], tuple[Any, Any]],
+    value_col: str,
+    out_col: str,
+    out_type: str = "double",
+    order_by: str | None = None,
+) -> KeyedStream:
+    """Streaming ``stateful_map`` with the reference's exact per-row
+    contract (``operators/__init__.py:2920-3006``): ``mapper(state,
+    value) -> (new_state, out)`` per item, state persists per key
+    across micro-batches (pickled in the state store). The batch-mode
+    ``op.stateful_map`` compiles to window functions instead; this is
+    the unbounded-stream path.
+
+    ``order_by`` sorts each delivered micro-batch per key (shuffle
+    order is not source order); cross-batch order is arrival order.
+    """
+    if not up.df.isStreaming:
+        raise ValueError("stateful_map_stream requires a streaming input; use op.stateful_map in batch")
+
+    class _SMap(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.state = snap
+
+        def on_batch(self, pdf):
+            if order_by is not None:
+                pdf = pdf.sort_values(order_by)
+            outs = []
+            for v in pdf[value_col]:
+                self.state, out = mapper(self.state, v)
+                outs.append(out)
+            res = pdf.copy()
+            res[out_col] = outs
+            return res, self.RETAIN
+
+        def snapshot(self):
+            return self.state
+
+    up = _require_keyed(step_id, up)
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in up.df.schema.fields)
+    return stateful_batch(step_id, up, _SMap, schema=f"{in_schema}, {out_col} {out_type}")
 
 
 def collect_stream(

@@ -80,3 +80,36 @@ def test_simple_polling_source_fetches(spark, tmp_path):
     finally:
         q.stop()
     assert rows and rows[0]["metric"] == "up" and rows[0]["v"] == 1
+
+
+def test_locate_flow_module_callbacks_ship_by_value(tmp_path, monkeypatch, spark):
+    """Module-level callbacks in a flow module must pickle by VALUE:
+    pickle-by-reference would make executors re-import the module,
+    re-running eager flow construction on a worker (SPARK-5063)."""
+    mod = tmp_path / "cbflow.py"
+    mod.write_text(
+        "import bytewax_spark.operators as op\n"
+        "from bytewax_spark.dataflow import Dataflow\n"
+        "from bytewax_spark.sinks import MemorySink\n"
+        "from bytewax_spark.sources import TestingSource\n"
+        "from bytewax_spark.streaming import stateful_map_stream\n"
+        "flow = Dataflow('cb')\n"
+        "s = op.input('in', flow, TestingSource(\n"
+        "    [('a', 1, 1), ('a', 2, 2)],\n"
+        "    schema='k string, seq long, v long', streaming=True, files=2))\n"
+        "ks = op.key_on('key', s, 'k')\n"
+        "def running_sum(state, v):\n"
+        "    s = (state or 0) + v\n"
+        "    return s, s\n"
+        "out = stateful_map_stream('sum', ks, running_sum, value_col='v',\n"
+        "                          out_col='total', out_type='long', order_by='seq')\n"
+        "op.output('out', out, MemorySink('cbflow_out'))\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    try:
+        flow = _locate_flow("cbflow:flow")
+        run_main(flow)
+        rows = spark.sql("SELECT * FROM cbflow_out").collect()
+    finally:
+        sys.modules.pop("cbflow", None)
+    assert sorted((r["seq"], r["total"]) for r in rows) == [(1, 1), (2, 3)]

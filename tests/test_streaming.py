@@ -267,6 +267,74 @@ def test_stateful_batch_timers_notify(spark):
     assert [(r["key"], r["n"]) for r in rows] == [("a", 2)]
 
 
+def test_stateful_map_stream_running_sum_across_batches(spark):
+    """Reference stateful_map contract per row: mapper(state, v) ->
+    (state, out); state persists across micro-batches per key."""
+    from bytewax_spark.streaming import stateful_map_stream
+
+    def running_sum(state, v):
+        s = (state or 0) + v
+        return s, s
+
+    flow = Dataflow("smap_s")
+    s = op.input(
+        "in", flow,
+        TestingSource(
+            [("a", 1, 1), ("a", 2, 2), ("b", 3, 10), ("a", 4, 3)],
+            schema="k string, seq long, v long",
+            streaming=True,
+            files=2,  # two micro-batches; state must carry across
+        ),
+    )
+    ks = op.key_on("key", s, "k")
+    out = stateful_map_stream("sum", ks, running_sum, value_col="v", out_col="total",
+                              out_type="long", order_by="seq")
+    sink = MemorySink("smap_s_out")
+    op.output("out", out, sink)
+    rows = drain(spark, flow, "smap_s_out")
+    got = sorted((r["k"], r["seq"], r["total"]) for r in rows)
+    assert got == [("a", 1, 1), ("a", 2, 3), ("a", 4, 6), ("b", 3, 10)]
+
+
+def test_streaming_custom_fold_window_sliding(spark):
+    """Streaming custom fold over SLIDING windows: multi-assigned rows
+    buffer per (key, window); each window emits once on close."""
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+
+    def sum_fold(pdf):
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "window_start": [pdf["window_start"].iloc[0]],
+                "total": [int(pdf["v"].sum())],
+            }
+        )
+
+    flow = Dataflow("s_slide")
+    s = op.input(
+        "in", flow,
+        TestingSource(
+            [("a", ts(1), 1), ("a", ts(11), 2), ("a", ts(40), 100)],
+            schema="k string, ts timestamp, v long",
+            streaming=True,
+            files=2,
+        ),
+    )
+    ks = op.key_on("key", s, "k")
+    folded = win.fold_window(
+        "w", ks, win.EventClock("ts", timedelta(minutes=1)),
+        win.SlidingWindower(timedelta(minutes=20), timedelta(minutes=10)),
+        fold=sum_fold, schema="key string, window_start timestamp, total long",
+    )
+    sink = MemorySink("s_slide_out")
+    op.output("out", folded, sink)
+    rows = drain(spark, flow, "s_slide_out", output_mode="append")
+    got = sorted((r["window_start"].minute, r["total"]) for r in rows)
+    # windows closed by watermark 00:39: [-10,10)={1}, [0,20)={1,2},
+    # [10,30)={2}; [30,50)/[40,60) still open
+    assert got == [(0, 3), (10, 2), (50, 1)]
+
+
 def test_collect_stream_size_trigger_batch_mode(spark):
     """collect_stream chunks per key at max_size and flushes the tail
     at EOF (reference collect's size/timeout batching)."""
