@@ -287,6 +287,88 @@ def _streaming_window_fold(
     )
 
 
+def _streaming_session_fold(
+    df: DataFrame,
+    key_col: str,
+    ts_field: str,
+    gap: timedelta,
+    fold: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: Any,
+) -> DataFrame:
+    """Streaming custom fold over SESSION windows (SURVEY §7.4 hard
+    part #3 — the reference's ``on_merge`` protocol,
+    ``windowing.py:688-715, :979-992``).
+
+    Session bounds move as data arrives, so state cannot key on window
+    bounds like :func:`_streaming_window_fold`. Compile: state key =
+    the stream key alone; state = the key's open sessions, each
+    ``(start, end=last_ts+gap, buffered rows)``. Each micro-batch
+    seeds a single-row session per new row, then runs the reference's
+    sort-and-merge (adjacent sessions merge when ``next.start <=
+    cur.end`` — a gap-sized or smaller silence joins, matching the
+    batch path's ``lag > gap`` split). A session emits its fold
+    exactly once when the event-time watermark passes its end; the
+    per-key timer re-arms to the earliest still-open session end.
+
+    State is bounded by (open sessions per key) x (rows per session)
+    and is checkpoint-covered. Timestamps before 1970 would compare
+    below the initial 0 watermark and mis-emit; session data is
+    assumed epoch-positive.
+    """
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_cols = df.columns
+    ts_i = in_cols.index(ts_field)
+    gap_us = _us(gap)
+
+    def _emit_due(sessions: list, wm_ms: int):
+        due = [s for s in sessions if s[1] // 1000 <= wm_ms]
+        keep = [s for s in sessions if s[1] // 1000 > wm_ms]
+        outs = []
+        for start_us, end_us, rows in due:
+            pdf = pd.DataFrame(rows, columns=in_cols)
+            pdf["window_start"] = pd.Timestamp(start_us * 1000)
+            pdf["window_end"] = pd.Timestamp(end_us * 1000)
+            out = fold(pdf)
+            if out is not None and len(out):
+                outs.append(out)
+        return outs, keep
+
+    def run(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        sessions = pickle.loads(state.get[0]) if state.exists else []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for row in pdf[in_cols].itertuples(index=False, name=None):
+                    t = pd.Timestamp(row[ts_i]).value // 1000
+                    sessions.append((t, t + gap_us, [row]))
+            sessions.sort(key=lambda s: s[0])
+            merged: list = []
+            for s in sessions:
+                if merged and s[0] <= merged[-1][1]:
+                    last = merged[-1]
+                    merged[-1] = (last[0], max(last[1], s[1]), last[2] + s[2])
+                else:
+                    merged.append(s)
+            sessions = merged
+        outs, sessions = _emit_due(sessions, state.getCurrentWatermarkMs())
+        if sessions:
+            state.update((pickle.dumps(sessions),))
+            state.setTimeoutTimestamp(min(s[1] for s in sessions) // 1000)
+        elif state.exists:
+            state.remove()
+        yield from outs
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        run,
+        outputStructType=schema,
+        stateStructType="buf binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _windowed_agg(
     step_id: str,
     op_name: str,
@@ -309,12 +391,15 @@ def _windowed_agg(
         if schema is None:
             raise ValueError(f"step {step_id!r}: custom fold requires schema")
         if df.isStreaming and isinstance(windower, SessionWindower):
-            raise NotImplementedError(
-                f"step {step_id!r}: streaming session windows support declarative aggs "
-                "(F.session_window handles the gap merge); a custom fold would need the "
-                "reference's on_merge protocol (windowing.py:979-992) in a stateful "
-                "processor — run this fold in batch mode, or use aggs="
+            if not isinstance(clock, EventClock):
+                raise ValueError(
+                    f"step {step_id!r}: streaming session folds need an EventClock "
+                    "(the watermark drives session close)"
+                )
+            out = _streaming_session_fold(
+                df, up.key_col, clock.ts_field, windower.gap, fold, schema
             )
+            return KeyedStream(up.flow, fq, out, up.key_col)
         with_win = assign_windows(df, ts, windower, key_col=up.key_col)
         if df.isStreaming:
             out = _streaming_window_fold(with_win, up.key_col, fold, schema)

@@ -396,3 +396,53 @@ def test_streaming_parquet_sink_exactly_once_layout(spark, tmp_path):
     op.output("sink", s, ParquetSink(out_dir))
     run_main(flow, checkpoint=str(tmp_path / "ckpt"))
     assert sorted(r["x"] for r in spark.read.parquet(out_dir).collect()) == [1, 2]
+
+
+def test_streaming_custom_fold_session_merges_across_batches(spark):
+    """Streaming custom fold over SESSION windows (reference on_merge,
+    windowing.py:688-715): a row arriving in a later micro-batch within
+    the gap extends/merges the open session; each merged session folds
+    and emits exactly once when the watermark passes its end."""
+    ts = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)  # noqa: E731
+
+    def sum_fold(pdf):
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "window_start": [pdf["window_start"].iloc[0]],
+                "window_end": [pdf["window_end"].iloc[0]],
+                "total": [int(pdf["v"].sum())],
+            }
+        )
+
+    flow = Dataflow("s_sess")
+    s = op.input(
+        "in", flow,
+        TestingSource(
+            # batch 1: a@0, a@30, b@2; batch 2: a@5 (merges into the
+            # a@0 session - 5min silence < 10min gap), a@90 (pushes the
+            # watermark to 1:00, closing everything before it)
+            [("a", ts(0), 1), ("a", ts(30), 4), ("b", ts(2), 10),
+             ("a", ts(5), 2), ("a", ts(90), 100)],
+            schema="k string, ts timestamp, v long",
+            streaming=True,
+            files=2,
+        ),
+    )
+    ks = op.key_on("key", s, "k")
+    folded = win.fold_window(
+        "w", ks, win.EventClock("ts", timedelta(minutes=30)),
+        win.SessionWindower(timedelta(minutes=10)),
+        fold=sum_fold,
+        schema="key string, window_start timestamp, window_end timestamp, total long",
+    )
+    sink = MemorySink("s_sess_out")
+    op.output("out", folded, sink)
+    rows = drain(spark, flow, "s_sess_out", output_mode="append")
+    got = sorted(
+        (r["key"], r["window_start"].minute, r["window_end"].minute, r["total"])
+        for r in rows
+    )
+    # a: [0:00,0:15) total 1+2, [0:30,0:40) total 4; b: [0:02,0:12);
+    # a@90's session [1:30,1:40) is still open at the final watermark
+    assert got == [("a", 0, 15, 3), ("a", 30, 40, 4), ("b", 2, 12, 10)]
