@@ -47,6 +47,7 @@ __all__ = [
     "stateful",
     "collect_stream",
     "stateful_map_stream",
+    "stateful_flat_map_stream",
 ]
 
 
@@ -238,6 +239,51 @@ def stateful_map_stream(
     up = _require_keyed(step_id, up)
     in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in up.df.schema.fields)
     return stateful_batch(step_id, up, _SMap, schema=f"{in_schema}, {out_col} {out_type}")
+
+
+def stateful_flat_map_stream(
+    step_id: str,
+    up: KeyedStream,
+    mapper: Callable[[Any, Any], tuple[Any, Any]],
+    value_col: str,
+    out_col: str,
+    out_type: str = "double",
+    order_by: str | None = None,
+) -> KeyedStream:
+    """Streaming ``stateful_flat_map`` (reference
+    ``operators/__init__.py:2860-2917``): ``mapper(state, value) ->
+    (new_state, iterable_of_outputs)`` per item; ``new_state=None``
+    discards the key's state (the next item rebuilds from scratch).
+    1→many means input rows can't be carried through — the output is
+    ``(key, out_col)`` rows. Batch mode: use ``op.stateful_flat_map``.
+    """
+    if not up.df.isStreaming:
+        raise ValueError(
+            "stateful_flat_map_stream requires a streaming input; use op.stateful_flat_map in batch"
+        )
+
+    class _SFMap(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.state = snap
+
+        def on_batch(self, pdf):
+            if order_by is not None:
+                pdf = pdf.sort_values(order_by)
+            outs: list[Any] = []
+            for v in pdf[value_col]:
+                self.state, emitted = mapper(self.state, v)
+                outs.extend(emitted)
+            res = pd.DataFrame({out_col: outs})
+            return res, (self.DISCARD if self.state is None else self.RETAIN)
+
+        def snapshot(self):
+            return self.state
+
+    up = _require_keyed(step_id, up)
+    key_type = {f.name: f.dataType.simpleString() for f in up.df.schema.fields}[up.key_col]
+    return stateful_batch(
+        step_id, up, _SFMap, schema=f"{up.key_col} {key_type}, {out_col} {out_type}"
+    )
 
 
 def collect_stream(

@@ -446,3 +446,38 @@ def test_streaming_custom_fold_session_merges_across_batches(spark):
     # a: [0:00,0:15) total 1+2, [0:30,0:40) total 4; b: [0:02,0:12);
     # a@90's session [1:30,1:40) is still open at the final watermark
     assert got == [("a", 0, 15, 3), ("a", 30, 40, 4), ("b", 2, 12, 10)]
+
+
+def test_stateful_flat_map_stream_deltas_with_discard(spark):
+    """Reference stateful_flat_map: mapper(state, v) -> (state, outs);
+    state=None discards the key (next item rebuilds from scratch).
+    Emits the delta to the previous value; negative values reset."""
+    from bytewax_spark.streaming import stateful_flat_map_stream
+
+    def deltas(state, v):
+        if v < 0:
+            return None, []  # reset sentinel: discard state, emit nothing
+        if state is None:
+            return v, []  # first value after (re)build seeds, no emit
+        return v, [v - state]
+
+    flow = Dataflow("sfmap_s")
+    s = op.input(
+        "in", flow,
+        TestingSource(
+            # batch 1: 1, 3 (emit 2), -1 (discard); batch 2 rebuilds:
+            # 5 seeds, 7 emits 2 — discard must survive the batch break
+            [("a", 1, 1), ("a", 2, 3), ("a", 3, -1), ("a", 4, 5), ("a", 5, 7)],
+            schema="k string, seq long, v long",
+            streaming=True,
+            files=2,
+        ),
+    )
+    ks = op.key_on("key", s, "k")
+    out = stateful_flat_map_stream("d", ks, deltas, value_col="v", out_col="delta",
+                                   out_type="long", order_by="seq")
+    sink = MemorySink("sfmap_s_out")
+    op.output("out", out, sink)
+    rows = drain(spark, flow, "sfmap_s_out")
+    assert sorted(r["delta"] for r in rows) == [2, 2]
+    assert all(r["key"] == "a" for r in rows)
