@@ -20,7 +20,10 @@ Semantics notes (SURVEY §7.3 divergences, documented not hidden):
   batch; in streaming we surface would-be-dropped rows via an explicit
   pre-filter side output (Spark drops late rows silently).
 - ``WindowMetadata.merged_ids`` for sessions has no built-in analog;
-  ``meta`` carries (key, window_start, window_end) bounds instead.
+  the declarative path's ``meta`` carries (key, window_start,
+  window_end) bounds. ``window(..., arrival_col=...)`` over sessions
+  replays the reference windower per key and emits real ``window_id``
+  + ``merged_ids`` (see :func:`_session_replay_assign`).
 """
 
 from __future__ import annotations
@@ -221,6 +224,110 @@ def assign_windows(
     raise TypeError(f"unknown windower {windower!r}")
 
 
+def _session_replay_assign(
+    up: KeyedStream, clock: EventClock, windower: SessionWindower, arrival_col: str
+) -> DataFrame:
+    """Arrival-order replay of the reference's session windower
+    (``windowing.py:671-810``): per-key incrementing int window ids,
+    gap-merge recording absorbed ids in the survivor's ``merged_ids``
+    (``_session_find_merges``, ``:688-715``), watermark = running
+    ``max(ts) - wait_for_system_duration``, items below it late
+    (``LATE_SESSION_ID``), sessions removed once the watermark passes
+    ``close + gap`` (``close_for``, ``:775-789``).
+
+    Adds ``window_id``, ``window_start``, ``window_end`` (= close +
+    gap, Spark ``session_window`` bounds), ``merged_ids`` and ``_late``
+    columns. Like the tumbling/sliding late path this replays
+    single-worker arrival semantics for test/debug fidelity — per-key
+    Python, one shuffle on the key; the 100 TB session path is the
+    declarative ``F.session_window`` aggregate."""
+    import pyspark.sql.types as T
+
+    gap_us, delay_us = _us(windower.gap), _us(clock.watermark_delay)
+    ts_field, key_col = clock.ts_field, up.key_col
+    in_cols = list(up.df.columns)
+    ts_dt = up.df.schema[ts_field].dataType
+    schema = T.StructType(
+        list(up.df.schema.fields)
+        + [
+            T.StructField("window_id", T.LongType()),
+            T.StructField("window_start", ts_dt),
+            T.StructField("window_end", ts_dt),
+            T.StructField("merged_ids", T.ArrayType(T.LongType())),
+            T.StructField("_late", T.BooleanType()),
+        ]
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(arrival_col, kind="stable").reset_index(drop=True)
+        t_us = (pdf[ts_field].astype("int64") // 1000).tolist()
+        active: dict[int, list] = {}  # id -> [open_us, close_us, merged:set]
+        done: dict[int, list] = {}
+        remap: dict[int, int] = {}
+        next_id, max_ts = 0, None
+        assigned: list[int] = []
+
+        def find_merges() -> None:
+            items = sorted(active.items(), key=lambda kv: kv[1][0])
+            last_id, last = items[0]
+            for wid, s in items[1:]:
+                if s[0] - last[1] <= gap_us:
+                    last[1] = max(last[1], s[1])
+                    last[2].add(wid)
+                    remap[wid] = last_id
+                    del active[wid]
+                else:
+                    last_id, last = wid, s
+
+        for t in t_us:
+            max_ts = t if max_ts is None else max(max_ts, t)
+            wm = max_ts - delay_us
+            for wid in [w for w, s in active.items() if s[1] < wm - gap_us]:
+                done[wid] = active.pop(wid)
+            if t < wm:
+                assigned.append(-1)
+                continue
+            sid = None
+            for wid, s in active.items():
+                if s[0] <= t <= s[1]:
+                    sid = wid
+                    break
+                if 0 < s[0] - t <= gap_us:
+                    s[0] = t
+                    sid = wid
+                    find_merges()
+                    break
+                if 0 < t - s[1] <= gap_us:
+                    s[1] = t
+                    sid = wid
+                    find_merges()
+                    break
+            if sid is None:
+                sid, next_id = next_id, next_id + 1
+                active[sid] = [t, t, set()]
+            assigned.append(sid)
+
+        done.update(active)
+
+        def resolve(wid: int) -> int:
+            while wid in remap:
+                wid = remap[wid]
+            return wid
+
+        final = [resolve(w) if w >= 0 else -1 for w in assigned]
+        out = pdf.copy()
+        out["window_id"] = pd.array(final, dtype="int64")
+        out["_late"] = [w < 0 for w in final]
+        starts = [done[w][0] if w >= 0 else None for w in final]
+        ends = [done[w][1] + gap_us if w >= 0 else None for w in final]
+        out["window_start"] = pd.to_datetime(pd.array(starts, dtype="Int64"), unit="us")
+        out["window_end"] = pd.to_datetime(pd.array(ends, dtype="Int64"), unit="us")
+        out["merged_ids"] = [sorted(done[w][2]) if w >= 0 else [] for w in final]
+        return out
+
+    return up.df.groupBy(key_col).applyInPandas(replay, schema=schema)
+
+
 @dataclass(frozen=True)
 class WindowOut:
     """(down, late, meta) triple (reference ``WindowOut``,
@@ -378,6 +485,7 @@ def _windowed_agg(
     agg_cols: list[tuple[str, Column]],
     fold: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     schema: Any | None = None,
+    ordered: bool = False,
 ) -> KeyedStream:
     up = _require_keyed(step_id, up)
     fq = up.flow.register(step_id, op_name, (up.step_id,))
@@ -390,6 +498,20 @@ def _windowed_agg(
     if fold is not None:
         if schema is None:
             raise ValueError(f"step {step_id!r}: custom fold requires schema")
+        if ordered:
+            # reference `ordered=True` (windowing.py:1095-1108): buffer
+            # and replay items to the fold in timestamp order. The sort
+            # is per (key, window) inside the Arrow batch — no extra
+            # shuffle; stable so equal timestamps keep arrival order
+            # (streaming buffer order / batch partition order).
+            if not isinstance(clock, EventClock):
+                raise ValueError(
+                    f"step {step_id!r}: ordered=True needs an EventClock timestamp column"
+                )
+            inner, tsf = fold, clock.ts_field
+
+            def fold(pdf: pd.DataFrame) -> pd.DataFrame:  # noqa: F811
+                return inner(pdf.sort_values(tsf, kind="stable").reset_index(drop=True))
         if df.isStreaming and isinstance(windower, SessionWindower):
             if not isinstance(clock, EventClock):
                 raise ValueError(
@@ -451,8 +573,11 @@ def window(
     - otherwise: the whole input is one epoch (nothing is late), the
       reference's behavior for a single-batch ``TestingSource``.
 
-    ``SessionWindower`` + ``arrival_col`` is not supported: session
-    lateness needs the reference's ``LATE_SESSION_ID`` merge protocol.
+    ``SessionWindower`` + ``arrival_col`` replays the reference's
+    session windower per key (:func:`_session_replay_assign`): ``meta``
+    carries the reference's int ``window_id`` and ``merged_ids``
+    (absorbed session ids), and items below the watermark land on
+    ``late`` (the ``LATE_SESSION_ID`` route).
     """
     if arrival_col is None or up.df.isStreaming:
         down = fold_window(step_id, up, clock, windower, aggs)
@@ -465,7 +590,24 @@ def window(
         return WindowOut(down=down, late=late, meta=meta)
 
     if isinstance(windower, SessionWindower):
-        raise ValueError("late-split over sessions is not supported (LATE_SESSION_ID)")
+        if not isinstance(clock, EventClock):
+            raise ValueError(f"step {step_id!r}: session late-split needs an EventClock")
+        up = _require_keyed(step_id, up)
+        fq = up.flow.register(step_id, "window", (up.step_id,))
+        assigned = _session_replay_assign(up, clock, windower, arrival_col)
+        ok = assigned.filter(~F.col("_late"))
+        down_df = ok.groupBy(up.key_col, "window_start", "window_end").agg(
+            *[c.alias(n) for n, c in aggs.items()]
+        )
+        late_df = assigned.filter(F.col("_late")).select(*up.df.columns)
+        meta_df = ok.select(
+            up.key_col, "window_id", "window_start", "window_end", "merged_ids"
+        ).distinct()
+        return WindowOut(
+            down=KeyedStream(up.flow, fq, down_df, up.key_col),
+            late=Stream(up.flow, f"{fq}.late", late_df),
+            meta=Stream(up.flow, f"{fq}.meta", meta_df),
+        )
     up = _require_keyed(step_id, up)
     fq = up.flow.register(step_id, "window", (up.step_id,))
     from pyspark.sql import Window as W
@@ -511,13 +653,24 @@ def fold_window(
     aggs: Mapping[str, Column] | None = None,
     fold: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     schema: Any | None = None,
+    ordered: bool = False,
 ) -> KeyedStream:
     """Per-(key, window) fold, emitted on window close (reference
     windowing.py:1717-1846). Columnar ``aggs`` → ``groupBy(key,
     window).agg`` (partial agg + codegen); opaque ``fold`` →
-    ``applyInPandas`` per (key, window)."""
+    ``applyInPandas`` per (key, window). ``ordered=True`` replays the
+    window's items to ``fold`` in timestamp order (reference
+    windowing.py:1284-1287)."""
     return _windowed_agg(
-        step_id, "fold_window", up, clock, windower, list((aggs or {}).items()), fold, schema
+        step_id,
+        "fold_window",
+        up,
+        clock,
+        windower,
+        list((aggs or {}).items()),
+        fold,
+        schema,
+        ordered=ordered,
     )
 
 

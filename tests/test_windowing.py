@@ -223,3 +223,86 @@ def test_window_late_split_sliding_partial_open(spark):
     # [0,2): only the first item (5 arrived after close); [1,3): 1+10+5
     # [2,4): 10
     assert got == {(0, 1), (1, 16), (2, 10)}
+
+
+def test_fold_window_ordered_replays_ts_order(spark):
+    """ordered=True (reference windowing.py:1095-1108): the fold sees
+    the window's items in timestamp order even when the input isn't."""
+    flow = Dataflow("ordered")
+    ks = keyed_events(
+        flow,
+        [("a", ts(0, 30), 3), ("a", ts(0, 10), 1), ("a", ts(0, 20), 2)],
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"key": [pdf["key"].iloc[0]], "seq": ["-".join(str(v) for v in pdf["v"])]}
+        )
+
+    out = win.fold_window(
+        "w",
+        ks,
+        CLOCK,
+        win.TumblingWindower(timedelta(minutes=1)),
+        fold=fold,
+        schema="key string, seq string",
+        ordered=True,
+    )
+    assert rows(out) == [{"key": "a", "seq": "1-2-3"}]
+
+
+def test_session_window_merged_ids(spark):
+    """Reference session merge (windowing.py:688-715): an out-of-order
+    item bridges two open sessions; the survivor (earlier open, lower
+    id) records the absorbed id in merged_ids."""
+    flow = Dataflow("smerge")
+    data = [
+        ("a", ts(0), 1, 1),   # opens session 0
+        ("a", ts(18), 2, 2),  # gap 10m away -> opens session 1
+        ("a", ts(8), 3, 3),   # extends session 0 to 0:08; 18-8 <= gap -> merge
+    ]
+    s = op.input("in", flow, TestingSource(data, schema="k string, ts timestamp, v long, arr long"))
+    ks = op.key_on("key", s, "k")
+    wo = win.window(
+        "w",
+        ks,
+        win.EventClock("ts", wait_for_system_duration=timedelta(hours=1)),
+        win.SessionWindower(timedelta(minutes=10)),
+        {"total": F.sum("v")},
+        arrival_col="arr",
+    )
+    assert rows(wo.late) == []
+    down = rows(wo.down)
+    assert [(r["window_start"].minute, r["window_end"].minute, r["total"]) for r in down] == [
+        (0, 28, 6)
+    ]
+    meta = rows(wo.meta)
+    assert [(r["window_id"], r["merged_ids"]) for r in meta] == [(0, [1])]
+
+
+def test_session_window_late_split(spark):
+    """Items below the watermark take the LATE_SESSION_ID route; closed
+    sessions don't absorb later in-gap items (close_for semantics)."""
+    flow = Dataflow("slate")
+    data = [
+        ("a", ts(0, 10), 1, 1),
+        ("a", ts(30), 2, 2),    # watermark -> 0:30; session 0 closes (0:10+10 < 0:30)
+        ("a", ts(0, 30), 9, 3),  # below watermark -> late
+    ]
+    s = op.input("in", flow, TestingSource(data, schema="k string, ts timestamp, v long, arr long"))
+    ks = op.key_on("key", s, "k")
+    wo = win.window(
+        "w",
+        ks,
+        win.EventClock("ts"),
+        win.SessionWindower(timedelta(minutes=10)),
+        {"total": F.sum("v")},
+        arrival_col="arr",
+    )
+    assert [(r["k"], r["v"]) for r in rows(wo.late)] == [("a", 9)]
+    got = {(r["window_start"].minute, r["total"]) for r in rows(wo.down)}
+    assert got == {(0, 1), (30, 2)}
+    meta = {(r["window_id"], tuple(r["merged_ids"])) for r in rows(wo.meta)}
+    assert meta == {(0, ()), (1, ())}
