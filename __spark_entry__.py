@@ -394,6 +394,77 @@ def users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clickers.intersect(buyers)
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + single agg. Every predicate
+    reaches the parquet scan (PushedFilters); the plan is scan →
+    partial agg → one-row exchange — the minimal-shuffle template."""
+    flow = _flow("q6")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem"))
+    sel = op.filter(
+        "sel",
+        li,
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24),
+    )
+    return sel.df.agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape on the trimmed schema: LEFT SEMI join — orders
+    with at least one returned lineitem, counted by priority. The semi
+    join keeps only the key column of the build side (no payload
+    shuffle); beyond-reference (the reference has no semi/anti joins)."""
+    flow = _flow("q4semi")
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem")).df
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    sel = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    hit = sel.join(returned, sel.o_orderkey == returned.l_orderkey, "left_semi")
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (beyond-reference): customers with no orders in
+    1995Q1 — the NOT EXISTS shape; anti join streams the probe side and
+    never materializes non-matches."""
+    flow = _flow("anti")
+    cust = op.input("c", flow, _t(spark, sf_dir, "customer")).df
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    q1 = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    return cust.join(
+        q1.select("o_custkey"), cust.c_custkey == q1.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic frame (beyond-reference, SURVEY §2.7): per-user
+    event-over-event value delta — one hash shuffle on user_id, sort
+    within partition, no Python in the plan."""
+    from pyspark.sql import Window as W
+
+    flow = _flow("lag")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 3).alias("delta"),
+    )
+
+
 def price_bands_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """flat_map_batch: the opaque Arrow-batch escape hatch — a pandas
     transform per batch (banding + row filter), then a JVM-side agg."""
@@ -984,6 +1055,34 @@ _ORACLES: dict[str, str] = {
         INTERSECT
         SELECT user_id FROM events WHERE event_type = 'purchase'
     """,
+    "q6_forecast_revenue": """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "returned_orders_by_priority": """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= '1995-01-01'
+                            AND o_orderdate < '1995-04-01')
+    """,
+    "lag_value_delta": """
+        SELECT user_id, event_id,
+               ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 3) AS delta
+        FROM events
+    """,
     "price_bands_arrow": """
         SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS key,
                COUNT(*) AS "count"
@@ -1328,6 +1427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": rollup_revenue,
         "top3_orders_per_customer": top3_orders_per_customer,
         "users_click_and_purchase": users_click_and_purchase,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "returned_orders_by_priority": returned_orders_by_priority,
+        "customers_without_orders": customers_without_orders,
+        "lag_value_delta": lag_value_delta,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "filter_map_props": filter_map_props,

@@ -55,3 +55,28 @@ def test_keyed_agg_keys_stay_natural_type(spark, sf_dir):
 def test_no_python_eval_in_declarative_queries(spark, sf_dir, qname):
     plan = _plan(spark, qname, sf_dir)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q6_all_filters_pushed(spark, sf_dir):
+    """Q6's five predicates all reach the parquet scan; the plan is
+    scan -> partial agg -> single-row exchange."""
+    plan = _plan(spark, "q6_forecast_revenue", sf_dir)
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    # scan reads only the 4 referenced columns (pruning)
+    assert "FileScan parquet [l_quantity#" in plan
+    assert "l_shipdate#" in plan.split("FileScan")[1].split("]")[0]
+    assert "HashAggregate" in plan
+
+
+def test_semi_join_is_semi_and_broadcast(spark, sf_dir):
+    """returned_orders_by_priority plans a LeftSemi (no payload from
+    the build side) and broadcasts the small filtered orders side."""
+    plan = _plan(spark, "returned_orders_by_priority", sf_dir)
+    assert "LeftSemi" in plan
+    assert "Broadcast" in plan
+
+
+def test_anti_join_is_anti(spark, sf_dir):
+    plan = _plan(spark, "customers_without_orders", sf_dir)
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
