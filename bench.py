@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "reduce_minmax_price",
     "wordcount",
     "join_product_customer_orders",
