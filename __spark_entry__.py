@@ -369,6 +369,20 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (SURVEY §2.7): CUBE grouping sets — all four
+    (returnflag × linestatus) grouping combinations in one shuffle
+    (Expand + single hash aggregate, not four scans)."""
+    flow = _flow("cube")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem")).df
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference (SURVEY §2.7): ranking window functions — the
     reference has no row_number/rank/lag of any kind."""
@@ -1055,6 +1069,13 @@ _ORACLES: dict[str, str] = {
         INTERSECT
         SELECT user_id FROM events WHERE event_type = 'purchase'
     """,
+    "cube_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
     "q6_forecast_revenue": """
         SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)
                     AS DOUBLE) AS revenue
@@ -1428,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": top3_orders_per_customer,
         "users_click_and_purchase": users_click_and_purchase,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "cube_revenue": cube_revenue,
         "returned_orders_by_priority": returned_orders_by_priority,
         "customers_without_orders": customers_without_orders,
         "lag_value_delta": lag_value_delta,
