@@ -383,6 +383,24 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (SURVEY §2.7): approximate aggregates —
+    HyperLogLog++ distinct users per event type (rsd 1%). The sketch
+    merges in partial aggregation, so the shuffle carries one sketch
+    per (type, partition) instead of the distinct keys — the 100 TB
+    path where exact COUNT(DISTINCT) needs a key shuffle.
+
+    No ``oracle_sql`` entry (rows-only check): DuckDB's HLL produces
+    different estimates than Spark's, so values can't hash-match.
+    ``tests/test_functions.py`` bounds the estimate against the exact
+    count (≤5%% error at sf0.01) instead."""
+    flow = _flow("approxd")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
 def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference (SURVEY §2.7): ranking window functions — the
     reference has no row_number/rank/lag of any kind."""
@@ -1450,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_click_and_purchase": users_click_and_purchase,
         "q6_forecast_revenue": q6_forecast_revenue,
         "cube_revenue": cube_revenue,
+        "approx_distinct_users": approx_distinct_users,
         "returned_orders_by_priority": returned_orders_by_priority,
         "customers_without_orders": customers_without_orders,
         "lag_value_delta": lag_value_delta,

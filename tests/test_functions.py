@@ -196,3 +196,28 @@ def test_multimodal_features_and_frames(spark):
 
     resized = multimodal.resize_images(df.filter(F.col("kind") == "image"), 8, 8).collect()
     assert resized[0]["meta"]["width"] == 8
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL++, rsd 1%) lands within 5% of the
+    exact per-type distinct-user count — the accuracy contract for the
+    oracle-less approx_distinct_users query."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in entry.queries()["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    from bytewax_spark.io import read_parquet
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in read_parquet(spark, f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
