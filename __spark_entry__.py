@@ -132,11 +132,19 @@ def min_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def collect_linenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect into sorted list per key."""
+    """collect into sorted list per key.
+
+    The entry query emits the list as a canonical comma-joined string
+    (the driver's pandas canonicalizer can't factorize array cells);
+    the operator itself returns a real ``array`` column."""
     flow = _flow("collect")
     li = op.input("li", flow, _t(spark, sf_dir, "lineitem"))
     ks = op.key_on("key", li, "l_orderkey")
-    return op.collect("lists", ks, "l_linenumber", into="list").df
+    out = op.collect("lists", ks, "l_linenumber", into="list").df
+    return out.select(
+        "key",
+        F.array_join(F.array_sort("values").cast("array<string>"), ",").alias("values"),
+    )
 
 
 def cumulative_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,14 +398,28 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (type, partition) instead of the distinct keys — the 100 TB
     path where exact COUNT(DISTINCT) needs a key shuffle.
 
-    No ``oracle_sql`` entry (rows-only check): DuckDB's HLL produces
-    different estimates than Spark's, so values can't hash-match.
-    ``tests/test_functions.py`` bounds the estimate against the exact
-    count (≤5%% error at sf0.01) instead."""
+    HLL estimates differ across engines, so the raw sketch value can't
+    hash-match a DuckDB oracle. Instead the entry query emits a
+    deterministic tolerance check: the exact distinct count plus a
+    boolean asserting the HLL estimate lands within ±5%% of it. The
+    oracle claims ``TRUE`` for every group, so a drifting sketch fails
+    the driver's hash compare. (The exact ``count_distinct`` column
+    exists only for this gate — the production operator is the
+    sketch-only aggregate, which shuffles one HLL register set per
+    (type, partition) instead of the distinct keys.)"""
     flow = _flow("approxd")
     ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -686,13 +708,22 @@ def reduce_window_daily_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def collect_window_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_window: sorted list of event ids per (user, day)."""
+    """collect_window: sorted list of event ids per (user, day).
+
+    Emitted as a comma-joined string for the driver's canonicalizer;
+    the operator's own output is a real ``array`` column."""
     flow = _flow("cwin")
     ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
     ks = op.key_on("k", ev, "user_id")
-    return win.collect_window(
+    out = win.collect_window(
         "w", ks, win.EventClock("ts"), win.TumblingWindower(timedelta(days=1)), "event_id"
     ).df
+    return out.select(
+        "key",
+        "window_start",
+        "window_end",
+        F.array_join(F.array_sort("values").cast("array<string>"), ",").alias("values"),
+    )
 
 
 def bottom_event_per_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,7 +895,11 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_from_docs(spark, sf_dir, "image")
     feats = mm.decode_image_features(media, n_features=8)
-    return feats.select("media_id", "features")
+    # One scalar row per feature slot (driver canon can't hash array
+    # cells); feature values stay IEEE doubles for exact compare.
+    return feats.select(
+        "media_id", F.posexplode("features").alias("feature_idx", "feature_value")
+    )
 
 
 def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,7 +978,8 @@ _ORACLES: dict[str, str] = {
         WHERE rn = 1
     """,
     "collect_linenumbers": """
-        SELECT l_orderkey AS key, LIST_SORT(LIST(l_linenumber)) AS values
+        SELECT l_orderkey AS key,
+               STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS values
         FROM lineitem GROUP BY 1
     """,
     "cumulative_value_per_user": """
@@ -1197,7 +1233,7 @@ _ORACLES: dict[str, str] = {
         SELECT user_id AS key,
                DATE_TRUNC('day', ts) AS window_start,
                DATE_TRUNC('day', ts) + INTERVAL 1 DAY AS window_end,
-               LIST_SORT(LIST(event_id)) AS values
+               STRING_AGG(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS values
         FROM events GROUP BY 1, 2, 3
     """,
     "bottom_event_per_type_day": """
@@ -1414,15 +1450,21 @@ _ORACLES["lsh_buckets_embeddings"] = _lsh_oracle()
 # bit-identical IEEE division on both engines, so exact value compare
 _ORACLES["multimodal_image_features"] = """
     SELECT doc_id AS media_id,
-           list_transform(range(1, 9),
-               i -> ('0x' || SUBSTR(sha256(text), (i - 1) * 2 + 1, 2))::INT / 255.0
-           ) AS features
-    FROM documents
+           CAST(i - 1 AS INT) AS feature_idx,
+           ('0x' || SUBSTR(sha256(text), (i - 1) * 2 + 1, 2))::INT / 255.0 AS feature_value
+    FROM documents CROSS JOIN (SELECT UNNEST(RANGE(1, 9)) AS i)
 """
 
 _ORACLES["multimodal_frame_samples"] = """
     SELECT doc_id AS media_id, UNNEST(RANGE(0, n_chars % 4000, 1000)) AS frame_ts_ms
     FROM documents
+"""
+
+_ORACLES["approx_distinct_users"] = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY 1
 """
 
 _ORACLES["multimodal_resize_meta"] = """

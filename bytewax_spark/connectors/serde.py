@@ -41,14 +41,16 @@ def deserialize_json(step_id: str, up: Stream, value_col: str, schema: Any) -> S
     ``columnNameOfCorruptRecord`` field (PERMISSIVE ``from_json``
     returns an all-null struct, not a NULL struct, for bad input, so a
     plain ``isNull`` check misses corruption)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     flow = up.flow
     fq = flow.register(step_id, "deserialize_json", (up.step_id,))
     if isinstance(schema, str):
-        from pyspark.sql.types import StructType
-
         schema = StructType.fromDDL(schema)
     field_names = [f.name for f in schema.fields]
-    schema = schema.add(_CORRUPT, "string")
+    # Fresh StructType — StructType.add mutates the caller's schema in
+    # place, which would leak _corrupt_record into reused schemas.
+    schema = StructType(list(schema.fields) + [StructField(_CORRUPT, StringType())])
     raw = F.col(value_col).cast("string")
     parsed = up.df.withColumn(
         "_parsed",

@@ -181,9 +181,10 @@ class KeyedStream(Stream):
     """A ``Stream`` with a designated string routing-key column.
 
     All keyed stateful operators (``*_final``, ``join``, windowing,
-    ``stateful_*``) require one; ``op.key_on`` creates it. The key is
-    always cast to StringType, mirroring the reference's enforced
-    ``str`` keys (``src/operators.rs:363-416``).
+    ``stateful_*``) require one; ``op.key_on`` creates it. The key
+    keeps its natural column type (hashing/shuffling doesn't need a
+    string); pass ``cast="string"`` to ``op.key_on`` to reproduce the
+    reference's enforced ``str`` keys (``src/operators.rs:363-416``).
     """
 
     __slots__ = ("key_col",)

@@ -120,9 +120,15 @@ def lsh_buckets(
 
     Rows with equal buckets are ANN candidates; join on the bucket for
     candidate pairs. nprobe-style recall: also join on buckets at
-    hamming distance 1 (flip each bit)."""
+    hamming distance 1 (flip each bit).
+
+    ``dims`` is required unless the column's element count is declared
+    in metadata — plan construction must not run a driver-side action."""
     if dims is None:
-        dims = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_buckets needs dims= (embedding dimensionality); inferring it "
+            "would require a driver-side .first() action during plan construction"
+        )
     v = as_double(vec_col)
     bucket = None
     for i, plane in enumerate(_planes(n_planes, dims, seed)):

@@ -38,8 +38,20 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     nanos = _nano_cols(path)
     if not nanos:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in nanos:
-        df = df.withColumn(c, F.expr(f"CAST(timestamp_micros(`{c}` div 1000) AS TIMESTAMP_NTZ)"))
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        # Schema resolution happens here; the flag is only needed while
+        # the relation is analyzed, so restore it before returning.
+        df = spark.read.parquet(path)
+        for c in nanos:
+            df = df.withColumn(
+                c, F.expr(f"CAST(timestamp_micros(`{c}` div 1000) AS TIMESTAMP_NTZ)")
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return df

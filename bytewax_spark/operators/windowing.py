@@ -619,21 +619,23 @@ def window(
         .over(W.orderBy(F.col(arrival_col)).rowsBetween(W.unboundedPreceding, W.currentRow))
         - F.lit(delay)
     )
+    tagged = up.df.withColumn("_row_tag", F.monotonically_increasing_id())
     assigned = assign_windows(
-        up.df.withColumn("_wm_us", wm), ts, windower, key_col=up.key_col
+        tagged.withColumn("_wm_us", wm), ts, windower, key_col=up.key_col
     )
     is_late = F.unix_micros(F.col("window_end").cast("timestamp")) <= F.col("_wm_us")
     # closed assignments are dropped from the agg; an item goes to the
     # late stream only when ALL its windows are closed (for sliding's
     # multi-assign, one open window keeps it out of `late` — exactly
-    # the reference's insert-into-open-windows rule)
-    ok = assigned.filter(~is_late).drop("_wm_us")
+    # the reference's insert-into-open-windows rule). The per-row tag
+    # keeps fully identical late rows distinct (per-item late stream).
+    ok = assigned.filter(~is_late).drop("_wm_us", "_row_tag")
     late_df = (
         assigned.withColumn("_open", (~is_late).cast("int"))
-        .groupBy(*[c for c in up.df.columns])
+        .groupBy("_row_tag", *[c for c in up.df.columns])
         .agg(F.max("_open").alias("_any_open"))
         .filter(F.col("_any_open") == 0)
-        .drop("_any_open")
+        .drop("_any_open", "_row_tag")
     )
     down_df = (
         ok.groupBy(up.key_col, "window_start", "window_end")

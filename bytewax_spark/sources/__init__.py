@@ -233,12 +233,18 @@ class SimplePollingSource(Source):
     def to_df(self) -> DataFrame:
         import pandas as pd
 
+        from pyspark.sql import functions as F
+
         spark = self._spark()
-        ticks = (
-            spark.readStream.format("rate")
-            .option("rowsPerSecond", max(1, int(1 / max(self.interval_sec, 1))))
-            .load()
-        )
+        if self.interval_sec >= 1:
+            # One 1 Hz tick stream, keep every interval_sec-th tick —
+            # exactly one fetch per interval (rate can't go below 1 Hz).
+            ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            ticks = ticks.filter(F.pmod(F.col("value"), F.lit(int(self.interval_sec))) == 0)
+        else:
+            # Sub-second interval: scale the tick rate up.
+            rps = max(1, round(1.0 / float(self.interval_sec)))
+            ticks = spark.readStream.format("rate").option("rowsPerSecond", rps).load()
         getter = self.getter
 
         def fetch(batches):

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from bytewax_spark.functions import dedup, multimodal, similarity, text
@@ -146,9 +147,11 @@ def test_ivf_topk_probes(spark, sf_dir):
 
 def test_lsh_buckets_deterministic(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").limit(20)
-    b1 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb, "embedding", "vec_id").collect()}
-    b2 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb, "embedding", "vec_id").collect()}
+    b1 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb, "embedding", "vec_id", dims=64).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb, "embedding", "vec_id", dims=64).collect()}
     assert b1 == b2 and all(0 <= v < 256 for v in b1.values())
+    with pytest.raises(ValueError, match="dims"):
+        similarity.lsh_buckets(emb, "embedding", "vec_id")
 
 
 def test_dedup_exact_stream_within_watermark(spark, tmp_path):
@@ -200,15 +203,13 @@ def test_multimodal_features_and_frames(spark):
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     """approx_count_distinct (HLL++, rsd 1%) lands within 5% of the
-    exact per-type distinct-user count — the accuracy contract for the
-    oracle-less approx_distinct_users query."""
+    exact per-type distinct-user count. The entry query now emits the
+    tolerance flag itself (driver-checkable); both the flag and the
+    exact counts are verified here."""
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
 
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in entry.queries()["approx_distinct_users"](spark, sf_dir).collect()
-    }
+    rows = entry.queries()["approx_distinct_users"](spark, sf_dir).collect()
     from bytewax_spark.io import read_parquet
 
     exact = {
@@ -218,6 +219,7 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for t, n in exact.items():
-        assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["approx_within_5pct"], r
+        assert r["exact_users"] == exact[r["event_type"]]
