@@ -537,13 +537,33 @@ def price_bands_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) via
-    join(product/final) + fold_final revenue. Catalyst broadcasts the
-    filtered customer side; filters reach every scan."""
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem).
+
+    Aggregate-before-join: lineitem revenue is folded per orderkey
+    FIRST (fold_final — one shuffle over the filtered fact), then
+    joined to (orders ⋈ broadcast customer). o_orderkey is unique per
+    order, so the join emits exactly one row per group and the
+    post-join aggregation — and its extra struct-key shuffle —
+    disappears. At 100 TB this is the difference between shuffling the
+    filtered lineitem once versus twice."""
     flow = _flow("q3")
     cust = op.input("c", flow, _t(spark, sf_dir, "customer"))
     orders = op.input("o", flow, _t(spark, sf_dir, "orders"))
     li = op.input("l", flow, _t(spark, sf_dir, "lineitem"))
+
+    # revenue per orderkey over the filtered fact (decimal accumulation:
+    # double sums differ in the last cent across partition orders)
+    li_f = op.filter("ldate", li, F.col("l_shipdate") > "1998-01-01")
+    li_k = op.key_on(
+        "lk",
+        op.map(
+            "lproj", li_f,
+            {"l_orderkey": "l_orderkey",
+             "rev": (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")},
+        ),
+        "l_orderkey", key_col="jk",
+    )
+    li_rev = op.fold_final("lrev", li_k, aggs={"revenue": F.round(F.sum("rev"), 2).cast("double")})
 
     bld = op.filter("seg", cust, F.col("c_mktsegment") == "BUILDING")
     bld_k = op.key_on("ck", op.map("cproj", bld, {"c_custkey2": "c_custkey"}), "c_custkey2")
@@ -553,29 +573,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
     )
     co = op.join("co", bld_k, ord_k, insert_mode="product", emit_mode="complete")
-
     co_k = op.key_on("cok", co, "o_orderkey", key_col="jk")
-    li_f = op.filter("ldate", li, F.col("l_shipdate") > "1998-01-01")
-    li_k = op.key_on(
-        "lk",
-        op.map(
-            "lproj", li_f,
-            # decimal accumulation: double sums differ in the last cent
-            # across partition orders; decimal addition is exact
-            {"l_orderkey": "l_orderkey",
-             "rev": (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")},
-        ),
-        "l_orderkey", key_col="jk",
-    )
-    col = op.join("col", co_k, li_k, insert_mode="product", emit_mode="complete")
 
-    g = op.key_on("gk", col, F.struct("o_orderkey", "o_orderdate"), key_col="gkey")
-    agg = op.fold_final("agg", g, aggs={"revenue": F.round(F.sum("rev"), 2).cast("double")})
-    return agg.df.select(
-        F.col("gkey.o_orderkey").alias("o_orderkey"),
-        F.col("gkey.o_orderdate").alias("o_orderdate"),
-        "revenue",
+    # both sides keyed on orderkey and unique per key — product/complete
+    # join with unique_sides skips any dedup aggregation
+    out = op.join(
+        "col", co_k, li_rev, insert_mode="product", emit_mode="complete", unique_sides=(0, 1)
     )
+    return out.df.select("o_orderkey", "o_orderdate", "revenue")
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

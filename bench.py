@@ -81,18 +81,98 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "sf": sf,
+    }
+
+    # --- sf1 tier: 10x key-shifted data, where the ~0.3 s/stage
+    # scheduling floor amortizes and per-row throughput dominates.
+    # Baselines (pure-Python per-item loop = strict lower bound on the
+    # reference engine; DuckDB = native columnar yardstick) are
+    # measured at the SAME scale in the same run. Disable with
+    # SPARK_GRAFT_SF1=0.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from tools import baseline_sim, make_benchdata
+
+        sf1_dir = make_benchdata.ensure(spark, src_dir=sf_dir)
+        for t in ("lineitem", "orders", "customer", "events", "documents"):
+            read_parquet(spark, f"{sf1_dir}/{t}.parquet").count()
+        sf1_timings: dict[str, float] = {}
+        sf1_cold: dict[str, float] = {}
+        for name in SF1_QUERIES:
+            fn = qs[name]
+            best = float("inf")
+            for i in range(3):
+                t0 = time.time()
+                fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                if i == 0:
+                    sf1_cold[name] = round(dt, 3)
+                else:
+                    best = min(best, dt)
+            sf1_timings[name] = round(best, 3)
+        out["sf1"] = {
+            "dir": sf1_dir,
+            "queries": sf1_timings,
+            "queries_cold": sf1_cold,
+            "pyloop_lower_bound": baseline_sim.run_all(sf1_dir),
+            "duckdb": _duckdb_times(e.oracle_sql(), sf1_dir),
+        }
+
+    print(json.dumps(out))
+
+
+SF1_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "reduce_minmax_price",
+    "wordcount",
+    "join_last_order_lineitem",
+    "hourly_event_counts",
+    "daily_value_by_type",
+]
+
+_DUCKDB_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duckdb_times(oracles: dict[str, str], sf_dir: str) -> dict[str, float]:
+    """Best-of-3 DuckDB wall time for each bench query's oracle SQL
+    over the same parquet files (32 threads, results materialized)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in _DUCKDB_TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')"
+                if os.path.isdir(path)
+                else f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    times: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        sql = oracles.get(name)
+        if not sql:
+            continue
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+    con.close()
+    return times
 
 
 if __name__ == "__main__":

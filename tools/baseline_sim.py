@@ -26,15 +26,15 @@ import pyarrow.parquet as pq
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def load(table: str, cols: list[str]) -> list[tuple]:
-    t = pq.read_table(f"{SF_DIR}/{table}.parquet", columns=cols)
+def load(table: str, cols: list[str], sf_dir: str | None = None) -> list[tuple]:
+    t = pq.read_table(f"{sf_dir or SF_DIR}/{table}.parquet", columns=cols)
     return list(zip(*[t.column(c).to_pylist() for c in cols]))
 
 
-def b1_windowed_fold() -> float:
+def b1_windowed_fold(sf_dir: str | None = None) -> float:
     """B1: keyed tumbling 1h fold into lists over events (the
     benchmark_windowing.py shape: assign window, append to list)."""
-    rows = load("events", ["user_id", "ts", "value"])
+    rows = load("events", ["user_id", "ts", "value"], sf_dir)
     t0 = time.time()
     acc: dict[tuple, list] = defaultdict(list)
     for uid, ts, v in rows:
@@ -43,9 +43,9 @@ def b1_windowed_fold() -> float:
     return time.time() - t0
 
 
-def b2_grouped_agg() -> float:
+def b2_grouped_agg(sf_dir: str | None = None) -> float:
     """B2: 1BRC min/mean/max l_extendedprice by l_returnflag."""
-    rows = load("lineitem", ["l_returnflag", "l_extendedprice"])
+    rows = load("lineitem", ["l_returnflag", "l_extendedprice"], sf_dir)
     t0 = time.time()
     acc: dict[str, list] = {}
     for k, v in rows:
@@ -62,8 +62,8 @@ def b2_grouped_agg() -> float:
     return time.time() - t0
 
 
-def b3_wordcount() -> float:
-    rows = load("documents", ["text"])
+def b3_wordcount(sf_dir: str | None = None) -> float:
+    rows = load("documents", ["text"], sf_dir)
     t0 = time.time()
     counts: dict[str, int] = defaultdict(int)
     for (text,) in rows:
@@ -72,11 +72,11 @@ def b3_wordcount() -> float:
     return time.time() - t0
 
 
-def b4_keyed_join() -> float:
+def b4_keyed_join(sf_dir: str | None = None) -> float:
     """B4: orders ⋈ lineitem on orderkey, emit final (stateful join:
     build per-key state from both sides, emit merged)."""
-    orders = load("orders", ["o_orderkey", "o_totalprice"])
-    items = load("lineitem", ["l_orderkey", "l_extendedprice", "l_linenumber"])
+    orders = load("orders", ["o_orderkey", "o_totalprice"], sf_dir)
+    items = load("lineitem", ["l_orderkey", "l_extendedprice", "l_linenumber"], sf_dir)
     t0 = time.time()
     state: dict[int, list] = defaultdict(lambda: [None, None])
     for k, price in orders:
@@ -88,8 +88,8 @@ def b4_keyed_join() -> float:
     return time.time() - t0
 
 
-def b5_tumbling_count() -> float:
-    rows = load("events", ["user_id", "ts"])
+def b5_tumbling_count(sf_dir: str | None = None) -> float:
+    rows = load("events", ["user_id", "ts"], sf_dir)
     t0 = time.time()
     acc: dict[tuple, int] = defaultdict(int)
     for uid, ts in rows:
@@ -97,16 +97,22 @@ def b5_tumbling_count() -> float:
     return time.time() - t0
 
 
-def main() -> None:
+def run_all(sf_dir: str | None = None) -> dict[str, float]:
     out = {
-        "B1_windowed_fold": round(b1_windowed_fold(), 3),
-        "B2_grouped_agg": round(b2_grouped_agg(), 3),
-        "B3_wordcount": round(b3_wordcount(), 3),
-        "B4_keyed_join": round(b4_keyed_join(), 3),
-        "B5_tumbling_count": round(b5_tumbling_count(), 3),
+        "B1_windowed_fold": round(b1_windowed_fold(sf_dir), 3),
+        "B2_grouped_agg": round(b2_grouped_agg(sf_dir), 3),
+        "B3_wordcount": round(b3_wordcount(sf_dir), 3),
+        "B4_keyed_join": round(b4_keyed_join(sf_dir), 3),
+        "B5_tumbling_count": round(b5_tumbling_count(sf_dir), 3),
     }
     out["total"] = round(sum(out.values()), 3)
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    import os
+
+    print(json.dumps(run_all(os.environ.get("SPARK_GRAFT_SF_DIR"))))
 
 
 if __name__ == "__main__":
