@@ -2,6 +2,6 @@
 and ``serde.py``): serialization/deserialization with ok/err split
 streams, over the raw key/value bytes of Kafka-shaped streams."""
 
-from bytewax_spark.connectors import serde
+from bytewax_spark.connectors import kafka_log, registry, serde
 
-__all__ = ["serde"]
+__all__ = ["serde", "registry", "kafka_log"]

@@ -91,10 +91,21 @@ class SystemClock:
 class EventClock:
     """Event time from a column; ``wait_for_system_duration`` is how
     long to wait for stragglers → streaming watermark delay
-    (reference ``:224-310, :359-425``)."""
+    (reference ``:224-310, :359-425``).
+
+    ``close_on_idle``: the reference's watermark keeps advancing with
+    *system* time once the source idles (``:230-310``), so buffered
+    windows eventually close even with no further input. Spark's
+    event-time watermark only moves with data, so a pure-streaming
+    idle topology would hold its last windows open forever. Setting
+    ``close_on_idle=timedelta(...)`` arms a processing-time timer in
+    the custom-fold paths: a (key, window) that receives no new rows
+    for that wall-clock duration closes and emits. Batch/availableNow
+    runs don't need it (EOF closes everything)."""
 
     ts_field: str
     wait_for_system_duration: timedelta = timedelta(0)
+    close_on_idle: timedelta | None = None
 
     @property
     def watermark_delay(self) -> timedelta:
@@ -343,7 +354,11 @@ class WindowOut:
 # ---------------------------------------------------------------------------
 
 def _streaming_window_fold(
-    with_win: DataFrame, key_col: str, fold: Callable[[pd.DataFrame], pd.DataFrame], schema: Any
+    with_win: DataFrame,
+    key_col: str,
+    fold: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: Any,
+    close_on_idle: timedelta | None = None,
 ) -> DataFrame:
     """Streaming custom window fold (SURVEY §7.4 hard part #1/#4):
     the reference runs arbitrary ``WindowLogic`` per (key, window) and
@@ -364,15 +379,20 @@ def _streaming_window_fold(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     in_cols = with_win.columns
+    idle_ms = int(close_on_idle.total_seconds() * 1000) if close_on_idle else None
 
     def run(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         k, ws, we = key
-        if state.hasTimedOut:
+
+        def _close():
             (blob,) = state.get
-            rows = pickle.loads(blob)
-            pdf = pd.DataFrame(rows, columns=in_cols)
+            pdf = pd.DataFrame(pickle.loads(blob), columns=in_cols)
             out = fold(pdf)
             state.remove()
+            return out
+
+        if state.hasTimedOut:
+            out = _close()
             if out is not None and len(out):
                 yield out
             return
@@ -380,17 +400,34 @@ def _streaming_window_fold(
         for pdf in pdfs:
             rows.extend(pdf[in_cols].itertuples(index=False, name=None))
         state.update((pickle.dumps(rows),))
-        # fire when the event-time watermark passes the window close;
         # NTZ bounds are UTC wall time (session TZ pinned UTC)
         end = we if we.tzinfo is not None else we.replace(tzinfo=timezone.utc)
-        state.setTimeoutTimestamp(int(end.timestamp() * 1000))
+        end_ms = int(end.timestamp() * 1000)
+        if idle_ms is None:
+            # fire when the event-time watermark passes the window close
+            state.setTimeoutTimestamp(end_ms)
+        else:
+            # reference idle-advancing watermark (windowing.py:230-310):
+            # close promptly if the data watermark already passed, else
+            # re-arm a wall-clock timer that fires after source silence
+            if state.getCurrentWatermarkMs() >= end_ms:
+                out = _close()
+                if out is not None and len(out):
+                    yield out
+            else:
+                state.setTimeoutDuration(idle_ms)
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_ms is not None
+        else GroupStateTimeout.EventTimeTimeout
+    )
     return with_win.groupBy(key_col, "window_start", "window_end").applyInPandasWithState(
         run,
         outputStructType=schema,
         stateStructType="buf binary",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        timeoutConf=timeout_conf,
     )
 
 
@@ -401,6 +438,7 @@ def _streaming_session_fold(
     gap: timedelta,
     fold: Callable[[pd.DataFrame], pd.DataFrame],
     schema: Any,
+    close_on_idle: timedelta | None = None,
 ) -> DataFrame:
     """Streaming custom fold over SESSION windows (SURVEY §7.4 hard
     part #3 — the reference's ``on_merge`` protocol,
@@ -429,6 +467,7 @@ def _streaming_session_fold(
     in_cols = df.columns
     ts_i = in_cols.index(ts_field)
     gap_us = _us(gap)
+    idle_ms = int(close_on_idle.total_seconds() * 1000) if close_on_idle else None
 
     def _emit_due(sessions: list, wm_ms: int):
         due = [s for s in sessions if s[1] // 1000 <= wm_ms]
@@ -445,6 +484,7 @@ def _streaming_session_fold(
 
     def run(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         sessions = pickle.loads(state.get[0]) if state.exists else []
+        idle_fired = state.hasTimedOut and idle_ms is not None
         if not state.hasTimedOut:
             for pdf in pdfs:
                 for row in pdf[in_cols].itertuples(index=False, name=None):
@@ -459,20 +499,32 @@ def _streaming_session_fold(
                 else:
                     merged.append(s)
             sessions = merged
-        outs, sessions = _emit_due(sessions, state.getCurrentWatermarkMs())
+        # the source idled past close_on_idle: the reference's
+        # system-advancing watermark has passed every open session —
+        # flush them all (wm -> +inf)
+        wm = 2**62 if idle_fired else state.getCurrentWatermarkMs()
+        outs, sessions = _emit_due(sessions, wm)
         if sessions:
             state.update((pickle.dumps(sessions),))
-            state.setTimeoutTimestamp(min(s[1] for s in sessions) // 1000)
+            if idle_ms is None:
+                state.setTimeoutTimestamp(min(s[1] for s in sessions) // 1000)
+            else:
+                state.setTimeoutDuration(idle_ms)
         elif state.exists:
             state.remove()
         yield from outs
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_ms is not None
+        else GroupStateTimeout.EventTimeTimeout
+    )
     return df.groupBy(key_col).applyInPandasWithState(
         run,
         outputStructType=schema,
         stateStructType="buf binary",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        timeoutConf=timeout_conf,
     )
 
 
@@ -519,12 +571,14 @@ def _windowed_agg(
                     "(the watermark drives session close)"
                 )
             out = _streaming_session_fold(
-                df, up.key_col, clock.ts_field, windower.gap, fold, schema
+                df, up.key_col, clock.ts_field, windower.gap, fold, schema,
+                close_on_idle=clock.close_on_idle,
             )
             return KeyedStream(up.flow, fq, out, up.key_col)
         with_win = assign_windows(df, ts, windower, key_col=up.key_col)
         if df.isStreaming:
-            out = _streaming_window_fold(with_win, up.key_col, fold, schema)
+            idle = clock.close_on_idle if isinstance(clock, EventClock) else None
+            out = _streaming_window_fold(with_win, up.key_col, fold, schema, close_on_idle=idle)
         else:
             out = with_win.groupBy(up.key_col, "window_start", "window_end").applyInPandas(
                 lambda pdf: fold(pdf), schema=schema

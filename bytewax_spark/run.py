@@ -75,17 +75,52 @@ def _locate_flow(spec: str) -> Dataflow:
 
 
 def cli_main(argv: list[str] | None = None) -> None:
+    """CLI with the reference's scaling/recovery surface
+    (``pysrc/bytewax/run.py:197-247``) mapped to Spark's:
+
+    - ``-w/--workers`` (reference workers-per-process) → local[N]
+      parallelism / ``spark.sql.shuffle.partitions``.
+    - ``--master`` (reference ``-i/-a`` process addresses) → the
+      cluster manager URL; Spark places executors, so there is no
+      per-process address list to pass.
+    - ``-s/--snapshot-interval`` → the streaming trigger interval:
+      micro-batch commit cadence IS the snapshot cadence (state goes
+      to the checkpoint every batch).
+    - ``-r/--checkpoint`` → checkpoint dir (reference recovery dir).
+    """
+    import os
+
     p = argparse.ArgumentParser(prog="python -m bytewax_spark.run")
     p.add_argument("import_str", help="module:flow (module importable on sys.path)")
-    p.add_argument("--checkpoint", "-r", default=None, help="checkpoint dir (recovery)")
+    p.add_argument("--checkpoint", "-r", default=os.environ.get("BYTEWAX_SPARK_CHECKPOINT"),
+                   help="checkpoint dir (recovery; env BYTEWAX_SPARK_CHECKPOINT)")
+    p.add_argument("--workers", "-w", type=int, default=None,
+                   help="parallelism (local[N] / shuffle partitions)")
+    p.add_argument("--master", default=None, help="Spark master URL (default local[workers])")
+    p.add_argument("--snapshot-interval", "-s", type=float, default=None,
+                   help="streaming trigger (= snapshot/commit) interval, seconds; "
+                        "default: one availableNow drain")
     p.add_argument("--mermaid", action="store_true", help="print the step DAG and exit")
     args = p.parse_args(argv)
     sys.path.insert(0, "")
+
+    # Build the session BEFORE the flow module imports (sources call
+    # get_spark lazily via getOrCreate, which reuses this one).
+    if args.workers is not None:
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.workers)
+    if args.workers is not None or args.master is not None:
+        from bytewax_spark.session import get_spark
+
+        get_spark(master=args.master)
+
     flow = _locate_flow(args.import_str)
     if args.mermaid:
         print(flow.to_mermaid())
         return
-    run_main(flow, checkpoint=args.checkpoint)
+    trigger: dict[str, Any] = {}
+    if args.snapshot_interval is not None:
+        trigger["processingTime"] = f"{args.snapshot_interval} seconds"
+    run_main(flow, checkpoint=args.checkpoint, **trigger)
 
 
 if __name__ == "__main__":

@@ -117,10 +117,39 @@ class StdOutSink(Sink):
 
 class KafkaSink(Sink):
     """Produce to Kafka (reference ``connectors/kafka/__init__.py:425-553``).
-    Needs the kafka connector jar (absent in this container)."""
+
+    ``host:port`` brokers → ``format("kafka")`` (needs the connector
+    jar). A single directory path → the embedded file-backed log
+    (:mod:`bytewax_spark.connectors.kafka_log`): key-routed
+    partitions, monotonic offsets, the same ``key``/``value`` input
+    contract. The embedded append funnels the batch through the
+    driver (the log is single-writer by design — it stands in for a
+    broker in tests/dev, never the scale path)."""
 
     def __init__(self, brokers: list[str], topic: str) -> None:
         self.brokers, self.topic = brokers, topic
+
+    def _is_embedded(self) -> bool:
+        from bytewax_spark.connectors.kafka_log import is_log_path
+
+        return is_log_path(self.brokers)
+
+    def _append_embedded(self, df: DataFrame) -> None:
+        from bytewax_spark.connectors.kafka_log import KafkaLog
+
+        cols = df.columns
+        key = df["key"].cast("binary") if "key" in cols else None
+        value = df["value"].cast("binary")
+        sel = df.select(*( [key.alias("key")] if key is not None else [] ), value.alias("value"))
+        rows = sel.toPandas()
+        log = KafkaLog(self.brokers[0])
+        records = [
+            (None if "key" not in rows.columns else (None if r is None else bytes(r)), bytes(v))
+            for r, v in zip(
+                rows["key"] if "key" in rows.columns else [None] * len(rows), rows["value"]
+            )
+        ]
+        log.produce(self.topic, records)
 
     def _writer(self, df: DataFrame):
         return (
@@ -130,9 +159,17 @@ class KafkaSink(Sink):
         )
 
     def write_batch(self, df: DataFrame) -> None:
+        if self._is_embedded():
+            self._append_embedded(df)
+            return
         self._writer(df).save()
 
     def write_stream(self, df: DataFrame, checkpoint: str | None = None, **trigger: Any):
+        if self._is_embedded():
+            w = df.writeStream.foreachBatch(lambda batch, _id: self._append_embedded(batch))
+            if checkpoint:
+                w = w.option("checkpointLocation", checkpoint)
+            return w.trigger(**(trigger or {"availableNow": True})).start()
         w = (
             df.writeStream.format("kafka")
             .option("kafka.bootstrap.servers", ",".join(self.brokers))

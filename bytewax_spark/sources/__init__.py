@@ -10,6 +10,7 @@ checkpointed source offsets — we never implement recovery ourselves
 from __future__ import annotations
 
 from collections.abc import Iterable
+from datetime import timedelta
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -120,7 +121,42 @@ class TestingSource(Source):
     Batch: ``createDataFrame``. Streaming: written to a temp parquet
     dir and re-read with ``readStream`` so availableNow-triggered tests
     exercise the real micro-batch path.
+
+    Fault-injection sentinels (reference ``TestingSource.EOF`` /
+    ``ABORT`` / ``PAUSE``, ``testing.py:165-200``) may appear inline
+    in ``items`` when ``streaming=True``:
+
+    - :class:`TestingSource.EOF` — ends the current *execution*'s
+      input here; the next execution (same checkpoint, after calling
+      :meth:`advance`) continues from the item after it.
+    - :class:`TestingSource.ABORT` — the micro-batch containing it
+      raises, failing the query. Triggers once: the restart skips it
+      and Spark's checkpoint replays the failed batch (the
+      reference's "resume from some item before this one").
+    - :class:`TestingSource.PAUSE` — the stream goes silent for the
+      duration before later items emit.
+
+    Like the reference's, this is a single-process testing facility
+    (the ABORT arm flag lives on the local filesystem).
     """
+
+    from dataclasses import dataclass as _dc
+
+    @_dc
+    class EOF:
+        """End this execution's input; the next execution continues
+        after it."""
+
+    @_dc
+    class ABORT:
+        """Fail the query when this point of the stream is processed;
+        fires exactly once (skipped on the resume execution)."""
+
+    @_dc
+    class PAUSE:
+        """Emit nothing for ``for_duration`` before continuing."""
+
+        for_duration: timedelta
 
     def __init__(
         self,
@@ -130,62 +166,203 @@ class TestingSource(Source):
         files: int = 1,
     ) -> None:
         self.items, self.schema, self.streaming, self.files = list(items), schema, streaming, files
+        self._stage: str | None = None
+        self._phases: list[list[Any]] | None = None
+        self._released = 0
+        self._seg = 0
+        self._data_schema = None
+
+    # -- sentinel handling ------------------------------------------
+    def _split_phases(self) -> list[list[Any]]:
+        """Phases delimited by EOF; ABORT/PAUSE stay inline as control
+        entries."""
+        phases: list[list[Any]] = [[]]
+        for it in self.items:
+            if isinstance(it, TestingSource.EOF):
+                phases.append([])
+            else:
+                phases[-1].append(it)
+        return [p for i, p in enumerate(phases) if p or i == 0]
+
+    def _rows_df(self, spark: SparkSession, rows: list[Any]):
+        import pandas as pd
+
+        if rows and isinstance(rows[0], dict):
+            return spark.createDataFrame(pd.DataFrame(rows), schema=self._data_schema or self.schema)
+        return spark.createDataFrame(rows, schema=self._data_schema or self.schema)
+
+    def _write_segment(self, spark: SparkSession, rows: list[Any], ctl: str | None) -> None:
+        """One parquet file = one micro-batch (maxFilesPerTrigger=1).
+        Control segments carry null data columns + the _bw_ctl tag."""
+        import glob
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        assert self._stage is not None
+        if ctl is None:
+            df = self._rows_df(spark, rows).withColumn("_bw_ctl", F.lit(None).cast("string"))
+        else:
+            schema = self._data_schema
+            nulls = [F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+            df = spark.range(1).select(*nulls, F.lit(ctl).alias("_bw_ctl"))
+        tmp = os.path.join(self._stage, "_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            shutil.move(f, os.path.join(self._stage, f"segment-{self._seg:05d}.parquet"))
+            self._seg += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _write_phase(self, spark: SparkSession, phase: list[Any]) -> None:
+        import os
+        import uuid
+
+        pending: list[Any] = []
+
+        def flush() -> None:
+            if not pending:
+                return
+            chunks = max(1, min(self.files, len(pending))) if self.files > 1 else 1
+            per = max(1, (len(pending) + chunks - 1) // chunks)
+            for i in range(0, len(pending), per):
+                self._write_segment(spark, pending[i : i + per], None)
+            pending.clear()
+
+        flags_dir = self._stage + "_flags"  # outside the watched path
+        os.makedirs(flags_dir, exist_ok=True)
+        for it in phase:
+            if isinstance(it, TestingSource.ABORT):
+                flush()
+                flag = os.path.join(flags_dir, f"abort-{uuid.uuid4().hex}.armed")
+                with open(flag, "w") as f:
+                    f.write("armed")
+                self._write_segment(spark, [], f"abort:{flag}")
+            elif isinstance(it, TestingSource.PAUSE):
+                flush()
+                ms = int(it.for_duration.total_seconds() * 1000)
+                self._write_segment(spark, [], f"pause:{ms}")
+            else:
+                pending.append(it)
+        flush()
+
+    def advance(self) -> bool:
+        """Release the next EOF-delimited phase into the stream (call
+        between executions); returns False when no phases remain."""
+        if self._phases is None or self._released >= len(self._phases):
+            return False
+        self._write_phase(self._spark(), self._phases[self._released])
+        self._released += 1
+        return True
 
     def to_df(self) -> DataFrame:
         spark = self._spark()
-        import pandas as pd
 
-        data = self.items
-        if data and isinstance(data[0], dict):
-            pdf = pd.DataFrame(data)
-            batch = spark.createDataFrame(pdf, schema=self.schema)
-        else:
-            batch = spark.createDataFrame(data, schema=self.schema)
+        has_sentinels = any(
+            isinstance(it, (TestingSource.EOF, TestingSource.ABORT, TestingSource.PAUSE))
+            for it in self.items
+        )
         if not self.streaming:
-            return batch
+            if has_sentinels:
+                raise ValueError("EOF/ABORT/PAUSE sentinels require streaming=True")
+            return self._rows_df(spark, self.items)
+
         import os
         import tempfile
 
-        tmp = tempfile.mkdtemp(prefix="bwspark_testing_src_")
-        if self.files <= 1:
-            batch.write.mode("overwrite").parquet(tmp)
-        else:
-            # one file per chunk, written in order -> with
-            # maxFilesPerTrigger=1 each chunk becomes one micro-batch
-            per = max(1, (len(data) + self.files - 1) // self.files)
-            for i in range(self.files):
-                chunk = data[i * per : (i + 1) * per]
-                if not chunk:
-                    break
-                cdf = spark.createDataFrame(chunk, schema=batch.schema)
-                cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, f"_b{i}"))
-            import glob
-            import shutil
+        self._stage = tempfile.mkdtemp(prefix="bwspark_testing_src_")
+        self._phases = self._split_phases()
+        data_rows = [
+            it
+            for p in self._phases
+            for it in p
+            if not isinstance(it, (TestingSource.ABORT, TestingSource.PAUSE))
+        ]
+        self._data_schema = self._rows_df(spark, data_rows).schema
+        self._released = 0
+        self.advance()
 
-            n = 0
-            for i in range(self.files):
-                for f in sorted(glob.glob(os.path.join(tmp, f"_b{i}", "part-*.parquet"))):
-                    shutil.move(f, os.path.join(tmp, f"batch-{n:05d}.parquet"))
-                    n += 1
-                shutil.rmtree(os.path.join(tmp, f"_b{i}"), ignore_errors=True)
-        reader = spark.readStream.schema(batch.schema)
-        if self.files > 1:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        full_schema = StructType(list(self._data_schema.fields) + [StructField("_bw_ctl", StringType())])
+        reader = spark.readStream.schema(full_schema)
+        if self.files > 1 or has_sentinels:
             reader = reader.option("maxFilesPerTrigger", 1)
-        return reader.parquet(tmp)
+        raw = reader.parquet(self._stage)
+        if not has_sentinels:
+            return raw.drop("_bw_ctl")
+
+        data_schema = self._data_schema
+
+        def _wrap(batches):
+            import os as _os
+            import time as _time
+
+            for pdf in batches:
+                for c in pdf["_bw_ctl"].dropna():
+                    kind, _, arg = c.partition(":")
+                    if kind == "pause":
+                        _time.sleep(int(arg) / 1000.0)
+                    elif kind == "abort" and _os.path.exists(arg):
+                        _os.remove(arg)  # fire exactly once
+                        raise RuntimeError("TestingSource.ABORT")
+                out = pdf[pdf["_bw_ctl"].isna()].drop(columns=["_bw_ctl"])
+                if len(out):
+                    yield out
+
+        return raw.mapInPandas(_wrap, schema=data_schema)
 
 
 class KafkaSource(Source):
     """Kafka consumer (reference ``connectors/kafka/__init__.py:306-424``).
 
-    Compiles to Spark's kafka source: partition-per-topic-partition and
-    offset resume are native. Requires the spark-sql-kafka package on
-    the classpath (not present in this container — construction works,
-    ``to_df`` will raise at analysis without the jar)."""
+    ``brokers`` as ``host:port`` strings compiles to Spark's kafka
+    source — partition-per-topic-partition and offset resume are
+    native (requires the spark-sql-kafka jar on the classpath).
+
+    ``brokers`` as a single local directory path selects the embedded
+    file-backed log (:mod:`bytewax_spark.connectors.kafka_log`): the
+    SAME frame schema and the same offset-resume contract (Spark's
+    checkpointed file-source log is the committed-offset store), so
+    flows developed against it run unchanged on a real broker."""
 
     def __init__(self, brokers: list[str], topics: list[str], starting_offsets: str = "earliest", streaming: bool = True) -> None:
         self.brokers, self.topics, self.starting_offsets, self.streaming = brokers, topics, starting_offsets, streaming
 
+    def _embedded_df(self) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from bytewax_spark.connectors.kafka_log import KAFKA_FRAME_DDL, KafkaLog
+
+        spark = self._spark()
+        log = KafkaLog(self.brokers[0])
+        out: DataFrame | None = None
+        for topic in self.topics:
+            import os
+
+            os.makedirs(log.topic_dir(topic), exist_ok=True)
+            reader = spark.readStream if self.streaming else spark.read
+            df = reader.schema(KAFKA_FRAME_DDL).parquet(log.topic_dir(topic))
+            if self.starting_offsets == "latest":
+                # consume only records appended after stream start —
+                # Kafka's startingOffsets=latest
+                ends = log.end_offsets(topic)
+                cond = F.lit(False)
+                for p in range(log.n_partitions):
+                    cond = cond | (
+                        (F.col("partition") == p)
+                        & (F.col("offset") >= F.lit(ends.get(p, 0)))
+                    )
+                df = df.filter(cond)
+            out = df if out is None else out.unionByName(df)
+        assert out is not None, "KafkaSource needs at least one topic"
+        return out
+
     def to_df(self) -> DataFrame:
+        from bytewax_spark.connectors.kafka_log import is_log_path
+
+        if is_log_path(self.brokers):
+            return self._embedded_df()
         spark = self._spark()
         reader = spark.readStream if self.streaming else spark.read
         return (

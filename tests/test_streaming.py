@@ -481,3 +481,99 @@ def test_stateful_flat_map_stream_deltas_with_discard(spark):
     rows = drain(spark, flow, "sfmap_s_out")
     assert sorted(r["delta"] for r in rows) == [2, 2]
     assert all(r["key"] == "a" for r in rows)
+
+
+def test_close_on_idle_flushes_open_windows(spark):
+    """Pure-streaming idle topology (reference idle-advancing
+    watermark, windowing.py:230-310): the data watermark never passes
+    the window end — only the wall-clock close_on_idle timer closes
+    it. Without close_on_idle this query would hold the window open
+    forever."""
+    import time
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+
+    def count_fold(pdf):
+        return pd.DataFrame(
+            {"key": [pdf["key"].iloc[0]], "n": [len(pdf)]}
+        )
+
+    flow = Dataflow("s_idle")
+    s = op.input(
+        "in",
+        flow,
+        TestingSource(
+            [("a", ts(1)), ("a", ts(2))],  # one window, no later event
+            schema="k string, ts timestamp",
+            streaming=True,
+        ),
+    )
+    ks = op.key_on("key", s, "k")
+    folded = win.fold_window(
+        "w", ks,
+        win.EventClock("ts", timedelta(minutes=1), close_on_idle=timedelta(seconds=1)),
+        win.TumblingWindower(timedelta(minutes=10)),
+        fold=count_fold, schema="key string, n long",
+    )
+    q = (
+        folded.df.writeStream.format("memory")
+        .queryName("s_idle_out")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bw_ckpt_"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        got = []
+        for _ in range(60):  # up to 30 s
+            got = [(r["key"], r["n"]) for r in spark.sql("SELECT * FROM s_idle_out").collect()]
+            if got:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got == [("a", 2)]
+
+
+def test_close_on_idle_flushes_open_session(spark):
+    """Same idle-flush contract for the session fold path."""
+    import time
+
+    def sess_fold(pdf):
+        return pd.DataFrame({"key": [pdf["key"].iloc[0]], "n": [len(pdf)]})
+
+    flow = Dataflow("s_idle_sess")
+    s = op.input(
+        "in",
+        flow,
+        TestingSource(
+            [("a", datetime(2024, 1, 1, 0, 1)), ("a", datetime(2024, 1, 1, 0, 2))],
+            schema="k string, ts timestamp",
+            streaming=True,
+        ),
+    )
+    ks = op.key_on("key", s, "k")
+    folded = win.fold_window(
+        "w", ks,
+        win.EventClock("ts", timedelta(minutes=1), close_on_idle=timedelta(seconds=1)),
+        win.SessionWindower(timedelta(minutes=10)),
+        fold=sess_fold, schema="key string, n long",
+    )
+    q = (
+        folded.df.writeStream.format("memory")
+        .queryName("s_idle_sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bw_ckpt_"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        got = []
+        for _ in range(60):
+            got = [(r["key"], r["n"]) for r in spark.sql("SELECT * FROM s_idle_sess_out").collect()]
+            if got:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got == [("a", 2)]
