@@ -611,6 +611,135 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in
+    one quarter. Orders filter (one quarter) is pushed to the scan and
+    shrinks the orderkey join; nation broadcasts; the top-20 is a
+    TakeOrderedAndProject — no global sort materializes. Ties broken on
+    c_custkey so the result set is deterministic."""
+    flow = _flow("q10")
+    cust = op.input("c", flow, _t(spark, sf_dir, "customer")).df
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    nat = op.input("n", flow, _t(spark, sf_dir, "nation")).df
+
+    o_q = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    ret = li.filter(F.col("l_returnflag") == "R")
+    j = (
+        ret.join(o_q, ret["l_orderkey"] == o_q["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+    )
+    rev = (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+            ).cast("double").alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (trimmed schema: linestatus stands in for
+    shipmode): conditional CASE-sums per group over an orders ⋈
+    lineitem fact-fact join. Both sides shuffle on orderkey once; the
+    CASE folds into the partial aggregate, so only (status, 2 counts)
+    rows cross the second exchange."""
+    flow = _flow("q12")
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+
+    li_f = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li_f.join(orders, li_f["l_orderkey"] == orders["o_orderkey"])
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month. part is a
+    dim → explicit broadcast (no fact shuffle at all: scan-filter
+    lineitem, broadcast-hash-join, one-row agg). Both component sums
+    are emitted exactly (decimal accumulation) alongside the derived
+    percentage so the compare is bit-stable."""
+    flow = _flow("q14")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    part = op.input("p", flow, _t(spark, sf_dir, "part")).df
+
+    li_f = li.filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    j = li_f.join(F.broadcast(part), li_f["l_partkey"] == part["p_partkey"])
+    agg = j.agg(
+        F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))), 2)
+        .cast("double").alias("promo_revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4).alias("promo_pct"),
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single order exceeds 300 units.
+    Aggregate-before-join: lineitem folds to (orderkey, sum_qty) FIRST
+    — one map-side-combined shuffle over the fact — and the HAVING
+    filter leaves a tiny set that broadcasts through orders and
+    customer. The naive plan (join first, aggregate the joined fact)
+    would shuffle lineitem with payload twice."""
+    flow = _flow("q18")
+    cust = op.input("c", flow, _t(spark, sf_dir, "customer")).df
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    j = orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]).join(
+        cust, F.col("o_custkey") == cust["c_custkey"]
+    )
+    return j.select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three disjunctive brand/size/
+    quantity branches — the OR-predicate stress test. part broadcasts;
+    the common quantity envelope (1..35) is pulled out of the OR so a
+    residual range filter still reaches the lineitem scan instead of
+    every row surviving to the join."""
+    flow = _flow("q19")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    part = op.input("p", flow, _t(spark, sf_dir, "part")).df
+
+    # Catalyst doesn't derive range envelopes from an OR, so the
+    # enclosing quantity/size bounds are stated explicitly — they reach
+    # the scans as PushedFilters while the OR stays as the residual.
+    li_env = li.filter(F.col("l_quantity").between(1, 35))
+    part_env = part.filter(F.col("p_size").between(1, 35))
+    j = li_env.join(F.broadcast(part_env), li_env["l_partkey"] == part_env["p_partkey"])
+    b1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 15)
+    b2 = (F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 25)
+    b3 = (F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 35)
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+        ).cast("double").alias("revenue")
+    )
+
+
 def filter_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_map: parse-or-drop (JSON k field; NULL parses dropped)."""
     flow = _flow("fmap")
@@ -1192,6 +1321,56 @@ _ORACLES: dict[str, str] = {
           AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY 1
     """,
+    "q10_returned_revenue": """
+        SELECT c_custkey, c_name, n_name, revenue FROM (
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1, 2, 3
+        ) ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    "q12_priority_by_status": """
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    "q14_promo_revenue": """
+        SELECT promo_revenue, total_revenue,
+               ROUND(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+        FROM (
+            SELECT CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                                       THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                                       ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+        )
+    """,
+    "q18_large_volume_customers": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, big.sum_qty
+        FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300) big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 15)
+           OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 25)
+           OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 35)
+    """,
     "filter_map_props": """
         SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         FROM events WHERE props->>'k' IS NOT NULL
@@ -1521,6 +1700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_value_delta": lag_value_delta,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_priority_by_status": q12_priority_by_status,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "filter_map_props": filter_map_props,
         "distinct_word_count": distinct_word_count,
         "high_value_clicks_per_user": high_value_clicks_per_user,

@@ -80,3 +80,40 @@ def test_anti_join_is_anti(spark, sf_dir):
     plan = _plan(spark, "customers_without_orders", sf_dir)
     assert "LeftAnti" in plan
     assert "Broadcast" in plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    """Q10's top-20 plans as TakeOrderedAndProject (per-partition heap,
+    no global sort materialization) and nation broadcasts."""
+    plan = _plan(spark, "q10_returned_revenue", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_q14_part_broadcasts_no_fact_shuffle(spark, sf_dir):
+    """Q14: part is a broadcast dim, so the lineitem fact reaches the
+    one-row aggregate without ever shuffling on a join key."""
+    plan = _plan(spark, "q14_promo_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """Q18 folds lineitem to (orderkey, sum_qty) before any join — the
+    partial sum sits under the exchange; the HAVING survivors
+    broadcast through orders and customer."""
+    plan = _plan(spark, "q18_large_volume_customers", sf_dir)
+    assert "partial_sum" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q19_or_envelope_reaches_scan(spark, sf_dir):
+    """Q19's disjunctive predicate keeps a pushable quantity envelope:
+    the 1..35 range lands in the lineitem scan's PushedFilters while
+    the OR stays as the residual filter."""
+    plan = _plan(spark, "q19_disjunctive_revenue", sf_dir)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,35.0)" in plan
+    assert "EvalPython" not in plan
