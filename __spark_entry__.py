@@ -1062,6 +1062,47 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_docs_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% document sample (functions/sampling.py):
+    membership is decided by md5-bucket of doc_id, so the subset is
+    identical on every run and cluster layout — a map-local filter, no
+    shuffle, one md5 per row in codegen."""
+    from bytewax_spark.functions import sampling
+
+    flow = _flow("samp")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    return sampling.sample_by_hash(docs, "doc_id", 0.10).select("doc_id", "lang")
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: downsample English to 5%,
+    keep all German, 50% of everything else — one CASE threshold, one
+    pass, no per-stratum scans."""
+    from bytewax_spark.functions import sampling
+
+    flow = _flow("strat")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    out = sampling.stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.05, "de": 1.0}, default_rate=0.5, salt="strat"
+    )
+    return out.select("doc_id", "lang")
+
+
+def split_docs_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/val/test assignment: disjoint bucket ranges of
+    one doc_id hash (80/10/10). A document can never change split
+    across re-runs or backfills — the reproducibility contract a
+    training pipeline needs."""
+    from bytewax_spark.functions import sampling
+
+    flow = _flow("split")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    out = sampling.split_train_test(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return out.select("doc_id", "split")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1515,6 +1556,33 @@ _ORACLES["doc_fingerprints"] = f"""
     SELECT doc_id, {_SQL_H64.format(_SQL_CANON)} AS fp FROM documents
 """
 
+# bucket expression mirroring functions/sampling.py: md5-int64 of
+# (salt || key-as-string) mod 1e6
+_SQL_BUCKET = (
+    _SQL_H64.format("CONCAT('{salt}', CAST(doc_id AS VARCHAR))") + " % 1000000"
+)
+
+_ORACLES["sample_docs_10pct"] = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_SQL_BUCKET.format(salt="")} < 100000
+"""
+
+_ORACLES["stratified_sample_docs"] = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_SQL_BUCKET.format(salt="strat")} <
+          CASE WHEN lang = 'en' THEN 50000
+               WHEN lang = 'de' THEN 1000000
+               ELSE 500000 END
+"""
+
+_ORACLES["split_docs_train_test"] = f"""
+    SELECT doc_id,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {_SQL_BUCKET.format(salt="split")} AS b FROM documents)
+"""
+
 _ORACLES["dedup_fingerprint_docs"] = f"""
     SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_SQL_CANON}
 """
@@ -1721,6 +1789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "sample_docs_10pct": sample_docs_10pct,
+        "stratified_sample_docs": stratified_sample_docs,
+        "split_docs_train_test": split_docs_train_test,
         "simhash_docs": simhash_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_vec0": cosine_topk_vec0,

@@ -10,12 +10,14 @@ the reference (SURVEY §2.7) and designed here for 100 TB scale.
   top-k, IVF-style probed search, random-hyperplane LSH buckets.
 - :mod:`bytewax_spark.functions.multimodal` — binary media columns
   with typed metadata; decode/feature/resize/frame-sample plumbing.
+- :mod:`bytewax_spark.functions.sampling` — deterministic hash
+  sampling, stratified rates, leak-proof train/test splits.
 
 Everything is pure column expressions (codegen, pushdown) except where
 vector math forces a Pandas UDF; all hashing is md5-derived so DuckDB
 oracles can reproduce results bit-for-bit.
 """
 
-from bytewax_spark.functions import dedup, multimodal, similarity, text
+from bytewax_spark.functions import dedup, multimodal, sampling, similarity, text
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "sampling"]

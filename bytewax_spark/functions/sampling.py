@@ -1,0 +1,131 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is useless for dataset curation at
+scale: re-running the pipeline yields a different subset, so ablations
+and holdout splits aren't reproducible, and adding one input file
+reshuffles every prior decision. These operators decide membership by
+hashing a stable row key instead — the same row lands in the same
+sample/split forever, on any cluster layout, with zero coordination:
+
+- ``sample_by_hash``  — keep a deterministic ``rate`` fraction by key.
+- ``stratified_sample`` — per-stratum rates (e.g. downsample English,
+  keep all low-resource languages) as one plan-time CASE expression.
+- ``split_train_test`` — disjoint named splits from one hash, so
+  train/val/test can never leak into each other.
+
+All pure Catalyst expressions over ``text.hash64`` (md5-derived —
+engine-portable, so DuckDB oracles reproduce results exactly; see
+``text.py`` module docstring). A filter on a hash expression is
+map-local: no shuffle, runs at scan rate with full pushdown of any
+surrounding predicates, and at 100 TB the sample decision costs one
+md5 per row inside whole-stage codegen.
+
+Parity note: the reference has no sampling operators (its unit of work
+is a stream item); this module is part of the beyond-reference
+LLM-pipeline surface (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash64
+
+__all__ = [
+    "BUCKETS",
+    "sample_bucket",
+    "sample_by_hash",
+    "stratified_sample",
+    "split_train_test",
+]
+
+# Bucket space for rate quantization. 1e6 buckets give rate resolution
+# of 1e-6 while keeping ``rate * BUCKETS`` exactly representable.
+BUCKETS = 1_000_000
+
+
+def sample_bucket(key: Column | str, salt: str = "") -> Column:
+    """Stable bucket in [0, BUCKETS) for a row key.
+
+    ``salt`` decorrelates independent sampling decisions made on the
+    same key (two different 10% samples); the same (key, salt) pair
+    always lands in the same bucket. hash64 is 60-bit non-negative, so
+    plain ``%`` is safe."""
+    key = F.col(key) if isinstance(key, str) else key
+    return (hash64(F.concat(F.lit(salt), key.cast("string"))) % BUCKETS).cast("bigint")
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, decided per key.
+
+    Rows with equal keys are kept or dropped together (sample whole
+    documents/users, never half of one). Selectivity is exact in
+    expectation: bucket < rate * BUCKETS."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(sample_bucket(key_col, salt) < int(rate * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling in one pass.
+
+    ``rates`` maps stratum value → keep fraction; strata not listed
+    fall back to ``default_rate``. The thresholds fold into a single
+    CASE expression, so the whole decision is one map-local filter —
+    no per-stratum scans, no shuffle, no driver loop."""
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for stratum {stratum!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    threshold: Column = F.lit(int(default_rate * BUCKETS))
+    for stratum, rate in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(int(rate * BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(sample_bucket(key_col, salt) < threshold)
+
+
+def split_train_test(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a named split label from one hash.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any
+    remainder is labeled NULL, i.e. held out entirely). Splits are
+    disjoint by construction — consecutive half-open bucket ranges of a
+    single hash — so a key can never appear in two splits, across any
+    number of re-runs or backfills. Split names are assigned ranges in
+    insertion order of ``weights``."""
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total}, must be <= 1")
+    bucket = sample_bucket(key_col, salt)
+    label: Column = F.lit(None).cast("string")
+    edge = 0
+    # build the CASE bottom-up: later WHENs wrap earlier ones, so emit
+    # ranges in reverse to keep first-listed split at the low buckets
+    ranges = []
+    for name, w in weights.items():
+        lo, hi = edge, edge + int(w * BUCKETS)
+        ranges.append((name, lo, hi))
+        edge = hi
+    for name, lo, hi in reversed(ranges):
+        label = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(label)
+    return df.withColumn(split_col, label)

@@ -223,3 +223,83 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     for r in rows:
         assert r["approx_within_5pct"], r
         assert r["exact_users"] == exact[r["event_type"]]
+
+
+def test_sample_by_hash_deterministic_and_keyed(spark, sf_dir):
+    """Same (key, salt) → same decision on every run; different salts
+    decorrelate; rate lands near the target fraction."""
+    from bytewax_spark.functions import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = {r["doc_id"] for r in sampling.sample_by_hash(docs, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in sampling.sample_by_hash(docs, "doc_id", 0.2).collect()}
+    assert s1 == s2
+    # rate within a loose binomial envelope
+    assert 0.05 * n < len(s1) < 0.4 * n
+    # a larger rate with the same salt is a superset (nested samples)
+    s_half = {r["doc_id"] for r in sampling.sample_by_hash(docs, "doc_id", 0.5).collect()}
+    assert s1 <= s_half
+    # a different salt gives a different subset
+    s_salted = {
+        r["doc_id"] for r in sampling.sample_by_hash(docs, "doc_id", 0.2, salt="x").collect()
+    }
+    assert s_salted != s1
+    with pytest.raises(ValueError, match="rate"):
+        sampling.sample_by_hash(docs, "doc_id", 1.5)
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Per-stratum keep fractions honor the configured rates: de keeps
+    everything, en keeps ~5%, rest ~50%."""
+    from bytewax_spark.functions import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    kept = sampling.stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.05, "de": 1.0}, default_rate=0.5
+    )
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert got.get("de", 0) == tot["de"]
+    assert got.get("en", 0) < 0.25 * tot["en"]
+    others = [l for l in tot if l not in ("en", "de")]
+    frac = sum(got.get(l, 0) for l in others) / sum(tot[l] for l in others)
+    assert 0.3 < frac < 0.7
+
+
+def test_split_train_test_disjoint_and_stable(spark, sf_dir):
+    """Every row gets exactly one split; assignment is stable across
+    runs; weights < 1 leave a NULL holdout."""
+    from bytewax_spark.functions import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.split_train_test(docs, "doc_id", {"train": 0.8, "test": 0.1})
+    rows = out.select("doc_id", "split").collect()
+    assign = {r["doc_id"]: r["split"] for r in rows}
+    assert len(assign) == len(rows)  # one row per key, one label each
+    counts = {}
+    for v in assign.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert counts.get("train", 0) > counts.get("test", 0) > 0
+    assert None in counts  # 10% holdout unlabeled
+    again = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_train_test(docs, "doc_id", {"train": 0.8, "test": 0.1}).collect()
+    }
+    assert again == assign
+    with pytest.raises(ValueError, match="sum"):
+        sampling.split_train_test(docs, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_sampling_plan_is_scan_local(spark, sf_dir):
+    """The sample decision is a map-local filter: no exchange, no
+    Python eval — one md5 per row inside codegen."""
+    from bytewax_spark.functions import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    plan = (
+        sampling.sample_by_hash(docs, "doc_id", 0.1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in plan
