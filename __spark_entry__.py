@@ -1062,6 +1062,19 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup (functions/dedup.py
+    lsh_cosine_pairs): the scale path for a table with NO natural
+    blocking column — hyperplane buckets (map-side literals) bound the
+    self-join, exact cosine runs only within buckets."""
+    from bytewax_spark.functions import dedup as dd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.lsh_cosine_pairs(
+        emb, "embedding", "vec_id", dims=64, n_planes=8, threshold=0.35
+    )
+
+
 def sample_docs_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% document sample (functions/sampling.py):
     membership is decided by md5-bucket of doc_id, so the subset is
@@ -1698,6 +1711,14 @@ def _lsh_oracle() -> str:
 
 _ORACLES["lsh_buckets_embeddings"] = _lsh_oracle()
 
+_ORACLES["lsh_cosine_neardup_pairs"] = f"""
+    WITH b AS ({_lsh_oracle().replace("SELECT vec_id,", "SELECT vec_id, embedding,")})
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND({_SQL_COS.format(a='a.embedding', b='c.embedding')}, 6) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ROUND({_SQL_COS.format(a='a.embedding', b='c.embedding')}, 6) >= 0.35
+"""
+
 # multimodal: the digest-fake decode is sha256(content)[:8] / 255.0 —
 # bit-identical IEEE division on both engines, so exact value compare
 _ORACLES["multimodal_image_features"] = """
@@ -1797,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_vec0": cosine_topk_vec0,
         "ivf_topk_vec0": ivf_topk_vec0,
         "lsh_buckets_embeddings": lsh_buckets_embeddings,
+        "lsh_cosine_neardup_pairs": lsh_cosine_neardup_pairs,
         # multimodal plumbing (binary media columns; stubbed codecs)
         "multimodal_image_features": multimodal_image_features,
         "multimodal_frame_samples": multimodal_frame_samples,

@@ -41,6 +41,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "embedding_cosine_pairs",
+    "lsh_cosine_pairs",
 ]
 
 MINHASH_K = 32          # signature length
@@ -293,3 +294,30 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    n_planes: int = 8,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs on an UNblocked table: LSH buckets as
+    the blocking key, exact cosine inside each bucket.
+
+    The scale path when no natural block (label, cell) exists: the
+    bucket is a map-side expression (plan-time hyperplane literals —
+    see ``similarity.lsh_bucket_col``), so the only shuffle is the
+    self-join on the ~2^n_planes uniform bucket keys. At 100 TB the
+    candidate set is |bucket|-bounded instead of N², at the usual LSH
+    recall trade-off (raise n_planes for precision, add
+    hamming-adjacent probes for recall)."""
+    from bytewax_spark.functions.similarity import lsh_bucket_col
+
+    blocked = df.withColumn(
+        "_lsh_bucket", lsh_bucket_col(vec_col, n_planes, dims, seed)
+    )
+    return embedding_cosine_pairs(blocked, vec_col, id_col, "_lsh_bucket", threshold)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["as_double", "cosine", "cosine_topk", "ivf_topk", "lsh_buckets"]
+__all__ = ["as_double", "cosine", "cosine_topk", "ivf_topk", "lsh_bucket_col", "lsh_buckets"]
 
 
 def as_double(c: Column | str) -> Column:
@@ -113,20 +113,19 @@ def _planes(n_planes: int, dims: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
-def lsh_buckets(
-    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 8, dims: int | None = None, seed: int = 42
-) -> DataFrame:
-    """(id, bucket) — random-hyperplane sign signature as an int key.
+def lsh_bucket_col(
+    vec_col: Column | str, n_planes: int = 8, dims: int | None = None, seed: int = 42
+) -> Column:
+    """Random-hyperplane sign signature as an int column expression.
 
-    Rows with equal buckets are ANN candidates; join on the bucket for
-    candidate pairs. nprobe-style recall: also join on buckets at
-    hamming distance 1 (flip each bit).
+    Map-side only (the hyperplanes are plan-time literals), so callers
+    can attach a bucket to any DataFrame without a join or shuffle.
 
-    ``dims`` is required unless the column's element count is declared
-    in metadata — plan construction must not run a driver-side action."""
+    ``dims`` is required — plan construction must not run a driver-side
+    action to infer it."""
     if dims is None:
         raise ValueError(
-            "lsh_buckets needs dims= (embedding dimensionality); inferring it "
+            "lsh bucketing needs dims= (embedding dimensionality); inferring it "
             "would require a driver-side .first() action during plan construction"
         )
     v = as_double(vec_col)
@@ -135,4 +134,17 @@ def lsh_buckets(
         p = F.array([F.lit(x) for x in plane])
         bit = F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+    return bucket.cast("long")
+
+
+def lsh_buckets(
+    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 8, dims: int | None = None, seed: int = 42
+) -> DataFrame:
+    """(id, bucket) — random-hyperplane sign signature as an int key.
+
+    Rows with equal buckets are ANN candidates; join on the bucket for
+    candidate pairs. nprobe-style recall: also join on buckets at
+    hamming distance 1 (flip each bit)."""
+    return df.select(
+        F.col(id_col), lsh_bucket_col(vec_col, n_planes, dims, seed).alias("bucket")
+    )

@@ -303,3 +303,23 @@ def test_sampling_plan_is_scan_local(spark, sf_dir):
     )
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
     assert "EvalPython" not in plan
+
+
+def test_lsh_cosine_pairs_subset_of_exact(spark, sf_dir):
+    """Every LSH-bucketed pair is a true near-dup pair (precision is
+    exact — cosine is computed, not estimated); the bucket only bounds
+    candidates. Deterministic across runs."""
+    emb = load(spark, sf_dir, "embeddings")
+    lsh = dedup.lsh_cosine_pairs(emb, "embedding", "vec_id", dims=64, threshold=0.3)
+    got = {(r["id_a"], r["id_b"], r["cosine"]) for r in lsh.collect()}
+    again = {(r["id_a"], r["id_b"], r["cosine"]) for r in lsh.collect()}
+    assert got == again and len(got) > 0
+    # all-pairs ground truth on the small table: one shared block
+    allp = dedup.embedding_cosine_pairs(
+        emb.withColumn("_one", F.lit(1)), "embedding", "vec_id", "_one", threshold=0.3
+    )
+    truth = {(r["id_a"], r["id_b"], r["cosine"]) for r in allp.collect()}
+    assert got <= truth
+    # the plan stays JVM-side: no Python eval anywhere
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
