@@ -1062,6 +1062,38 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation — the flagship composition:
+    quality score → language filter → exact dedup (canonical
+    fingerprint) → deterministic 50% sample → leak-proof train/val
+    split, all one Catalyst plan.
+
+    Scale shape: scoring/filtering/sampling are map-local expressions;
+    the only shuffles are dedup's (hash, id) aggregate (doc bodies
+    never move) and its id semi-join back. Every stage is
+    md5/LCG-deterministic, so the whole pipeline is reproducible and
+    SQL-oracle-checkable end to end."""
+    from bytewax_spark.functions import dedup as dd
+    from bytewax_spark.functions import sampling
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("curate")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    scored = docs.select(
+        "doc_id",
+        "text",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    uniq = dd.dedup_exact(kept, "text", "doc_id", key=tx.fingerprint("text"))
+    sampled = sampling.sample_by_hash(uniq, "doc_id", 0.5, salt="curate")
+    out = sampling.split_train_test(
+        sampled, "doc_id", {"train": 0.9, "val": 0.1}, salt="curate-split"
+    )
+    return out.select("doc_id", "lang_pred", "quality", "split")
+
+
 def lsh_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed cosine near-dup (functions/dedup.py
     lsh_cosine_pairs): the scale path for a table with NO natural
@@ -1600,6 +1632,59 @@ _ORACLES["dedup_fingerprint_docs"] = f"""
     SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_SQL_CANON}
 """
 
+# curate_corpus mirrors the Spark pipeline stage by stage: score/lang
+# (same CTEs as text_stats), quality+lang filter, min-id dedup per
+# canonical fingerprint, then the two salted md5 buckets from
+# functions/sampling.py (50% sample; train/val at 900000).
+_ORACLES["curate_corpus"] = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             CAST(LEN(toks) AS DOUBLE) AS n_words,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) AS alpha,
+             {_SQL_HITS['en']} AS sw_hits,
+             {_SQL_HITS['de']} AS h_de, {_SQL_HITS['en']} AS h_en,
+             {_SQL_HITS['es']} AS h_es, {_SQL_HITS['fr']} AS h_fr
+      FROM t
+    ), m2 AS (
+      SELECT *,
+             CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END AS mean_wlen,
+             CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN n_words > 0 THEN sw_hits / n_words ELSE 0.0 END AS sw_ratio,
+             GREATEST(h_de, h_en, h_es, h_fr) AS best
+      FROM m
+    ), scored AS (
+      SELECT doc_id,
+             CASE WHEN best = 0 THEN 'und'
+                  WHEN h_de = best THEN 'de'
+                  WHEN h_en = best THEN 'en'
+                  WHEN h_es = best THEN 'es'
+                  ELSE 'fr' END AS lang_pred,
+             ROUND(0.25 * (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * LEAST(alpha_ratio * 1.25, 1.0)
+                 + 0.25 * LEAST(sw_ratio * 5.0, 1.0), 4) AS quality,
+             {_SQL_H64.format(_SQL_CANON)} AS fp
+      FROM m2
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
+    ), uniq AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS _keep FROM kept
+      ) WHERE doc_id = _keep
+    ), sampled AS (
+      SELECT doc_id, lang_pred, quality,
+             ('0x' || SUBSTR(MD5(CONCAT('curate-split', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT % 1000000 AS b
+      FROM uniq
+      WHERE ('0x' || SUBSTR(MD5(CONCAT('curate', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT % 1000000 < 500000
+    )
+    SELECT doc_id, lang_pred, quality,
+           CASE WHEN b < 900000 THEN 'train' ELSE 'val' END AS split
+    FROM sampled
+"""
+
 _SQL_SHINGLES_N1 = f"""
     sh AS (
       SELECT DISTINCT doc_id, {_SQL_H64.format('w')} AS shingle
@@ -1811,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "sample_docs_10pct": sample_docs_10pct,
+        "curate_corpus": curate_corpus,
         "stratified_sample_docs": stratified_sample_docs,
         "split_docs_train_test": split_docs_train_test,
         "simhash_docs": simhash_docs,
