@@ -1149,6 +1149,458 @@ def split_docs_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H remainder: Q2/Q4/Q7/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q20/Q21/Q22 shapes,
+# adapted to the slim test schema (no partsupp table — lineitem stands in
+# as the part↔supplier relation; no commit/receipt dates — lateness is
+# measured against o_orderdate; no c_phone — c_custkey % 7 stands in for
+# the country code). Each keeps the original query's *shape* (correlated
+# MIN, EXISTS, scalar-subquery HAVING, anti-join, distribution histogram)
+# re-expressed as the plan you'd actually want at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per STANDARD small part.
+    A supplier's offer price for a part is its exact unit price over
+    lineitem (decimal sums, so both engines agree bit-for-bit). The
+    correlated `MIN(ps_supplycost)` subquery becomes a per-part
+    row_number over the (part, supplier) aggregate — one shuffle on
+    partkey; part/nation/region broadcast; rank orders by the already-
+    rounded offer so ties break identically everywhere."""
+    from pyspark.sql import Window as W
+
+    flow = _flow("q2")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    part = op.input("p", flow, _t(spark, sf_dir, "part")).df
+    supp = op.input("s", flow, _t(spark, sf_dir, "supplier")).df
+    nat = op.input("n", flow, _t(spark, sf_dir, "nation")).df
+    reg = op.input("r", flow, _t(spark, sf_dir, "region")).df
+
+    p_f = part.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)).select(
+        "p_partkey", "p_name"
+    )
+    eur = (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == reg["r_regionkey"],
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offer = (
+        li.join(F.broadcast(p_f), li["l_partkey"] == p_f["p_partkey"])
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"),
+                4,
+            ).alias("offer_price")
+        )
+    )
+    j = offer.join(eur, offer["l_suppkey"] == eur["s_suppkey"])
+    w = W.partitionBy("p_partkey").orderBy(F.asc("offer_price"), F.asc("s_suppkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "offer_price",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking for one quarter. The
+    `EXISTS (late lineitem)` becomes a left-semi join with the lateness
+    predicate (shipped >30 days after order date) inside the join
+    condition — lineitem never materializes into the output, and the
+    quarter filter reaches the orders scan as a pushed filter."""
+    flow = _flow("q4")
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+
+    o_q = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late = o_q.join(
+        li,
+        (o_q["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+    The two-nation filter lands on the broadcast dim sides (supplier and
+    customer each shrink to 2/25 of rows before the fact join); lineitem
+    keeps a pushed two-year shipdate range; the cross-pair predicate is
+    evaluated post-join on broadcast-delivered columns."""
+    n1, n2 = "NATION_1", "NATION_2"
+    flow = _flow("q7")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    cust = op.input("c", flow, _t(spark, sf_dir, "customer")).df
+    supp = op.input("s", flow, _t(spark, sf_dir, "supplier")).df
+    nat = op.input("n", flow, _t(spark, sf_dir, "nation")).df
+
+    nat2 = nat.filter(F.col("n_name").isin(n1, n2))
+    s2 = supp.join(F.broadcast(nat2), supp["s_nationkey"] == nat2["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    c2 = cust.join(F.broadcast(nat2), cust["c_nationkey"] == nat2["n_nationkey"]).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    li_f = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    j = (
+        li_f.join(F.broadcast(s2), li_f["l_suppkey"] == s2["s_suppkey"])
+        .join(orders, li_f["l_orderkey"] == orders["o_orderkey"])
+        .join(c2, F.col("o_custkey") == c2["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")), 2
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of ECONOMY-part revenue
+    inside AMERICA, by order year. Part, supplier→nation, and the
+    customer-side nation⋈region map all broadcast; the only fact
+    shuffles are lineitem⋈orders and orders⋈customer on their join
+    keys. The share divides two exact decimal sums, so the rounded
+    ratio is engine-independent."""
+    flow = _flow("q8")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    cust = op.input("c", flow, _t(spark, sf_dir, "customer")).df
+    supp = op.input("s", flow, _t(spark, sf_dir, "supplier")).df
+    nat = op.input("n", flow, _t(spark, sf_dir, "nation")).df
+    reg = op.input("r", flow, _t(spark, sf_dir, "region")).df
+
+    p_f = op.input("p", flow, _t(spark, sf_dir, "part")).df.filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    am_nat = nat.join(
+        F.broadcast(reg.filter(F.col("r_name") == "AMERICA")),
+        nat["n_regionkey"] == reg["r_regionkey"],
+    ).select("n_nationkey")
+    s_n = supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    o_f = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    j = (
+        li.join(F.broadcast(p_f), li["l_partkey"] == p_f["p_partkey"])
+        .join(F.broadcast(s_n), li["l_suppkey"] == s_n["s_suppkey"])
+        .join(o_f, li["l_orderkey"] == o_f["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(am_nat), cust["c_nationkey"] == am_nat["n_nationkey"], "left_semi")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)).alias("_n"),
+            F.sum(rev).alias("_d"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_n").cast("double") / F.col("_d").cast("double"), 4).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for one part
+    family. With no partsupp.ps_supplycost, cost is proxied as half the
+    part's retail price per unit (documented, deterministic). part
+    filters on a contains-match then broadcasts with its price;
+    supplier→nation broadcasts; profit accumulates in decimal."""
+    flow = _flow("q9")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    supp = op.input("s", flow, _t(spark, sf_dir, "supplier")).df
+    nat = op.input("n", flow, _t(spark, sf_dir, "nation")).df
+
+    p_f = op.input("p", flow, _t(spark, sf_dir, "part")).df.filter(
+        F.col("p_name").contains("gear")
+    ).select("p_partkey", "p_retailprice")
+    s_n = supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(p_f), li["l_partkey"] == p_f["p_partkey"])
+        .join(F.broadcast(s_n), li["l_suppkey"] == s_n["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant value share of
+    one nation's shipped stock. The scalar subquery (global total)
+    becomes a 1-row aggregate broadcast back via a constant-key
+    equi-join — no crossJoin, no second scan of the grouped data's
+    input, and the HAVING threshold compares exact decimal sums."""
+    flow = _flow("q11")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    supp = op.input("s", flow, _t(spark, sf_dir, "supplier")).df
+    nat = op.input("n", flow, _t(spark, sf_dir, "nation")).df
+
+    s5 = supp.join(
+        F.broadcast(nat.filter(F.col("n_name") == "NATION_5")),
+        supp["s_nationkey"] == nat["n_nationkey"],
+    ).select("s_suppkey")
+    li_5 = li.join(F.broadcast(s5), li["l_suppkey"] == s5["s_suppkey"], "left_semi")
+    per_part = li_5.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("_value")
+    )
+    total = per_part.agg(F.sum("_value").alias("_total")).withColumn("_k", F.lit(1))
+    return (
+        per_part.withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .filter(F.col("_value") > F.col("_total") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("_value"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer (customers
+    with zero orders included), excluding one priority class. Aggregate
+    before join: orders folds to (custkey, count) first — map-side
+    combined — then left-joins onto customer, so the wide customer row
+    never rides through the count shuffle."""
+    flow = _flow("q13")
+    cust = op.input("c", flow, _t(spark, sf_dir, "customer")).df
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    counts = cust.join(
+        per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(F.coalesce(F.col("_cnt"), F.lit(0)).alias("c_count"))
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The revenue view is one map-side-combined aggregate; the scalar MAX
+    subquery is a 1-row aggregate equi-joined back on the (exact,
+    decimal-rounded) revenue value itself — ties all surface, matching
+    the reference semantics, with no global sort."""
+    flow = _flow("q15")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    supp = op.input("s", flow, _t(spark, sf_dir, "supplier")).df
+
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.join(F.broadcast(mx), rev["total_revenue"] == mx["_mx"])
+    return top.join(supp, top["l_suppkey"] == supp["s_suppkey"]).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can ship each (brand, type,
+    size) combination. The `NOT IN (complaint suppliers)` becomes a
+    broadcast anti-join against the negative-balance supplier set (the
+    slim schema's stand-in); part prunes to four sizes before
+    broadcasting; COUNT(DISTINCT suppkey) expands per group."""
+    flow = _flow("q16")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    part = op.input("p", flow, _t(spark, sf_dir, "part")).df
+    supp = op.input("s", flow, _t(spark, sf_dir, "supplier")).df
+
+    p_f = part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 14, 23, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = li.join(F.broadcast(p_f), li["l_partkey"] == p_f["p_partkey"]).join(
+        F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders for
+    one brand stopped. The correlated per-part AVG subquery becomes an
+    aggregate-before-join: per-part average quantity (exact — integer
+    sum over count) computed once on the brand-pruned fact slice, then
+    broadcast back onto the same slice. Two passes over a tiny slice
+    beats a window over the whole fact."""
+    flow = _flow("q17")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    part = op.input("p", flow, _t(spark, sf_dir, "part")).df
+
+    p_f = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li_b = li.join(F.broadcast(p_f), li["l_partkey"] == p_f["p_partkey"])
+    avg_q = li_b.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum("l_quantity").cast("double") / F.count(F.lit(1))).alias("_avg_qty")
+    )
+    small = li_b.join(F.broadcast(avg_q), li_b["l_partkey"] == F.col("_pk")).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0, 2
+        ).alias("avg_yearly")
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of one nation holding excess stock of
+    a part family. The nested `IN (IN (...))` pipeline becomes
+    aggregate-then-semi-join: lineitem (one year, part-family pruned
+    via broadcast) folds to (suppkey, partkey, qty), the HAVING keeps
+    heavy pairs, and the surviving supplier set semi-joins the
+    nation-filtered supplier dim."""
+    flow = _flow("q20")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    part = op.input("p", flow, _t(spark, sf_dir, "part")).df
+    supp = op.input("s", flow, _t(spark, sf_dir, "supplier")).df
+    nat = op.input("n", flow, _t(spark, sf_dir, "nation")).df
+
+    p_f = part.filter(F.col("p_name").startswith("small")).select("p_partkey")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(p_f), li["l_partkey"] == p_f["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s7 = supp.join(
+        F.broadcast(nat.filter(F.col("n_name") == "NATION_7")),
+        supp["s_nationkey"] == nat["n_nationkey"],
+    )
+    return s7.join(
+        F.broadcast(heavy), s7["s_suppkey"] == heavy["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone delayed a multi-supplier
+    finished order (late = shipped >60 days after order date on the
+    slim schema). The reference's EXISTS + NOT EXISTS pair is
+    re-expressed as ONE grouped pass over the order's lines — distinct
+    suppliers, distinct late suppliers, and (when unique) the lone late
+    supplier via MAX — because two correlated semi-joins against the
+    same fact would shuffle lineitem three times at 100 TB."""
+    flow = _flow("q21")
+    li = op.input("l", flow, _t(spark, sf_dir, "lineitem")).df
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+    supp = op.input("s", flow, _t(spark, sf_dir, "supplier")).df
+
+    o_f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    j = li.join(o_f, li["l_orderkey"] == o_f["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("_lone_supp"),
+    )
+    lone = per_order.filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    waits = lone.groupBy("_lone_supp").agg(F.count(F.lit(1)).alias("numwait"))
+    return waits.join(supp, waits["_lone_supp"] == supp["s_suppkey"]).select(
+        "s_suppkey", "s_name", "numwait"
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers of selected country codes who
+    never ordered. Country code is c_custkey % 7 (slim schema). The
+    scalar AVG subquery is a 1-row exact-decimal aggregate broadcast
+    back on a constant key; `NOT EXISTS (recent orders)` — every
+    customer in this dataset has SOME order, so "idle" means no order
+    since 1999 — is a shuffle anti-join on custkey against the
+    date-pruned orders scan (the only fact-sized shuffle in the
+    plan)."""
+    flow = _flow("q22")
+    cust = op.input("c", flow, _t(spark, sf_dir, "customer")).df
+    orders = op.input("o", flow, _t(spark, sf_dir, "orders")).df
+
+    code = F.pmod(F.col("c_custkey"), F.lit(7)).cast("long")
+    c_f = cust.withColumn("cntrycode", code).filter(F.col("cntrycode").isin(1, 3, 5))
+    avg_bal = (
+        c_f.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_avg")
+        )
+        .withColumn("_k", F.lit(1))
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "1999-01-01").select("o_custkey")
+    idle = c_f.join(recent, c_f["c_custkey"] == recent["o_custkey"], "left_anti")
+    rich = (
+        idle.withColumn("_k", F.lit(1))
+        .join(F.broadcast(avg_bal), "_k")
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+    )
+    return rich.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
@@ -1831,6 +2283,207 @@ _ORACLES["multimodal_resize_meta"] = """
     FROM documents
 """
 
+_ORACLES["q2_min_cost_supplier"] = """
+    WITH pf AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_type = 'STANDARD' AND p_size <= 10
+    ), eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), offer AS (
+      SELECT p_partkey, p_name, l_suppkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS offer_price
+      FROM lineitem JOIN pf ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT p_partkey, p_name, s_name, n_name, offer_price,
+           ROUND(s_acctbal, 2) AS s_acctbal
+    FROM (
+      SELECT o.p_partkey, o.p_name, e.s_name, e.n_name, o.offer_price, e.s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY o.p_partkey
+                                ORDER BY o.offer_price ASC, e.s_suppkey ASC) AS rn
+      FROM offer o JOIN eur e ON o.l_suppkey = e.s_suppkey
+    ) WHERE rn = 1
+"""
+
+_ORACLES["q4_order_priority"] = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY 1
+"""
+
+_ORACLES["q7_nation_volume"] = """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+"""
+
+_ORACLES["q8_market_share"] = """
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+                 4) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+"""
+
+_ORACLES["q9_product_profit"] = """
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+"""
+
+_ORACLES["q11_important_stock"] = """
+    WITH li5 AS (
+      SELECT l_partkey, l_extendedprice FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+      )
+    ), per_part AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS _value
+      FROM li5 GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(ROUND(_value, 2) AS DOUBLE) AS part_value
+    FROM per_part
+    WHERE _value > (SELECT SUM(_value) FROM per_part) * 0.001
+"""
+
+_ORACLES["q13_customer_distribution"] = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY 1
+    ) GROUP BY 1
+"""
+
+_ORACLES["q15_top_supplier"] = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+_ORACLES["q16_supplier_part_count"] = """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size IN (1, 14, 23, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+"""
+
+_ORACLES["q17_small_quantity_revenue"] = """
+    WITH li_b AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#23'
+    ), avg_q AS (
+      SELECT l_partkey AS _pk,
+             CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS _avg_qty
+      FROM li_b GROUP BY 1
+    )
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM li_b JOIN avg_q ON l_partkey = _pk
+    WHERE l_quantity < 0.2 * _avg_qty
+"""
+
+_ORACLES["q20_excess_suppliers"] = """
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 40
+      )
+"""
+
+_ORACLES["q21_waiting_suppliers"] = """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS _n_supp,
+             COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                 THEN l_suppkey END) AS _n_late,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN l_suppkey END) AS _lone_supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, numwait
+    FROM (
+      SELECT _lone_supp, COUNT(*) AS numwait
+      FROM per_order WHERE _n_supp > 1 AND _n_late = 1
+      GROUP BY 1
+    ) JOIN supplier ON _lone_supp = s_suppkey
+"""
+
+_ORACLES["q22_idle_customers"] = """
+    WITH c_f AS (
+      SELECT c_custkey, c_acctbal, CAST(c_custkey % 7 AS BIGINT) AS cntrycode
+      FROM customer WHERE CAST(c_custkey % 7 AS BIGINT) IN (1, 3, 5)
+    ), avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS _avg
+      FROM c_f WHERE c_acctbal > 0
+    )
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+    FROM c_f
+    WHERE c_acctbal > (SELECT _avg FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY 1
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -1879,6 +2532,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_idle_customers": q22_idle_customers,
         "filter_map_props": filter_map_props,
         "distinct_word_count": distinct_word_count,
         "high_value_clicks_per_user": high_value_clicks_per_user,
