@@ -954,6 +954,44 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(docs, "text", "doc_id", n=1, k=32, bands=4)
 
 
+def neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment (functions/graph.py): banded
+    MinHash-LSH candidate pairs → connected components (min-label
+    propagation, one shuffle per round, O(diameter) rounds) → every
+    document labeled with the min doc_id of its duplicate cluster;
+    singletons label themselves. This is the keep-one-per-cluster
+    product of near-dup detection; the oracle reproduces it with a
+    recursive transitive-closure CTE."""
+    from bytewax_spark.functions import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    return graph.neardup_clusters(docs, "text", "doc_id", n=1, k=32, bands=4)
+
+
+def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document: distinct
+    word ratio, top-word fraction (mode multiplicity via sorted-array
+    run-length — no shuffle), duplicate 2-gram fraction. All per-row
+    array expressions in whole-stage codegen; only (doc_id, text) is
+    read."""
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("rep")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents"))
+    out = op.map(
+        "signals",
+        docs,
+        {
+            "doc_id": "doc_id",
+            "n_words": tx.token_count("text"),
+            "distinct_word_ratio": tx.distinct_word_ratio("text"),
+            "top_word_frac": tx.top_word_frac("text"),
+            "dup_2gram_frac": tx.dup_ngram_frac("text", 2),
+        },
+    )
+    return out.df
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document."""
     from bytewax_spark.functions import dedup as dd
@@ -2178,6 +2216,63 @@ _ORACLES["minhash_lsh_pairs_docs"] = f"""
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
+_ORACLES["neardup_clusters_docs"] = f"""
+    WITH RECURSIVE {_SQL_SHINGLES_N1},
+    sig AS (
+      SELECT doc_id, i,
+             MIN((((i * 2654435761) % 2147483647) * (shingle % 2147483647)
+                  + ((i * 40503 + 17) % 2147483647)) % 2147483647) AS minhash
+      FROM sh CROSS JOIN (SELECT UNNEST(RANGE(1, 33)) AS i)
+      GROUP BY doc_id, i
+    ),
+    banded AS (
+      SELECT doc_id, (i - 1) // 8 AS band,
+             MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS comp FROM reach GROUP BY 1)
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+_ORACLES["repetition_signals_docs"] = f"""
+    SELECT doc_id,
+           len(w) AS n_words,
+           CASE WHEN len(w) > 0
+                THEN ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+                ELSE 0.0 END AS distinct_word_ratio,
+           CASE WHEN len(w) > 0
+                THEN ROUND(CAST((SELECT MAX(c) FROM (
+                       SELECT COUNT(*) AS c FROM UNNEST(w) AS u(x) GROUP BY x
+                     )) AS DOUBLE) / len(w), 4)
+                ELSE 0.0 END AS top_word_frac,
+           CASE WHEN len(g) > 0
+                THEN ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4)
+                ELSE 0.0 END AS dup_2gram_frac
+    FROM (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+1], ' '))
+                  ELSE []::VARCHAR[] END AS g
+      FROM (SELECT doc_id, {_SQL_TOKS} AS w FROM documents)
+    )
+"""
+
 _ORACLES["simhash_docs"] = f"""
     WITH th AS (
       SELECT doc_id, ({_SQL_H64.format('w')}) % 65536 AS h
@@ -2566,6 +2661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "split_docs_train_test": split_docs_train_test,
         "simhash_docs": simhash_docs,
+        "neardup_clusters_docs": neardup_clusters_docs,
+        "repetition_signals_docs": repetition_signals_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_vec0": cosine_topk_vec0,
         "ivf_topk_vec0": ivf_topk_vec0,

@@ -24,7 +24,13 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "top_word_frac",
+    "distinct_word_ratio",
+    "dup_ngram_frac",
+    "pii_counts",
+    "pii_redact",
     "STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 _TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
@@ -151,3 +157,102 @@ def fingerprint(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     canon = F.array_join(F.array_sort(F.array_distinct(tokenize(c))), " ")
     return hash64(canon)
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def distinct_word_ratio(c: Column | str) -> Column:
+    """distinct words / total words, 0.0 for empty text. High
+    repetition (low ratio) is the classic generated/boilerplate
+    signal. Pure array expressions — per-row, no shuffle."""
+    toks = tokenize(c)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.round(F.size(F.array_distinct(toks)).cast("double") / n, 4)
+    ).otherwise(F.lit(0.0))
+
+
+def top_word_frac(c: Column | str) -> Column:
+    """Fraction of the text taken by its single most frequent word
+    (the max-multiplicity token), 0.0 for empty text.
+
+    The mode is found without any shuffle: sort the token array, then
+    one ``aggregate`` pass tracks the longest equal-run — max
+    multiplicity == longest run in a sorted array. Whole-stage codegen
+    end to end."""
+    toks = F.array_sort(tokenize(c))
+    n = F.size(toks)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+    run = lambda acc, w: F.when(w == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+        F.lit(1).cast("long")
+    )
+    best = F.aggregate(
+        toks,
+        init,
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            run(acc, w).alias("run"),
+            F.greatest(acc.getField("best"), run(acc, w)).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    return F.when(n > 0, F.round(best.cast("double") / n, 4)).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(c: Column | str, n: int = 5) -> Column:
+    """Fraction of word n-grams that are repeats (1 - distinct/total),
+    0.0 when the text has fewer than ``n`` words. Duplicate-n-gram
+    fraction is the Gopher repetition filter; shingling and dedup stay
+    inside one row's array — no explode, no shuffle."""
+    grams = word_shingles(c, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total, 4
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters for redaction: emails before bare domains would go
+    # here; each pattern is RE2-safe (no backrefs) so it runs in codegen
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?\d{1,3}[-. ]{1,2})?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(c: Column | str) -> Column:
+    """struct<email,phone,ipv4,ssn: long> — per-document PII hit counts
+    via ``regexp_count`` (JVM regex, vectorized; no Python). The cheap
+    audit pass a corpus runs before deciding to redact."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(pat)).cast("long").alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
+def pii_redact(c: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with ``<KIND>`` (e.g. ``<EMAIL>``) —
+    chained ``regexp_replace``, one codegen stage, no UDF. ``kinds``
+    selects/orders the patterns (default: all, dict order — email
+    first so phone/ipv4 never munch an address's digits)."""
+    c = F.col(c) if isinstance(c, str) else c
+    for name in kinds if kinds is not None else list(PII_PATTERNS):
+        c = F.regexp_replace(c, PII_PATTERNS[name], f"<{name.upper()}>")
+    return c

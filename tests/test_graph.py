@@ -1,0 +1,87 @@
+"""Connected-components / near-dup clustering and the new text
+signals (repetition, PII) — library-level tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytewax_spark.functions import graph, text
+from tests.conftest import load
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in graph.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_connected_components_chain_and_order_invariance(spark):
+    # a chain labeled in reverse order stresses propagation depth, and
+    # the result must not depend on edge direction or row order
+    fwd = spark.createDataFrame([(i, i + 1) for i in range(10, 2, -1)], "id_a long, id_b long")
+    rev = spark.createDataFrame([(i + 1, i) for i in range(3, 11)], "id_a long, id_b long")
+    a = {r["node"]: r["comp"] for r in graph.connected_components(fwd).collect()}
+    b = {r["node"]: r["comp"] for r in graph.connected_components(rev).collect()}
+    assert a == b
+    assert set(a.values()) == {3}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(edges, max_iter=2)
+
+
+def test_neardup_clusters_covers_all_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    clusters = graph.neardup_clusters(docs, "text", "doc_id", n=1, k=32, bands=4)
+    rows = clusters.collect()
+    assert len(rows) == docs.count()  # every doc labeled, singletons included
+    by_id = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # cluster representative is the min member, so it labels itself
+    for rep in set(by_id.values()):
+        assert by_id[rep] == rep
+        assert rep <= min(d for d, c in by_id.items() if c == rep)
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [("a a a a b",), ("a b c d e",), ("",), ("x y x y x y",)], "text string"
+    )
+    rows = df.select(
+        text.distinct_word_ratio("text").alias("dr"),
+        text.top_word_frac("text").alias("tf"),
+        text.dup_ngram_frac("text", 2).alias("df2"),
+    ).collect()
+    assert rows[0]["dr"] == 0.4 and rows[0]["tf"] == 0.8
+    assert rows[1]["dr"] == 1.0 and rows[1]["tf"] == 0.2 and rows[1]["df2"] == 0.0
+    assert rows[2]["dr"] == 0.0 and rows[2]["tf"] == 0.0 and rows[2]["df2"] == 0.0
+    # 'x y x y x y': 5 bigrams, 2 distinct -> 0.6 duplicated
+    assert rows[3]["df2"] == 0.6
+
+
+def test_pii_counts_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at jane.doe+x@example.co.uk or call 555-123-4567",),
+            ("server at 10.0.0.1, ssn 123-45-6789",),
+            ("nothing sensitive here",),
+        ],
+        "text string",
+    )
+    rows = df.select(
+        text.pii_counts("text").alias("p"), text.pii_redact("text").alias("red")
+    ).collect()
+    assert rows[0]["p"]["email"] == 1 and rows[0]["p"]["phone"] == 1
+    assert rows[1]["p"]["ipv4"] == 1 and rows[1]["p"]["ssn"] == 1
+    assert sum(rows[2]["p"].asDict().values()) == 0
+    assert "<EMAIL>" in rows[0]["red"] and "jane" not in rows[0]["red"]
+    assert "<PHONE>" in rows[0]["red"]
+    assert "<IPV4>" in rows[1]["red"] and "<SSN>" in rows[1]["red"]
+    assert rows[2]["red"] == "nothing sensitive here"
