@@ -992,6 +992,31 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
+def decontamination_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/decontaminate.py): per-doc
+    word-3-gram overlap against a benchmark set (docs with doc_id
+    divisible by 97 stand in for the eval suite). The benchmark shingle
+    set is broadcast; only matched shingles reach the per-doc
+    aggregation shuffle — the corpus never shuffles for the test."""
+    from bytewax_spark.functions import decontaminate as dc
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return dc.contamination_report(docs, bench, "text", "doc_id", n=3)
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-corpus product of decontamination: docs with zero
+    benchmark 3-gram overlap, original columns intact (anti-join on
+    contaminated ids only — text bodies move once)."""
+    from bytewax_spark.functions import decontaminate as dc
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = dc.decontaminate(docs, bench, "text", "doc_id", n=3)
+    return clean.select("doc_id", "source", "n_chars")
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document."""
     from bytewax_spark.functions import dedup as dd
@@ -2273,6 +2298,45 @@ _ORACLES["repetition_signals_docs"] = f"""
     )
 """
 
+_SQL_DECON_HITS = f"""
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> array_to_string(w[i:i+2], ' ')))
+                  ELSE []::VARCHAR[] END AS g
+      FROM (SELECT doc_id, {_SQL_TOKS} AS w FROM documents)
+    ),
+    sh2 AS (
+      SELECT doc_id, {_SQL_H64.format('s')} AS shingle
+      FROM (SELECT doc_id, UNNEST(g) AS s FROM g)
+    ),
+    bset AS (SELECT DISTINCT shingle FROM sh2 WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS bench_hits FROM sh2
+      WHERE shingle IN (SELECT shingle FROM bset) GROUP BY 1
+    )
+"""
+
+_ORACLES["decontamination_report_docs"] = f"""
+    WITH {_SQL_DECON_HITS}
+    SELECT g.doc_id,
+           CAST(len(g.g) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.bench_hits, 0) AS BIGINT) AS bench_hits,
+           CASE WHEN len(g.g) > 0
+                THEN ROUND(COALESCE(h.bench_hits, 0) / len(g.g), 4)
+                ELSE 0.0 END AS hit_frac
+    FROM g LEFT JOIN hits h USING (doc_id)
+"""
+
+_ORACLES["decontaminate_docs"] = f"""
+    WITH {_SQL_DECON_HITS}
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM hits WHERE bench_hits >= 1)
+"""
+
 _ORACLES["simhash_docs"] = f"""
     WITH th AS (
       SELECT doc_id, ({_SQL_H64.format('w')}) % 65536 AS h
@@ -2663,6 +2727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "neardup_clusters_docs": neardup_clusters_docs,
         "repetition_signals_docs": repetition_signals_docs,
+        "decontamination_report_docs": decontamination_report_docs,
+        "decontaminate_docs": decontaminate_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_vec0": cosine_topk_vec0,
         "ivf_topk_vec0": ivf_topk_vec0,
