@@ -1017,6 +1017,20 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "source", "n_chars")
 
 
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (functions/packing.py): concatenate documents
+    in doc_id order (one EOS separator each) and cut the token stream
+    into 512-token training sequences; each row is one doc's slice in
+    one sequence. The global token offsets come from a two-phase
+    distributed prefix sum — no single-partition global window."""
+    from bytewax_spark.functions import packing as pk
+    from bytewax_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    with_len = docs.select("doc_id", tx.token_count("text").alias("n_tokens"))
+    return pk.pack_sequences(with_len, "doc_id", "n_tokens", seq_len=512, sep_tokens=1)
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document."""
     from bytewax_spark.functions import dedup as dd
@@ -2337,6 +2351,24 @@ _ORACLES["decontaminate_docs"] = f"""
     WHERE d.doc_id NOT IN (SELECT doc_id FROM hits WHERE bench_hits >= 1)
 """
 
+_ORACLES["pack_sequences_docs"] = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) > 0
+    ),
+    c AS (
+      SELECT doc_id, n, CAST(SUM(n + 1) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t
+    ),
+    s AS (SELECT doc_id, n, cum - n - 1 AS st, cum - 1 AS fin FROM c)
+    SELECT doc_id,
+           seq_id,
+           CAST(GREATEST(0, seq_id * 512 - st) AS BIGINT) AS begin,
+           CAST(LEAST(n, seq_id * 512 + 512 - st) AS BIGINT) AS "end",
+           CAST(GREATEST(0, st - seq_id * 512) AS BIGINT) AS seq_offset
+    FROM s, UNNEST(generate_series(st // 512, (fin - 1) // 512)) AS u(seq_id)
+"""
+
 _ORACLES["simhash_docs"] = f"""
     WITH th AS (
       SELECT doc_id, ({_SQL_H64.format('w')}) % 65536 AS h
@@ -2729,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals_docs": repetition_signals_docs,
         "decontamination_report_docs": decontamination_report_docs,
         "decontaminate_docs": decontaminate_docs,
+        "pack_sequences_docs": pack_sequences_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_vec0": cosine_topk_vec0,
         "ivf_topk_vec0": ivf_topk_vec0,
