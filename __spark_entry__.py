@@ -1210,6 +1210,38 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def domain_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture downsampling (functions/sampling.py
+    domain_mixture): resample languages to a 5:2:2:1 en:de:fr:es mix
+    (zh dropped), keeping the maximum row count that achieves it. The
+    per-domain thresholds are exact integer arithmetic over the
+    per-domain counts (one tiny agg) — the corpus itself never
+    shuffles, membership is one map-local hash CASE."""
+    from bytewax_spark.functions import sampling
+
+    flow = _flow("mix")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    out = sampling.domain_mixture(
+        docs, "lang", "doc_id", {"en": 5, "de": 2, "fr": 2, "es": 1}, salt="mix"
+    )
+    return out.select("doc_id", "lang")
+
+
+def select_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection under a global token budget
+    (functions/selection.py): keep the best-scoring documents until
+    10k tokens are spent — descending quality_score, doc_id tiebreak,
+    running total via the distributed prefix sum (no single-partition
+    window)."""
+    from bytewax_spark.functions import selection
+    from bytewax_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return selection.select_token_budget(
+        docs, "doc_id", tx.token_count("text"), tx.quality_score("text"), budget=10_000
+    )
+
+
 def split_docs_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leak-proof train/val/test assignment: disjoint bucket ranges of
     one doc_id hash (80/10/10). A document can never change split
@@ -2369,6 +2401,54 @@ _ORACLES["pack_sequences_docs"] = f"""
     FROM s, UNNEST(generate_series(st // 512, (fin - 1) // 512)) AS u(seq_id)
 """
 
+_ORACLES["domain_mixture_docs"] = f"""
+    WITH shares(d, s) AS (VALUES ('en', 5), ('de', 2), ('fr', 2), ('es', 1)),
+    j AS (
+      SELECT d, s, COUNT(*) AS c
+      FROM documents JOIN shares ON lang = d GROUP BY d, s
+    ),
+    nout AS (SELECT MIN(c * 10 // s) AS n_out FROM j),
+    thr AS (
+      SELECT d, LEAST(1000000,
+                      1000000 * (SELECT n_out FROM nout) * s // (10 * c)) AS t
+      FROM j
+    )
+    SELECT doc_id, lang FROM documents JOIN thr ON lang = thr.d
+    WHERE {_SQL_BUCKET.format(salt="mix")} < t
+"""
+
+_ORACLES["select_token_budget_docs"] = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, toks,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             CAST(LEN(toks) AS DOUBLE) AS n_words,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) AS alpha,
+             {_SQL_HITS['en']} AS sw_hits
+      FROM t
+    ), m2 AS (
+      SELECT *,
+             CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END AS mean_wlen,
+             CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN n_words > 0 THEN sw_hits / n_words ELSE 0.0 END AS sw_ratio
+      FROM m
+    ), q AS (
+      SELECT doc_id,
+             ROUND(0.25 * (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * LEAST(alpha_ratio * 1.25, 1.0)
+                 + 0.25 * LEAST(sw_ratio * 5.0, 1.0), 4) AS quality,
+             CAST(LEN(toks) AS BIGINT) AS n_tokens
+      FROM m2
+    ), c AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
+"""
+
 _ORACLES["simhash_docs"] = f"""
     WITH th AS (
       SELECT doc_id, ({_SQL_H64.format('w')}) % 65536 AS h
@@ -2762,6 +2842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_report_docs": decontamination_report_docs,
         "decontaminate_docs": decontaminate_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "domain_mixture_docs": domain_mixture_docs,
+        "select_token_budget_docs": select_token_budget_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_vec0": cosine_topk_vec0,
         "ivf_topk_vec0": ivf_topk_vec0,

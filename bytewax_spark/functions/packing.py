@@ -31,29 +31,33 @@ __all__ = ["prefix_sum", "pack_sequences"]
 
 def prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list,
     val_col,
     out_col: str = "cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = running sum of ``val_col`` in ``order_col``
     order (inclusive), computed with the two-phase parallel scheme
-    above. ``order_col`` must be unique (it defines the total order).
+    above. ``order_col`` is one column name or a list of columns
+    (names or Column expressions, ``.desc()`` allowed); the combination
+    must be unique — it defines the total order.
 
     The only driver-side materialization is one row per partition.
     """
     val = F.col(val_col) if isinstance(val_col, str) else val_col
+    order_cols = order_col if isinstance(order_col, list) else [order_col]
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     d = (
         df.withColumn("_v", val.cast("long"))
-        .repartitionByRange(parts, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        .repartitionByRange(parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     d = d.localCheckpoint(eager=True)  # pin partitioning: _pid must not recompute
     w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     d = d.withColumn("_local_cum", F.sum("_v").over(w))

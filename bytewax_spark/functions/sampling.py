@@ -40,6 +40,7 @@ __all__ = [
     "sample_by_hash",
     "stratified_sample",
     "split_train_test",
+    "domain_mixture",
 ]
 
 # Bucket space for rate quantization. 1e6 buckets give rate resolution
@@ -129,3 +130,54 @@ def split_train_test(
     for name, lo, hi in reversed(ranges):
         label = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(label)
     return df.withColumn(split_col, label)
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    shares: Mapping[str, int],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample domains to hit a TARGET MIXTURE (e.g. web:books:code
+    = 5:3:2) while keeping as many rows as possible; domains not listed
+    get share 0 (dropped).
+
+    ``shares`` are INTEGER ratios, not floats: the per-domain keep
+    thresholds are then exact integer arithmetic (floor), so the oracle
+    side reproduces every boundary bit-for-bit instead of chasing float
+    ulps. The output size is maximal: the binding domain (smallest
+    count/share ratio) is kept whole and every other domain is hash-
+    downsampled to match, giving expected counts proportional to
+    ``shares``.
+
+    Cost at 100 TB: one per-domain count (partial agg, one tiny row per
+    domain to the driver) + one map-local CASE filter — the corpus
+    itself never shuffles."""
+    if not shares:
+        raise ValueError("shares must name at least one domain")
+    for d, s in shares.items():
+        if not isinstance(s, int) or s < 0:
+            raise ValueError(f"share for {d!r} must be a non-negative int, got {s!r}")
+    total_share = sum(shares.values())
+    if total_share == 0:
+        raise ValueError("at least one share must be positive")
+    counts = {
+        r["d"]: r["c"]
+        for r in df.groupBy(F.col(domain_col).alias("d")).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    # binding domain: the one that runs out first at the target mix.
+    # n_out = min_d floor(count_d * total / share_d); threshold_d =
+    # floor(BUCKETS * n_out * share_d / (total * count_d)) — all ints.
+    n_out = min(
+        (counts[d] * total_share) // s
+        for d, s in shares.items()
+        if s > 0 and d in counts
+    )
+    threshold: Column = F.lit(0)
+    for d, s in shares.items():
+        if d not in counts:
+            continue
+        t = min(BUCKETS, (BUCKETS * n_out * s) // (total_share * counts[d]))
+        threshold = F.when(F.col(domain_col) == F.lit(d), F.lit(t)).otherwise(threshold)
+    return df.filter(sample_bucket(key_col, salt) < threshold)
