@@ -1069,6 +1069,25 @@ def ivf_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, "embedding", "vec_id", "label", q, k=10, nprobe=2)
 
 
+def kmeans_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF cell layout (functions/clustering.py): k-means the
+    embeddings table into 4 cells (Lloyd's, decimal-exact sums,
+    farthest-first deterministic init) and return each cell's size.
+    Iterative + float-valued, so no SQL oracle — rows-only check; the
+    invariants (planted-cluster recovery, partition invariance, argmin
+    consistency) are pinned in tests/test_clustering.py."""
+    from bytewax_spark.functions import clustering as cl
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = cl.kmeans_fit(emb, "embedding", "vec_id", k=4, max_iter=5)
+    cells = cl.assign_cells(emb, "embedding", cents, "cell")
+    return (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
 def lsh_buckets_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket per embedding (8 seeded planes)."""
     from bytewax_spark.functions import similarity as sim
@@ -2847,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_vec0": cosine_topk_vec0,
         "ivf_topk_vec0": ivf_topk_vec0,
+        "kmeans_cells_embeddings": kmeans_cells_embeddings,
         "lsh_buckets_embeddings": lsh_buckets_embeddings,
         "lsh_cosine_neardup_pairs": lsh_cosine_neardup_pairs,
         # multimodal plumbing (binary media columns; stubbed codecs)

@@ -1,0 +1,77 @@
+"""Distributed k-means (functions/clustering.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bytewax_spark.functions import clustering, similarity
+
+
+def _blobs(spark, parts=4):
+    # three well-separated planted clusters in 3-d
+    centers = [(0.0, 0.0, 0.0), (10.0, 10.0, 0.0), (-10.0, 5.0, 8.0)]
+    rows = []
+    i = 0
+    for ci, (cx, cy, cz) in enumerate(centers):
+        for j in range(40):
+            dx = ((i * 7) % 5 - 2) * 0.1
+            dy = ((i * 11) % 5 - 2) * 0.1
+            dz = ((i * 13) % 5 - 2) * 0.1
+            rows.append((i, [cx + dx, cy + dy, cz + dz]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(parts), centers
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    df, centers = _blobs(spark)
+    cents = clustering.kmeans_fit(df, "embedding", "vec_id", k=3, max_iter=10)
+    # each learned centroid lands within 0.3 of a distinct planted center
+    matched = set()
+    for c in cents:
+        best = min(
+            range(3),
+            key=lambda ci: sum((a - b) ** 2 for a, b in zip(c, centers[ci])),
+        )
+        d2 = sum((a - b) ** 2 for a, b in zip(c, centers[best]))
+        assert d2 < 0.3**2, (c, centers[best])
+        matched.add(best)
+    assert matched == {0, 1, 2}
+
+
+def test_kmeans_partition_invariance(spark):
+    dfa, _ = _blobs(spark, parts=2)
+    dfb, _ = _blobs(spark, parts=17)
+    a = clustering.kmeans_fit(dfa, "embedding", "vec_id", k=3, max_iter=4)
+    b = clustering.kmeans_fit(dfb, "embedding", "vec_id", k=3, max_iter=4)
+    assert a == b  # decimal-exact sums: bit-identical on any layout
+
+
+def test_assign_cells_is_argmin(spark):
+    df, _ = _blobs(spark)
+    cents = clustering.kmeans_fit(df, "embedding", "vec_id", k=3, max_iter=5)
+    rows = clustering.assign_cells(df, "embedding", cents).collect()
+    for r in rows:
+        dists = [
+            sum((x - c) ** 2 for x, c in zip(r["embedding"], cent)) for cent in cents
+        ]
+        assert dists[r["cell"]] == pytest.approx(min(dists))
+
+
+def test_kmeans_topk_matches_bruteforce_on_blobs(spark):
+    df, centers = _blobs(spark)
+    q = list(centers[1])
+    ivf = clustering.kmeans_topk(
+        df, "embedding", "vec_id", q, k=5, n_cells=3, nprobe=1, max_iter=5
+    )
+    brute = similarity.cosine_topk(df, "embedding", "vec_id", q, k=5)
+    assert [r["vec_id"] for r in ivf.collect()] == [r["vec_id"] for r in brute.collect()]
+
+
+def test_kmeans_validation(spark):
+    df, _ = _blobs(spark)
+    with pytest.raises(ValueError, match="k must be positive"):
+        clustering.kmeans_fit(df, "embedding", "vec_id", k=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        clustering.kmeans_fit(df.limit(2), "embedding", "vec_id", k=5)
+    with pytest.raises(ValueError, match="non-empty"):
+        clustering.assign_cells(df, "embedding", [])
