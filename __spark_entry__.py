@@ -1261,6 +1261,63 @@ def select_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain cap (functions/topk.py
+    cap_per_group): at most 15 documents per source, chosen as the 15
+    smallest md5-hash priorities — stable across re-runs/backfills.
+    Two-phase rank bounds any hot domain to fanout*cap rows before the
+    final per-group sort, so a billion-page domain can't pin one
+    reducer."""
+    from bytewax_spark.functions import topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = topk.cap_per_group(docs, "source", "doc_id", cap=15, salt="cap")
+    return out.select("doc_id", "source")
+
+
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group heavy hitters (functions/topk.py): the 5 most
+    active users per event type with their event counts. Aggregate
+    first (map-side combine), then two-phase rank the (type, user)
+    counts; count ties break toward the smaller user_id."""
+    from bytewax_spark.functions import topk
+
+    ev = _t(spark, sf_dir, "events")
+    return topk.heavy_hitters(ev, "event_type", "user_id", k=5)
+
+
+def quality_band_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band quality filter (functions/sampling.py
+    quantile_band): keep documents between the 25th and 75th quality
+    percentile. Thresholds come from a bounded-memory approx_percentile
+    sketch (the 100 TB path — exact percentiles would buffer every
+    value), broadcast back as a 1-row frame; the corpus never shuffles.
+
+    Sketch thresholds differ across engines, so like
+    approx_distinct_users this emits a deterministic tolerance gate:
+    the exact total plus a boolean asserting the kept fraction lands
+    within 2% of the targeted 50% band mass. The oracle claims TRUE, so
+    a drifting sketch fails the driver's hash compare."""
+    from bytewax_spark.functions import sampling
+    from bytewax_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_q", tx.quality_score("text")
+    )
+    kept = sampling.quantile_band(docs, "_q", 0.25, 0.75)
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_total"))
+        .join(F.broadcast(kept.agg(F.count(F.lit(1)).alias("_n_kept"))))
+        .select(
+            "n_total",
+            (
+                F.abs(F.col("_n_kept") - F.lit(0.5) * F.col("n_total"))
+                <= F.lit(0.02) * F.col("n_total")
+            ).alias("band_frac_within_2pct"),
+        )
+    )
+
+
 def split_docs_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leak-proof train/val/test assignment: disjoint bucket ranges of
     one doc_id hash (80/10/10). A document can never change split
@@ -2208,6 +2265,34 @@ _ORACLES["split_docs_train_test"] = f"""
     FROM (SELECT doc_id, {_SQL_BUCKET.format(salt="split")} AS b FROM documents)
 """
 
+_ORACLES["cap_docs_per_source"] = f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_SQL_H64.format("CONCAT('cap', CAST(doc_id AS VARCHAR))")},
+                        doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 15
+"""
+
+_ORACLES["heavy_hitters_users"] = """
+    SELECT event_type, user_id, cnt FROM (
+      SELECT event_type, user_id, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, user_id
+             ) AS rk
+      FROM (SELECT event_type, user_id, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2)
+    ) WHERE rk <= 5
+"""
+
+_ORACLES["quality_band_docs"] = """
+    SELECT COUNT(*) AS n_total, TRUE AS band_frac_within_2pct
+    FROM documents
+"""
+
 _ORACLES["dedup_fingerprint_docs"] = f"""
     SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_SQL_CANON}
 """
@@ -2863,6 +2948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "domain_mixture_docs": domain_mixture_docs,
         "select_token_budget_docs": select_token_budget_docs,
+        "cap_docs_per_source": cap_docs_per_source,
+        "heavy_hitters_users": heavy_hitters_users,
+        "quality_band_docs": quality_band_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_vec0": cosine_topk_vec0,
         "ivf_topk_vec0": ivf_topk_vec0,

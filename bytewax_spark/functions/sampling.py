@@ -41,6 +41,7 @@ __all__ = [
     "stratified_sample",
     "split_train_test",
     "domain_mixture",
+    "quantile_band",
 ]
 
 # Bucket space for rate quantization. 1e6 buckets give rate resolution
@@ -130,6 +131,41 @@ def split_train_test(
     for name, lo, hi in reversed(ranges):
         label = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(label)
     return df.withColumn(split_col, label)
+
+
+def quantile_band(
+    df: DataFrame,
+    score_col: str,
+    lo: float,
+    hi: float,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` lies inside the [lo, hi] quantile
+    band — the 'drop the worst 20% and the suspicious top 1%' shape of
+    quality-score filtering.
+
+    The thresholds come from ``approx_percentile`` (Greenwald-Khanna
+    sketch): bounded memory, merges in partial aggregation, so the
+    100 TB scan reduces to one tiny sketch row — an exact percentile
+    would buffer every value per group and cannot scale. The 1-row
+    threshold frame joins back by broadcast (nested-loop over one row),
+    so the corpus itself never shuffles: scan → filter, map-local.
+    Worst-case rank error is ``1/accuracy`` of the row count."""
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got lo={lo} hi={hi}")
+    thresholds = df.agg(
+        F.percentile_approx(score_col, F.array(F.lit(lo), F.lit(hi)), accuracy).alias(
+            "_qb_t"
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds))
+        .filter(
+            (F.col(score_col) >= F.col("_qb_t")[0])
+            & (F.col(score_col) <= F.col("_qb_t")[1])
+        )
+        .drop("_qb_t")
+    )
 
 
 def domain_mixture(
