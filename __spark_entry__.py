@@ -1261,6 +1261,72 @@ def select_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles (SURVEY §2.7 approx aggregates):
+    p50/p95 of event value per event type via percentile_approx
+    (Greenwald-Khanna sketch — bounded memory, merges in partial agg;
+    the 100 TB path where exact percentiles buffer every value).
+
+    Like approx_distinct_users, sketch values can't hash-match across
+    engines, so the emitted columns are the exact group count plus
+    booleans asserting each sketch quantile lands within the value
+    range's 1% neighborhood of the exact percentile (computed
+    Spark-side only — no cross-engine float compare). The oracle
+    claims TRUE for every group."""
+    flow = _flow("aq")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10_000).alias("_ap"),
+        F.expr("percentile(value, array(0.5D, 0.95D))").alias("_ex"),
+        (F.max("value") - F.min("value")).alias("_rng"),
+    )
+    tol = F.col("_rng") * F.lit(0.01)
+    return agg.select(
+        "event_type",
+        "n_events",
+        (F.abs(F.col("_ap")[0] - F.col("_ex")[0]) <= tol).alias("p50_within_1pct"),
+        (F.abs(F.col("_ap")[1] - F.col("_ex")[1]) <= tol).alias("p95_within_1pct"),
+    )
+
+
+def corpus_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (functions/export.py): documents in
+    md5-hash pseudo-random order — a range-partitioned sort (terasort
+    shape), reproducible across re-runs for resumable exports. The
+    query takes the first 25 shuffled docs with their epoch-0 rank
+    (sort + limit collapses to TakeOrdered — no full sort materializes
+    for a head probe)."""
+    from pyspark.sql import Window
+
+    from bytewax_spark.functions import export
+
+    docs = _t(spark, sf_dir, "documents")
+    head = export.corpus_shuffle(docs, "doc_id", salt="ep0").limit(25)
+    w = Window.orderBy(
+        export.shuffle_hash("doc_id", "ep0").asc(), F.col("doc_id").asc()
+    )
+    return head.select(
+        "doc_id", F.row_number().over(w).alias("shuffle_rank")
+    )
+
+
+def shard_sizes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable sharding (functions/export.py shard_by_hash): documents
+    into 16 hash shards; emits each shard's size. Shard membership is
+    map-local (one md5 per row) and permanent across re-runs — the
+    contract resumable trainer loaders depend on."""
+    from bytewax_spark.functions import export
+
+    docs = _t(spark, sf_dir, "documents")
+    sharded = export.shard_by_hash(docs, "doc_id", 16, salt="ep0")
+    return (
+        sharded.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("shard")
+    )
+
+
 def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style per-domain cap (functions/topk.py
     cap_per_group): at most 15 documents per source, chosen as the 15
@@ -2288,6 +2354,30 @@ _ORACLES["heavy_hitters_users"] = """
     ) WHERE rk <= 5
 """
 
+_ORACLES["corpus_shuffle_head"] = f"""
+    SELECT doc_id, shuffle_rank FROM (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY {_SQL_H64.format("CONCAT('ep0', CAST(doc_id AS VARCHAR))")},
+                        doc_id
+             ) AS INT) AS shuffle_rank
+      FROM documents
+    ) WHERE shuffle_rank <= 25
+"""
+
+_ORACLES["shard_sizes_docs"] = f"""
+    SELECT CAST(({_SQL_H64.format("CONCAT('ep0', CAST(doc_id AS VARCHAR))")}) % 16
+             AS INT) AS shard,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+"""
+
+_ORACLES["approx_value_quantiles"] = """
+    SELECT event_type, COUNT(*) AS n_events,
+           TRUE AS p50_within_1pct, TRUE AS p95_within_1pct
+    FROM events GROUP BY 1
+"""
+
 _ORACLES["quality_band_docs"] = """
     SELECT COUNT(*) AS n_total, TRUE AS band_frac_within_2pct
     FROM documents
@@ -2951,6 +3041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_docs_per_source": cap_docs_per_source,
         "heavy_hitters_users": heavy_hitters_users,
         "quality_band_docs": quality_band_docs,
+        "approx_value_quantiles": approx_value_quantiles,
+        "corpus_shuffle_head": corpus_shuffle_head,
+        "shard_sizes_docs": shard_sizes_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_vec0": cosine_topk_vec0,
         "ivf_topk_vec0": ivf_topk_vec0,
