@@ -178,7 +178,7 @@ class Stream:
 
 
 class KeyedStream(Stream):
-    """A ``Stream`` with a designated string routing-key column.
+    """A ``Stream`` with a designated routing-key column.
 
     All keyed stateful operators (``*_final``, ``join``, windowing,
     ``stateful_*``) require one; ``op.key_on`` creates it. The key

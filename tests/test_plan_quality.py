@@ -117,3 +117,40 @@ def test_q19_or_envelope_reaches_scan(spark, sf_dir):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "LessThanOrEqual(l_quantity,35.0)" in plan
     assert "EvalPython" not in plan
+
+
+def test_cap_per_group_bounded_two_phase_rank(spark, sf_dir):
+    """cap_per_group shuffles twice — first on (group, subbucket),
+    bounding every group before the final per-group rank — and the
+    scan reads only the needed columns, no Python anywhere."""
+    plan = _plan(spark, "cap_docs_per_source", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+    assert "EvalPython" not in plan
+
+
+def test_quantile_band_corpus_never_shuffles(spark, sf_dir):
+    """quantile_band reduces the scan to a 1-row sketch and broadcasts
+    it back: the corpus side must show no hash-partition exchange and
+    the thresholds arrive via broadcast."""
+    plan = _plan(spark, "quality_band_docs", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """assign_cells embeds centroids as plan literals: the only
+    exchanges are the count aggregation and final sort — no join for
+    the assignment itself, single-column scan."""
+    plan = _plan(spark, "kmeans_cells_embeddings", sf_dir)
+    assert "Join" not in plan
+    assert "ReadSchema: struct<embedding:array<float>>" in plan
+    assert "partial_count" in plan
+
+
+def test_corpus_shuffle_head_no_global_sort(spark, sf_dir):
+    """A shuffled head probe must collapse to TakeOrdered — sorting
+    the whole corpus to look at 25 rows is the wrong plan."""
+    plan = _plan(spark, "corpus_shuffle_head", sf_dir)
+    assert "TakeOrderedAndProject" in plan
