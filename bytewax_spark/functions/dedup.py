@@ -164,38 +164,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_wide(
+    df: DataFrame, text_col: str, id_col: str, n: int, k: int
+) -> DataFrame:
+    """(id, mh1..mhK) — K permutation minima as WIDE COLUMNS.
+
+    h_i(x) = (a_i * (x mod P) + b_i) mod P with a_i, b_i derived from
+    fixed multiplicative constants (i in 1..K); a_i·x < 2^62, no
+    overflow. One shingle explode, then a single groupBy(id) whose K
+    ``min`` aggregates each apply their permutation map-side — all
+    whole-stage codegen. This shape was chosen over two slower ones:
+    exploding (shingle × K) rows into a groupBy(id, i) pushes K× the
+    rows through the aggregate, and per-row array_min/transform
+    formulations run interpreted (higher-order lambdas don't codegen).
+    No distinct on shingles — duplicates can't change a minimum.
+    Docs with zero shingles produce no group, hence no row."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_s")
+    ).select(
+        id_col, F.pmod(hash64(F.col("_s")), F.lit(MINHASH_P)).alias("_h")
+    )
+    mins = [
+        F.min(
+            F.pmod(
+                F.lit((i * _MINHASH_A_MUL) % MINHASH_P) * F.col("_h")
+                + F.lit((i * _MINHASH_B_MUL + 17) % MINHASH_P),
+                F.lit(MINHASH_P),
+            )
+        ).alias(f"_mh{i}")
+        for i in range(1, k + 1)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:
-    """(id, i, minhash) — K permutation minima per doc.
-
-    h_i(x) = (a_i * (x mod P) + b_i) mod P with a_i, b_i derived from
-    fixed multiplicative constants (i in 1..K). One explode + one
-    groupBy(id, i) with partial ``min`` — no joins."""
-    sh = shingle_docs(df, text_col, id_col, n)
-    hmod = F.pmod(F.col("shingle"), F.lit(MINHASH_P))
-    params = F.explode(
-        F.array(
-            [
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.lit((i * _MINHASH_A_MUL) % MINHASH_P).alias("a"),
-                    F.lit((i * _MINHASH_B_MUL + 17) % MINHASH_P).alias("b"),
-                )
-                for i in range(1, k + 1)
-            ]
-        )
-    ).alias("p")
-    expanded = sh.select(F.col(id_col), hmod.alias("h"), params)
-    return (
-        expanded.select(
-            id_col,
-            F.col("p.i").alias("i"),
-            F.pmod(F.col("p.a") * F.col("h") + F.col("p.b"), F.lit(MINHASH_P)).alias("mh"),
-        )
-        .groupBy(id_col, "i")
-        .agg(F.min("mh").alias("minhash"))
-    )
+    """(id, i, minhash) — K permutation minima per doc (the exploded
+    row shape; see ``_minhash_wide`` for the computation)."""
+    wide = _minhash_wide(df, text_col, id_col, n, k)
+    return wide.select(
+        F.col(id_col),
+        F.posexplode(F.array([F.col(f"_mh{i}") for i in range(1, k + 1)])).alias(
+            "_i0", "minhash"
+        ),
+    ).select(id_col, (F.col("_i0") + 1).alias("i"), "minhash")
 
 
 def minhash_lsh_pairs(
@@ -213,22 +226,42 @@ def minhash_lsh_pairs(
     bucket join replaces the quadratic shingle join; callers verify
     candidates with exact Jaccard on the candidate set only."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n, k)
-    banded = (
-        sig.withColumn("band", ((F.col("i") - 1) / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "minhash"))),
-                        lambda s: s.getField("minhash").cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
-        )
+    wide = _minhash_wide(df, text_col, id_col, n, k)
+    # band buckets straight from the wide minima columns: md5 of the
+    # band's minima in i-order, comma-joined — per-row expressions, no
+    # collect_list, no second aggregation
+    band_structs = F.array(
+        [
+            F.struct(
+                F.lit(j).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"_mh{i}").cast("string")
+                            for i in range(
+                                j * rows_per_band + 1, (j + 1) * rows_per_band + 1
+                            )
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for j in range(bands)
+        ]
     )
+    banded = wide.select(F.col(id_col), F.explode(band_structs).alias("_bb")).select(
+        id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
+    # The bucket equi-join is a diamond: both sides are the same banded
+    # table. Left as lineage, each join side would re-execute the whole
+    # signature pipeline (Spark reuses exchanges only for canonically
+    # identical subtrees, which the id_a/id_b renames break). A lazy
+    # persist materializes banded once on first action — (id, band,
+    # bucket) rows, docs × bands, a sliver of the input — which is
+    # exactly the "persist the signature table before pairing" step a
+    # 100 TB run does deliberately. (Not localCheckpoint: under AQE its
+    # .rdd conversion executes the subplan eagerly at build time.)
+    banded = banded.persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (

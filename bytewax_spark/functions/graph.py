@@ -46,10 +46,13 @@ def connected_components(
     is not a near-dup workload, and silent wrong clusters are worse
     than a loud failure.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    # no distinct on the symmetrized edges: the two union branches
+    # cannot overlap (one has a<b, the other a>b for pair inputs) and
+    # duplicate edges can't change a min aggregate — deduping here
+    # would be a full |E| shuffle bought for nothing. Callers passing
+    # heavily duplicated edge lists pay only a fatter propagation join.
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
