@@ -1290,6 +1290,41 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (functions/dedup.py dedup_incremental):
+    documents with doc_id >= 250 are 'today's batch', the rest the
+    already-ingested corpus. Survivors dedup within the batch (min-id
+    per text hash) AND against the seen side; only hashes shuffle."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    out = dd.dedup_incremental(new, seen, "text", "doc_id")
+    return out.select("doc_id")
+
+
+def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report — the audit table a curation run
+    prints: document count, total tokens, distinct languages, mean
+    doc length, and PII email hits, per source. One partial-agg
+    shuffle of (source, partials); every metric is a codegen
+    expression (functions/text.py token_count / pii_counts)."""
+    from bytewax_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.token_count("text")).alias("total_words"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(tx.pii_counts("text").getField("email")).alias("email_hits"),
+        )
+    )
+
+
 def corpus_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle (functions/export.py): documents in
     md5-hash pseudo-random order — a range-partitioned sort (terasort
@@ -2354,6 +2389,27 @@ _ORACLES["heavy_hitters_users"] = """
     ) WHERE rk <= 5
 """
 
+_ORACLES["dedup_incremental_docs"] = f"""
+    WITH newb AS (
+      SELECT {_SQL_H64.format("text")} AS h, MIN(doc_id) AS doc_id
+      FROM documents WHERE doc_id >= 250 GROUP BY 1
+    )
+    SELECT doc_id FROM newb
+    WHERE h NOT IN (SELECT {_SQL_H64.format("text")} FROM documents
+                    WHERE doc_id < 250)
+"""
+
+_ORACLES["corpus_report_docs"] = f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN({_SQL_TOKS})) AS BIGINT) AS total_words,
+           COUNT(DISTINCT lang) AS n_langs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(SUM(LEN(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))) AS BIGINT) AS email_hits
+    FROM documents GROUP BY 1
+"""
+
 _ORACLES["corpus_shuffle_head"] = f"""
     SELECT doc_id, shuffle_rank FROM (
       SELECT doc_id,
@@ -3044,6 +3100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_value_quantiles": approx_value_quantiles,
         "corpus_shuffle_head": corpus_shuffle_head,
         "shard_sizes_docs": shard_sizes_docs,
+        "dedup_incremental_docs": dedup_incremental_docs,
+        "corpus_report_docs": corpus_report_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_vec0": cosine_topk_vec0,
         "ivf_topk_vec0": ivf_topk_vec0,

@@ -35,6 +35,7 @@ __all__ = [
     "MINHASH_P",
     "MINHASH_BANDS",
     "dedup_exact",
+    "dedup_incremental",
     "shingle_docs",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -66,6 +67,30 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str, key: Column | None = 
         .select(id_col)
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    key: Column | None = None,
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_df`` that survive both
+    (a) dedup within the batch (min-id per hash wins) and (b) an
+    anti-join against the already-ingested corpus ``seen_df`` — the
+    daily-crawl shape, where the seen side is orders of magnitude
+    larger than the batch.
+
+    Only 16-byte hashes (plus the batch ids) ever shuffle: the seen
+    corpus reduces to its hash column before the anti-join, and the
+    anti-join's build side is the (smaller) batch when Spark plans it
+    broadcast. ``key`` overrides the dedup key on BOTH sides (e.g.
+    ``text.fingerprint`` for canonicalized dedup)."""
+    h = (key if key is not None else hash64(text_col)).alias("_h")
+    batch = dedup_exact(new_df, text_col, id_col, key).withColumn("_h", h)
+    seen = seen_df.select(h)
+    return batch.join(seen, "_h", "left_anti").drop("_h")
 
 
 def dedup_exact_stream(

@@ -64,6 +64,23 @@ def test_dedup_exact(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
 
 
+def test_dedup_incremental(spark):
+    seen = spark.createDataFrame(
+        [(1, "already ingested"), (2, "old news")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "already ingested"),   # dup vs seen corpus -> dropped
+            (11, "fresh content"),
+            (12, "fresh content"),      # dup within batch -> min id wins
+            (13, "other fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_incremental(new, seen, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+
+
 def test_ngram_jaccard_pairs(spark):
     df = spark.createDataFrame(
         [
