@@ -1,7 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (the driver reads the LAST line): auxiliary tiers
+(cold timings, extended beyond-reference queries, the sf1 scale tier)
+are each printed as their own `{"tier": ...}` JSON line FIRST, then
+the compact headline object `{"metric", "value", "unit", "queries",
+"sf"}` is printed as the FINAL line.  Round 2's single giant line was
+tail-truncated by the driver (BENCH_r02 `parsed: null`) — keep the
+last line small and self-contained.  The full combined object is also
+written to `bench_full.json` for audit.
 
 Queries mirror BASELINE.md's workload table:
   B1 keyed windowed fold  -> daily_value_by_type (fold_window)
@@ -81,14 +89,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    headline = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_cold": cold,
         "sf": sf,
     }
+    aux: dict[str, dict] = {"cold": {"queries_cold": cold}}
 
     # --- extended tier: beyond-reference operators (dedup, similarity,
     # sampling, curation) and the newer TPC-H shapes. Separate dict so
@@ -107,7 +115,7 @@ def main() -> None:
                 if i > 0:
                     best = min(best, dt)
             ext[name] = round(best, 3)
-        out["extended"] = {
+        aux["extended"] = {
             "queries": ext,
             "duckdb": _duckdb_times(e.oracle_sql(), sf_dir, EXTENDED_QUERIES),
         }
@@ -138,7 +146,7 @@ def main() -> None:
                 else:
                     best = min(best, dt)
             sf1_timings[name] = round(best, 3)
-        out["sf1"] = {
+        aux["sf1"] = {
             "dir": sf1_dir,
             "queries": sf1_timings,
             "queries_cold": sf1_cold,
@@ -146,7 +154,21 @@ def main() -> None:
             "duckdb": _duckdb_times(e.oracle_sql(), sf1_dir, SF1_QUERIES),
         }
 
-    print(json.dumps(out))
+    # auxiliary tiers first, one line each; compact headline LAST so a
+    # tail-truncating reader still gets a parseable headline object.
+    for tier_name, tier in aux.items():
+        print(json.dumps({"tier": tier_name, **tier}))
+    full = dict(headline)
+    full.update({k: v for k, v in aux.items()})
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+            "w",
+        ) as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout lines still carry everything
+    print(json.dumps(headline))
 
 
 SF1_QUERIES = [

@@ -168,6 +168,24 @@ def quantile_band(
     )
 
 
+def _domain_counts(
+    df: DataFrame, domain_col: str, shares: Mapping[str, int]
+) -> DataFrame:
+    """Per-domain row counts for ONLY the domains named in ``shares``.
+
+    The ``isin`` pre-filter is load-bearing at scale: it pushes to the
+    parquet scan and bounds both the aggregation state and the driver
+    collect to ``len(shares)`` rows, no matter how many distinct values
+    ``domain_col`` has (a web corpus has ~10^7-10^8 registered
+    domains). Exposed as a helper so the plan gate can assert the
+    filter actually reaches the scan."""
+    return (
+        df.filter(F.col(domain_col).isin(list(shares)))
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def domain_mixture(
     df: DataFrame,
     domain_col: str,
@@ -187,8 +205,10 @@ def domain_mixture(
     downsampled to match, giving expected counts proportional to
     ``shares``.
 
-    Cost at 100 TB: one per-domain count (partial agg, one tiny row per
-    domain to the driver) + one map-local CASE filter — the corpus
+    Cost at 100 TB: one count over ONLY the listed domains (the scan
+    pre-filters to ``shares.keys()``, so a web corpus with 10^8
+    distinct registered domains still ships at most ``len(shares)``
+    tiny rows to the driver) + one map-local CASE filter — the corpus
     itself never shuffles."""
     if not shares:
         raise ValueError("shares must name at least one domain")
@@ -199,8 +219,7 @@ def domain_mixture(
     if total_share == 0:
         raise ValueError("at least one share must be positive")
     counts = {
-        r["d"]: r["c"]
-        for r in df.groupBy(F.col(domain_col).alias("d")).agg(F.count(F.lit(1)).alias("c")).collect()
+        r["d"]: r["c"] for r in _domain_counts(df, domain_col, shares).collect()
     }
     # binding domain: the one that runs out first at the target mix.
     # n_out = min_d floor(count_d * total / share_d); threshold_d =

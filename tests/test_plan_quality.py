@@ -149,6 +149,22 @@ def test_kmeans_assignment_is_map_side(spark, sf_dir):
     assert "partial_count" in plan
 
 
+def test_domain_mixture_count_bounded_to_listed_domains(spark, sf_dir):
+    """domain_mixture's driver-side count must aggregate ONLY the
+    domains named in ``shares`` — the In() filter reaches the parquet
+    scan, so a corpus with 10^8 distinct domains still collects at most
+    len(shares) rows."""
+    from bytewax_spark.functions.sampling import _domain_counts
+    from bytewax_spark.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    cnt = _domain_counts(docs, "source", {"web": 5, "books": 3})
+    plan = cnt._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "PushedFilters: [In(source" in plan
+    assert "partial_count" in plan
+
+
 def test_corpus_shuffle_head_no_global_sort(spark, sf_dir):
     """A shuffled head probe must collapse to TakeOrdered — sorting
     the whole corpus to look at 25 rows is the wrong plan."""
