@@ -1203,6 +1203,20 @@ def lsh_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_cosine_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH cosine near-dup with hamming-1 multiprobe (functions/dedup.py
+    lsh_cosine_pairs(multiprobe=1)): the recall knob — each vector also
+    probes the n_planes buckets one bit-flip away, recovering pairs a
+    single hyperplane boundary would split. Pair set is exactly 'buckets
+    within hamming 1 AND cosine >= t', each pair emitted once."""
+    from bytewax_spark.functions import dedup as dd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.lsh_cosine_pairs(
+        emb, "embedding", "vec_id", dims=64, n_planes=8, threshold=0.35, multiprobe=1
+    )
+
+
 def sample_docs_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% document sample (functions/sampling.py):
     membership is decided by md5-bucket of doc_id, so the subset is
@@ -2777,6 +2791,16 @@ _ORACLES["lsh_cosine_neardup_pairs"] = f"""
     WHERE ROUND({_SQL_COS.format(a='a.embedding', b='c.embedding')}, 6) >= 0.35
 """
 
+# multiprobe semantics are declarative: pair kept iff the two buckets
+# differ in at most one bit AND exact cosine clears the threshold
+_ORACLES["lsh_cosine_multiprobe_pairs"] = f"""
+    WITH b AS ({_lsh_oracle().replace("SELECT vec_id,", "SELECT vec_id, embedding,")})
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND({_SQL_COS.format(a='a.embedding', b='c.embedding')}, 6) AS cosine
+    FROM b a JOIN b c ON bit_count(xor(a.bucket, c.bucket)) <= 1 AND a.vec_id < c.vec_id
+    WHERE ROUND({_SQL_COS.format(a='a.embedding', b='c.embedding')}, 6) >= 0.35
+"""
+
 # multimodal: the digest-fake decode is sha256(content)[:8] / 255.0 —
 # bit-identical IEEE division on both engines, so exact value compare
 _ORACLES["multimodal_image_features"] = """
@@ -3108,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells_embeddings": kmeans_cells_embeddings,
         "lsh_buckets_embeddings": lsh_buckets_embeddings,
         "lsh_cosine_neardup_pairs": lsh_cosine_neardup_pairs,
+        "lsh_cosine_multiprobe_pairs": lsh_cosine_multiprobe_pairs,
         # multimodal plumbing (binary media columns; stubbed codecs)
         "multimodal_image_features": multimodal_image_features,
         "multimodal_frame_samples": multimodal_frame_samples,

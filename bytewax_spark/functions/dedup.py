@@ -40,6 +40,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "release_signature_caches",
     "simhash",
     "embedding_cosine_pairs",
     "lsh_cosine_pairs",
@@ -236,6 +237,21 @@ def minhash_signatures(
     ).select(id_col, (F.col("_i0") + 1).alias("i"), "minhash")
 
 
+# persisted signature tables from minhash_lsh_pairs runs; see the
+# lifecycle comment inside minhash_lsh_pairs.
+_SIGNATURE_CACHES: list[DataFrame] = []
+
+
+def release_signature_caches() -> None:
+    """Unpersist any signature table cached by ``minhash_lsh_pairs``.
+
+    Call after the pairs DataFrame has been fully materialized (or at
+    pipeline teardown). Safe at any time: an unpersisted table that is
+    still being read simply recomputes from lineage."""
+    while _SIGNATURE_CACHES:
+        _SIGNATURE_CACHES.pop().unpersist()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -286,7 +302,16 @@ def minhash_lsh_pairs(
     # exactly the "persist the signature table before pairing" step a
     # 100 TB run does deliberately. (Not localCheckpoint: under AQE its
     # .rdd conversion executes the subplan eagerly at build time.)
+    # Lifecycle: registering in _SIGNATURE_CACHES evicts the PREVIOUS
+    # run's cached signature table, so repeated near-dup runs in one
+    # long-lived session hold at most one signature table in executor
+    # memory; release_signature_caches() frees the last one. Unpersist
+    # is always correctness-safe (a still-running reader just
+    # recomputes from lineage).
     banded = banded.persist()
+    while _SIGNATURE_CACHES:
+        _SIGNATURE_CACHES.pop().unpersist()
+    _SIGNATURE_CACHES.append(banded)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -359,9 +384,11 @@ def lsh_cosine_pairs(
     vec_col: str,
     id_col: str,
     dims: int,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     threshold: float = 0.9,
     seed: int = 42,
+    target_bucket_rows: int = 4096,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Embedding near-dup pairs on an UNblocked table: LSH buckets as
     the blocking key, exact cosine inside each bucket.
@@ -370,12 +397,57 @@ def lsh_cosine_pairs(
     bucket is a map-side expression (plan-time hyperplane literals —
     see ``similarity.lsh_bucket_col``), so the only shuffle is the
     self-join on the ~2^n_planes uniform bucket keys. At 100 TB the
-    candidate set is |bucket|-bounded instead of N², at the usual LSH
-    recall trade-off (raise n_planes for precision, add
-    hamming-adjacent probes for recall)."""
-    from bytewax_spark.functions.similarity import lsh_bucket_col
+    candidate set is |bucket|-bounded instead of N².
 
-    blocked = df.withColumn(
-        "_lsh_bucket", lsh_bucket_col(vec_col, n_planes, dims, seed)
+    ``n_planes=None`` (default) sizes the bucket space from the table:
+    one ``df.count()`` at plan-construction time (cheap — parquet
+    row-group metadata under a trivial scan) feeds
+    ``similarity.adaptive_n_planes``, keeping the EXPECTED bucket near
+    ``target_bucket_rows`` rows as the corpus grows instead of letting
+    a fixed 2^8 bucket space go quadratic. Pass an explicit
+    ``n_planes`` for reproducible bucketing independent of table size
+    (e.g. to match a SQL oracle).
+
+    ``multiprobe=1`` is the recall knob: each vector ALSO probes the
+    ``n_planes`` buckets at hamming distance 1 (the buckets a
+    borderline vector could have landed in), recovering most pairs a
+    single hard bucket boundary would split. Cost: the probing side of
+    the join expands ``n_planes + 1``×; each qualifying pair still
+    appears exactly once (a pair's buckets differ in at most one bit,
+    so exactly one probe of the lower id matches the higher id's exact
+    bucket — no dedup pass needed)."""
+    from bytewax_spark.functions.similarity import (
+        adaptive_n_planes,
+        as_double,
+        lsh_bucket_col,
+        lsh_probe_buckets,
     )
-    return embedding_cosine_pairs(blocked, vec_col, id_col, "_lsh_bucket", threshold)
+
+    if n_planes is None:
+        n_planes = adaptive_n_planes(df.count(), target_bucket_rows)
+    bucket = lsh_bucket_col(vec_col, n_planes, dims, seed)
+    if multiprobe == 0:
+        blocked = df.withColumn("_lsh_bucket", bucket)
+        return embedding_cosine_pairs(blocked, vec_col, id_col, "_lsh_bucket", threshold)
+    base = df.select(F.col(id_col), bucket.alias("_b"), as_double(vec_col).alias("_v"))
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.explode(lsh_probe_buckets(F.col("_b"), n_planes, multiprobe)).alias("_blk"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_b").alias("_blk")
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("_va")) * norm(F.col("_vb"))), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

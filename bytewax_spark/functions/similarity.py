@@ -22,7 +22,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["as_double", "cosine", "cosine_topk", "ivf_topk", "lsh_bucket_col", "lsh_buckets"]
+__all__ = [
+    "adaptive_n_planes",
+    "as_double",
+    "cosine",
+    "cosine_topk",
+    "ivf_topk",
+    "lsh_bucket_col",
+    "lsh_buckets",
+    "lsh_probe_buckets",
+]
 
 
 def as_double(c: Column | str) -> Column:
@@ -135,6 +144,50 @@ def lsh_bucket_col(
         bit = F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("long")
+
+
+def adaptive_n_planes(
+    n_rows: int, target_bucket_rows: int = 4096, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count sized so the EXPECTED bucket holds about
+    ``target_bucket_rows`` rows: ceil(log2(n / target)), clamped.
+
+    This is the fix for a fixed-plane default at scale: with p planes
+    there are 2^p buckets, and the within-bucket exact-cosine join is
+    quadratic in bucket size — a constant p means bucket size (and the
+    join) grows linearly with the corpus. Sizing p from N keeps the
+    per-bucket work constant as the table grows; each added plane
+    costs one dot product per row, so the map-side price of 100 TB
+    worth of buckets is ~24 dots/row. Hyperplane buckets are not
+    perfectly uniform (correlated embeddings concentrate), so treat
+    ``target_bucket_rows`` as an expectation, not a bound — AQE skew
+    splitting handles the heavy buckets."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    need = math.ceil(math.log2(max(1.0, n_rows / float(target_bucket_rows))))
+    return max(lo, min(hi, need))
+
+
+def lsh_probe_buckets(
+    bucket: Column | str, n_planes: int, hamming: int = 1
+) -> Column:
+    """Array of probe buckets within ``hamming`` bit-flips of
+    ``bucket`` — the multiprobe expansion (probe the neighboring
+    buckets a borderline vector could have landed in).
+
+    Only radius 0 and 1 are supported: radius-1 already costs a
+    ``n_planes + 1``× row expansion on the probing side, and radius-2
+    (O(p²) probes) is past the point where adding planes + radius-1
+    dominates. Pure expression — callers ``explode`` it and equi-join
+    against exact buckets."""
+    if hamming not in (0, 1):
+        raise ValueError(f"hamming must be 0 or 1, got {hamming}")
+    b = F.col(bucket) if isinstance(bucket, str) else bucket
+    if hamming == 0:
+        return F.array(b)
+    return F.array(b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
 
 
 def lsh_buckets(

@@ -340,3 +340,82 @@ def test_lsh_cosine_pairs_subset_of_exact(spark, sf_dir):
     # the plan stays JVM-side: no Python eval anywhere
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_adaptive_n_planes_tracks_table_size():
+    """n_planes grows with the corpus so the EXPECTED bucket size stays
+    near the target — a fixed plane count would let bucket size (and
+    the quadratic in-bucket join) grow linearly at 100 TB."""
+    # 1M rows / 4096 target -> 2^8 = 256 buckets of ~4k rows
+    assert similarity.adaptive_n_planes(1_000_000, 4096) == 8
+    # 1000x data -> +10 planes, same expected bucket size
+    assert similarity.adaptive_n_planes(1_000_000_000, 4096) == 18
+    # tiny / degenerate tables clamp to the floor; absurd scale to the cap
+    assert similarity.adaptive_n_planes(100, 4096) == 4
+    assert similarity.adaptive_n_planes(0, 4096) == 4
+    assert similarity.adaptive_n_planes(10**18, 4096) == 24
+    # the invariant the knob exists for: expected bucket size bounded
+    for n in (10**5, 10**7, 10**9):
+        p = similarity.adaptive_n_planes(n, 4096)
+        assert n / (1 << p) <= 4096
+
+
+def test_lsh_adaptive_default_and_probe_buckets(spark, sf_dir):
+    """n_planes=None sizes the bucket space from the table; probe
+    arrays contain the bucket plus its n_planes hamming-1 neighbors."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    lsh = dedup.lsh_cosine_pairs(emb, "embedding", "vec_id", dims=64, threshold=0.3)
+    expected_planes = similarity.adaptive_n_planes(n, 4096)
+    explicit = dedup.lsh_cosine_pairs(
+        emb, "embedding", "vec_id", dims=64, n_planes=expected_planes, threshold=0.3
+    )
+    assert {tuple(r) for r in lsh.collect()} == {tuple(r) for r in explicit.collect()}
+    probes = spark.createDataFrame([(5,)], "bucket long").select(
+        similarity.lsh_probe_buckets("bucket", 3).alias("p")
+    ).first()["p"]
+    assert probes == [5, 5 ^ 1, 5 ^ 2, 5 ^ 4]
+    with pytest.raises(ValueError, match="hamming"):
+        similarity.lsh_probe_buckets(F.col("bucket"), 3, hamming=2)
+
+
+def test_lsh_multiprobe_improves_recall_no_duplicates(spark, sf_dir):
+    """multiprobe=1 recovers pairs split across a single hyperplane
+    boundary: its pair set contains the exact-bucket pair set, stays a
+    subset of ground truth, and emits each pair exactly once (the
+    hamming-1 expansion cannot double-count)."""
+    emb = load(spark, sf_dir, "embeddings")
+    kw = dict(dims=64, n_planes=8, threshold=0.3)
+    single = {(r["id_a"], r["id_b"]) for r in
+              dedup.lsh_cosine_pairs(emb, "embedding", "vec_id", **kw).collect()}
+    multi_rows = dedup.lsh_cosine_pairs(
+        emb, "embedding", "vec_id", multiprobe=1, **kw
+    ).collect()
+    multi = {(r["id_a"], r["id_b"]) for r in multi_rows}
+    assert len(multi_rows) == len(multi)  # exactly-once, no dedup pass
+    assert single <= multi
+    truth = {(r["id_a"], r["id_b"]) for r in dedup.embedding_cosine_pairs(
+        emb.withColumn("_one", F.lit(1)), "embedding", "vec_id", "_one", threshold=0.3
+    ).collect()}
+    assert multi <= truth
+    # recall strictly improves on this table (8 planes split plenty of
+    # true pairs at threshold 0.3)
+    assert len(multi) > len(single)
+    assert len(multi) / len(truth) > len(single) / len(truth)
+
+
+def test_minhash_signature_cache_is_bounded(spark, sf_dir):
+    """Repeated minhash_lsh_pairs runs hold at most ONE persisted
+    signature table; release_signature_caches() frees the last one."""
+    docs = load(spark, sf_dir, "documents")
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    dedup.release_signature_caches()
+    base = n_cached()
+    for _ in range(3):
+        dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=2).count()
+    assert n_cached() <= base + 1
+    dedup.release_signature_caches()
+    assert n_cached() <= base
