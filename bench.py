@@ -192,8 +192,16 @@ EXTENDED_QUERIES = [
     "dedup_fingerprint_docs",
     "minhash_lsh_pairs_docs",
     "lsh_cosine_neardup_pairs",
+    "lsh_cosine_multiprobe_pairs",
     "sample_docs_10pct",
     "curate_corpus",
+    # the newest beyond-reference operators — exactly where perf
+    # regressions will hide (iterative CC, prefix-sum packing,
+    # two-phase capped rank, range-sort head)
+    "neardup_clusters_docs",
+    "pack_sequences_docs",
+    "cap_docs_per_source",
+    "corpus_shuffle_head",
 ]
 
 _DUCKDB_TABLES = [

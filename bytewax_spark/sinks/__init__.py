@@ -124,7 +124,13 @@ class KafkaSink(Sink):
     partitions, monotonic offsets, the same ``key``/``value`` input
     contract. The embedded append funnels the batch through the
     driver (the log is single-writer by design — it stands in for a
-    broker in tests/dev, never the scale path)."""
+    broker in tests/dev, never the scale path), but it streams
+    partition-at-a-time (``toLocalIterator`` + bounded chunks) so
+    driver memory holds one chunk, never the whole batch."""
+
+    #: records buffered per embedded-log append; bounds driver memory
+    #: on the jar-absent fallback path.
+    EMBEDDED_CHUNK = 10_000
 
     def __init__(self, brokers: list[str], topic: str) -> None:
         self.brokers, self.topic = brokers, topic
@@ -137,19 +143,24 @@ class KafkaSink(Sink):
     def _append_embedded(self, df: DataFrame) -> None:
         from bytewax_spark.connectors.kafka_log import KafkaLog
 
-        cols = df.columns
-        key = df["key"].cast("binary") if "key" in cols else None
-        value = df["value"].cast("binary")
-        sel = df.select(*( [key.alias("key")] if key is not None else [] ), value.alias("value"))
-        rows = sel.toPandas()
+        has_key = "key" in df.columns
+        sel = df.select(
+            *([df["key"].cast("binary").alias("key")] if has_key else []),
+            df["value"].cast("binary").alias("value"),
+        )
         log = KafkaLog(self.brokers[0])
-        records = [
-            (None if "key" not in rows.columns else (None if r is None else bytes(r)), bytes(v))
-            for r, v in zip(
-                rows["key"] if "key" in rows.columns else [None] * len(rows), rows["value"]
-            )
-        ]
-        log.produce(self.topic, records)
+        buf: list[tuple[bytes | None, bytes]] = []
+        # toLocalIterator pulls one partition at a time; chunked
+        # produce keeps offsets monotonic while the driver never holds
+        # more than EMBEDDED_CHUNK records.
+        for row in sel.toLocalIterator(prefetchPartitions=True):
+            k = bytes(row["key"]) if has_key and row["key"] is not None else None
+            buf.append((k, bytes(row["value"])))
+            if len(buf) >= self.EMBEDDED_CHUNK:
+                log.produce(self.topic, buf)
+                buf = []
+        if buf:
+            log.produce(self.topic, buf)
 
     def _writer(self, df: DataFrame):
         return (

@@ -94,6 +94,26 @@ def test_kafka_sink_roundtrip(spark, tmp_path):
     assert flow is not None
 
 
+def test_kafka_sink_chunked_append_bounded(spark, tmp_path, monkeypatch):
+    """The embedded append streams in bounded chunks (driver never
+    holds the full batch): with EMBEDDED_CHUNK=7 a 100-row batch lands
+    complete, offsets still monotonic per partition."""
+    monkeypatch.setattr(KafkaSink, "EMBEDDED_CHUNK", 7)
+    df = spark.createDataFrame(
+        [(f"k{i % 3}", f"v{i}") for i in range(100)], "key string, value string"
+    ).repartition(5)
+    KafkaSink([str(tmp_path / "log")], "big").write_batch(df)
+    back = KafkaSource([str(tmp_path / "log")], ["big"], streaming=False).to_df()
+    rows = back.collect()
+    assert len(rows) == 100
+    assert {bytes(r["value"]) for r in rows} == {f"v{i}".encode() for i in range(100)}
+    per_part: dict[int, list[int]] = {}
+    for r in rows:
+        per_part.setdefault(r["partition"], []).append(r["offset"])
+    for offs in per_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+
+
 def test_kafka_end_to_end_produce_consume_serde(spark, tmp_path):
     """Full pipeline on the kafka code path: produce framed records →
     KafkaSource stream → registry deserialize oks/errs → keyed agg."""
