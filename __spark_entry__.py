@@ -1143,6 +1143,54 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_ts_ms")
 
 
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image bytes, really parsed, twice over: per document a
+    genuine 24-bit BMP is encoded (functions/multimodal.py encode_bmp,
+    dims and solid gray level derived from doc_id), then (a) the
+    Catalyst-only header parser (media_header_meta — substring/conv
+    expressions, zero Python) extracts format/width/height from the
+    bytes JVM-side, and (b) the stdlib pixel decoder (decode_image)
+    re-reads the pixel array for the mean level. The oracle reproduces
+    the doc_id arithmetic, so a header-offset or stride bug shows up
+    as a value mismatch."""
+    from bytewax_spark.functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ws = (pdf["doc_id"] % 6 + 3).astype(int)
+            hs = (pdf["doc_id"] % 4 + 3).astype(int)
+            vs = (pdf["doc_id"] % 251).astype(int)
+            yield pdf.assign(
+                content=[
+                    mm.encode_bmp(int(w), int(h), [(int(v),) * 3] * (int(w) * int(h)))
+                    for w, h, v in zip(ws, hs, vs)
+                ]
+            )
+
+    import pyspark.sql.types as T
+
+    media = docs.mapInPandas(
+        synth,
+        schema=T.StructType(
+            docs.schema.fields + [T.StructField("content", T.BinaryType())]
+        ),
+    )
+    feats = mm.decode_image_features(media, n_features=8)
+    hdr = F.col("_hdr")
+    return (
+        feats.withColumn("_hdr", mm.media_header_meta("content"))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            hdr["format"].alias("fmt"),
+            hdr["width"].alias("width"),
+            hdr["height"].alias("height"),
+            F.round(F.col("features")[0], 6).alias("mean_px"),
+        )
+    )
+
+
 def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resize_images: meta rewrite + per-item decode fallback; output
     meta dims are the requested target size."""
@@ -2822,6 +2870,18 @@ _ORACLES["approx_distinct_users"] = """
     FROM events GROUP BY 1
 """
 
+# the synthesized BMP is solid gray level doc_id%251, so the real
+# decode's bucketed mean is exactly that level / 255 (IEEE-identical
+# division on both engines); dims come straight from the doc_id arith
+_ORACLES["multimodal_image_decode"] = """
+    SELECT doc_id AS media_id,
+           'bmp' AS fmt,
+           CAST(doc_id % 6 + 3 AS INT) AS width,
+           CAST(doc_id % 4 + 3 AS INT) AS height,
+           ROUND((doc_id % 251) / 255.0, 6) AS mean_px
+    FROM documents
+"""
+
 _ORACLES["multimodal_resize_meta"] = """
     SELECT doc_id AS media_id, 224 AS width, 224 AS height,
            OCTET_LENGTH(ENCODE(text)) AS content_len
@@ -3135,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_multiprobe_pairs": lsh_cosine_multiprobe_pairs,
         # multimodal plumbing (binary media columns; stubbed codecs)
         "multimodal_image_features": multimodal_image_features,
+        "multimodal_image_decode": multimodal_image_decode,
         "multimodal_frame_samples": multimodal_frame_samples,
         "multimodal_resize_meta": multimodal_resize_meta,
     }

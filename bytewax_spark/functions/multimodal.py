@@ -1,11 +1,22 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` with
 typed metadata, plus the decode/feature/resize/frame-sample plumbing.
 
-The heavy codecs (PIL, ffmpeg, torchaudio) are NOT in this container,
-so the decode kernels are gated behind import-tries with a
-deterministic fake fallback (documented, test-covered). Everything
-Spark-side is real: schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning advice.
+Decode tiers, best available first:
+
+1. **Header metadata — pure Catalyst** (:func:`media_header_meta`):
+   PNG / BMP / GIF / WAV headers live at fixed offsets, so format,
+   width, height, channels and sample rate parse as JVM ``substring``
+   + base-16 ``conv`` expressions — whole-stage codegen, no Python at
+   all. At 100 TB this is THE path for "what's in this blob" audits:
+   header sniffing at scan speed.
+2. **Real pixel decode — stdlib only** (PNG through ``zlib`` inflate +
+   scanline unfilter; uncompressed 24-bit BMP through ``struct``):
+   used by :func:`decode_image_features` when PIL is absent, and by
+   :func:`encode_png`/:func:`encode_bmp` to build real test bytes.
+3. **Heavy codecs** (PIL, ffmpeg — NOT in this container) behind
+   import-tries; undecodable bytes fall back to a deterministic
+   digest fake (documented, test-covered) so pipelines never lose the
+   Spark plumbing contract.
 
 Scale posture: media bytes are the dominant I/O — operators here never
 shuffle the binary column. Decode/feature steps are ``mapInPandas``
@@ -20,20 +31,28 @@ from __future__ import annotations
 
 import hashlib
 import struct as _struct
+import zlib as _zlib
 from collections.abc import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
     "MEDIA_SCHEMA",
     "media_table",
+    "media_header_meta",
+    "encode_png",
+    "encode_bmp",
+    "encode_wav",
+    "decode_image",
     "decode_image_features",
     "resize_images",
     "sample_frames",
 ]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 # the media column convention: opaque bytes + typed metadata struct
 MEDIA_SCHEMA = T.StructType(
@@ -63,6 +82,248 @@ def media_table(spark, rows: list[tuple]) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+# --- tier 1: Catalyst-only header parsing -------------------------------
+
+
+def _u8(c: Column, pos: int) -> Column:
+    """Unsigned byte at 1-indexed ``pos`` as a bigint expression."""
+    return F.conv(F.hex(F.substring(c, pos, 1)), 16, 10).cast("bigint")
+
+
+def _be32(c: Column, pos: int) -> Column:
+    return F.conv(F.hex(F.substring(c, pos, 4)), 16, 10).cast("bigint")
+
+
+def _le16(c: Column, pos: int) -> Column:
+    return _u8(c, pos) + _u8(c, pos + 1) * 256
+
+
+def _le32(c: Column, pos: int) -> Column:
+    return (
+        _u8(c, pos)
+        + _u8(c, pos + 1) * 256
+        + _u8(c, pos + 2) * 65536
+        + _u8(c, pos + 3) * 16777216
+    )
+
+
+def media_header_meta(content: Column | str) -> Column:
+    """Parse PNG / BMP / GIF / WAV headers as PURE Catalyst expressions
+    — ``struct(format, width, height, channels, sample_rate)``, nulls
+    for fields a format lacks or for unrecognized bytes.
+
+    These formats keep their geometry at fixed offsets (PNG IHDR
+    big-endian at 17/21; BMP BITMAPINFOHEADER little-endian at 19/23;
+    GIF logical screen at 7/9; canonical WAV fmt chunk at 23/25), so
+    the whole parse is ``substring`` + hex ``conv`` arithmetic inside
+    whole-stage codegen: no UDF, no Python, runs at scan speed over
+    100 TB of blobs. JPEG (variable-position SOF marker) needs the
+    scanning decoder in :func:`decode_image`, not this path.
+
+    BMP height is signed (negative = top-down rows); the expression
+    reports magnitude."""
+    c = F.col(content) if isinstance(content, str) else content
+    is_png = F.hex(F.substring(c, 1, 8)) == _PNG_SIG.hex().upper()
+    is_bmp = F.substring(c, 1, 2).cast("string") == "BM"
+    is_gif = F.substring(c, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+    is_wav = (F.substring(c, 1, 4).cast("string") == "RIFF") & (
+        F.substring(c, 9, 8).cast("string") == "WAVEfmt "
+    )
+    bmp_h_raw = _le32(c, 23)
+    bmp_h = F.when(bmp_h_raw >= F.lit(1 << 31), F.lit(1 << 32) - bmp_h_raw).otherwise(
+        bmp_h_raw
+    )
+    null_i = F.lit(None).cast("int")
+    branch = lambda png, bmp, gif, wav: (  # noqa: E731
+        F.when(is_png, png)
+        .when(is_bmp, bmp)
+        .when(is_gif, gif)
+        .when(is_wav, wav)
+        .otherwise(null_i)
+    )
+    return F.struct(
+        F.when(is_png, F.lit("png"))
+        .when(is_bmp, F.lit("bmp"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_wav, F.lit("wav"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("format"),
+        branch(_be32(c, 17), _le32(c, 19), _le16(c, 7), null_i)
+        .cast("int")
+        .alias("width"),
+        branch(_be32(c, 21), bmp_h, _le16(c, 9), null_i).cast("int").alias("height"),
+        branch(
+            # PNG color type -> channel count; BMP bpp/8; GIF paletted=1
+            F.when(_u8(c, 26) == 0, 1)
+            .when(_u8(c, 26) == 2, 3)
+            .when(_u8(c, 26) == 4, 2)
+            .when(_u8(c, 26) == 6, 4)
+            .otherwise(null_i),
+            (_le16(c, 29) / 8).cast("int"),
+            F.lit(1),
+            _le16(c, 23),
+        )
+        .cast("int")
+        .alias("channels"),
+        F.when(is_wav, _le32(c, 25)).otherwise(null_i).cast("int").alias("sample_rate"),
+    )
+
+
+# --- tier 2: real stdlib encoders/decoders ------------------------------
+
+
+def encode_png(width: int, height: int, pixels_rgb: list[tuple[int, int, int]]) -> bytes:
+    """Minimal real PNG writer (8-bit RGB, filter 0, one IDAT) —
+    stdlib only; produces bytes any PNG reader accepts."""
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + tag
+            + data
+            + _struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00"
+        + bytes(c for px in pixels_rgb[y * width : (y + 1) * width] for c in px)
+        for y in range(height)
+    )
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_bmp(width: int, height: int, pixels_rgb: list[tuple[int, int, int]]) -> bytes:
+    """Minimal real BMP writer (BITMAPINFOHEADER, 24-bit, bottom-up)."""
+    stride = ((width * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - width * 3)
+    body = b"".join(
+        b"".join(
+            bytes((b_, g, r)) for (r, g, b_) in pixels_rgb[y * width : (y + 1) * width]
+        )
+        + pad
+        for y in reversed(range(height))
+    )
+    file_header = _struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    dib = _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return file_header + dib + body
+
+
+def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Minimal real WAV writer (PCM 16-bit)."""
+    data = b"".join(_struct.pack("<h", s) for s in samples)
+    fmt = _struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF"
+        + _struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + _struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + _struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _decode_png_pixels(b: bytes) -> tuple[str, int, int, list[float]] | None:
+    """Real PNG decode, stdlib only: walk chunks, inflate IDAT,
+    unfilter scanlines (filters 0-4), return grayscale pixels.
+    Supports the common web subset: 8-bit, non-interlaced, gray /
+    RGB / RGBA."""
+    if b[:8] != _PNG_SIG:
+        return None
+    pos, idat = 8, b""
+    w = h = ct = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bitd, ct, _comp, _filt, inter = _struct.unpack(">IIBBBBB", data)
+            if bitd != 8 or inter != 0 or ct not in (0, 2, 6):
+                return None
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        return None
+    raw = _zlib.decompress(idat)
+    nch = {0: 1, 2: 3, 6: 4}[ct]
+    stride = w * nch
+    prev = bytearray(stride)
+    out: list[float] = []
+    pos = 0
+    for _y in range(h):
+        filt = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            up = prev[i]
+            ul = prev[i - nch] if i >= nch else 0
+            if filt == 1:
+                line[i] = (line[i] + a) & 255
+            elif filt == 2:
+                line[i] = (line[i] + up) & 255
+            elif filt == 3:
+                line[i] = (line[i] + (a + up) // 2) & 255
+            elif filt == 4:
+                p = a + up - ul
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                line[i] = (line[i] + pred) & 255
+        prev = line
+        for x in range(w):
+            px = line[x * nch : x * nch + nch]
+            out.append(float(px[0]) if nch == 1 else (px[0] + px[1] + px[2]) / 3.0)
+    return ("png", w, h, out)
+
+
+def _decode_bmp_pixels(b: bytes) -> tuple[str, int, int, list[float]] | None:
+    """Real BMP decode, stdlib only: BITMAPINFOHEADER, uncompressed
+    24-bit, bottom-up or top-down."""
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    off = _struct.unpack("<I", b[10:14])[0]
+    hsz = _struct.unpack("<I", b[14:18])[0]
+    if hsz < 40:
+        return None
+    w, h_signed = _struct.unpack("<ii", b[18:26])
+    bpp = _struct.unpack("<H", b[28:30])[0]
+    comp = _struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or comp != 0:
+        return None
+    h = abs(h_signed)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = []
+    for y in range(h):
+        base = off + y * stride
+        rows.append(
+            [
+                (b[base + 3 * x] + b[base + 3 * x + 1] + b[base + 3 * x + 2]) / 3.0
+                for x in range(w)
+            ]
+        )
+    if h_signed > 0:
+        rows.reverse()  # stored bottom-up
+    return ("bmp", w, h, [v for row in rows for v in row])
+
+
+def decode_image(b: bytes) -> tuple[str, int, int, list[float]] | None:
+    """(format, width, height, grayscale pixels row-major) via the
+    pure-stdlib decoders, or None for unsupported bytes."""
+    if not b:
+        return None
+    return _decode_png_pixels(bytes(b)) or _decode_bmp_pixels(bytes(b))
+
+
 def _fake_pixels(content: bytes, n: int = 8) -> list[float]:
     """Deterministic stand-in for a real decode: n pseudo-channel means
     derived from the content digest. Replaced by a real decoder when
@@ -71,12 +332,23 @@ def _fake_pixels(content: bytes, n: int = 8) -> list[float]:
     return [b / 255.0 for b in d[:n]]
 
 
+def _bucket_means(px: list[float], n: int) -> list[float]:
+    """n contiguous bucket means of a pixel list, normalized to [0,1]."""
+    step = max(1, len(px) // n)
+    return [
+        sum(px[i : i + step]) / (255.0 * min(step, len(px) - i))
+        for i in range(0, len(px), step)
+    ][:n]
+
+
 def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
     """content → fixed-size feature vector (``array<double>``).
 
-    Real path (PIL available): decode + channel statistics. Fallback:
-    deterministic digest-derived fake (same schema/batch shape), so
-    pipelines and tests exercise the full Spark plumbing."""
+    Decode tiers per blob: PIL when importable (any format, resized
+    16x16); else the REAL stdlib decoder (:func:`decode_image` — PNG
+    via zlib inflate + unfilter, 24-bit BMP) with features as bucketed
+    grayscale means; else the deterministic digest fake (same
+    schema/batch shape), so undecodable bytes still flow."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.DoubleType()), True)]
     )
@@ -88,25 +360,25 @@ def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
             have_pil = True
         except Exception:
             have_pil = False
-        for pdf in batches:
+
+        def feats(b):
             if have_pil:
                 import io
 
                 from PIL import Image
 
-                def feats(b):
-                    try:
-                        img = Image.open(io.BytesIO(b)).convert("L").resize((16, 16))
-                        px = list(img.getdata())
-                        step = max(1, len(px) // n_features)
-                        return [sum(px[i : i + step]) / (255.0 * step) for i in range(0, len(px), step)][:n_features]
-                    except Exception:
-                        return _fake_pixels(b, n_features)
+                try:
+                    img = Image.open(io.BytesIO(b)).convert("L").resize((16, 16))
+                    return _bucket_means(list(img.getdata()), n_features)
+                except Exception:
+                    pass
+            real = decode_image(b)
+            if real is not None:
+                return _bucket_means(real[3], n_features)
+            return _fake_pixels(b, n_features)
 
-                pdf = pdf.assign(features=[feats(b) for b in pdf["content"]])
-            else:
-                pdf = pdf.assign(features=[_fake_pixels(b, n_features) for b in pdf["content"]])
-            yield pdf
+        for pdf in batches:
+            yield pdf.assign(features=[feats(b) for b in pdf["content"]])
 
     return df.mapInPandas(run, schema=out_schema)
 

@@ -218,6 +218,105 @@ def test_multimodal_features_and_frames(spark):
     assert resized[0]["meta"]["width"] == 8
 
 
+def test_media_header_meta_pure_catalyst(spark):
+    """Real PNG/BMP/GIF/WAV bytes parsed by the Catalyst-only header
+    expressions: correct geometry for every format, nulls for garbage,
+    and no Python eval anywhere in the plan."""
+    png = multimodal.encode_png(17, 9, [(1, 2, 3)] * (17 * 9))
+    bmp = multimodal.encode_bmp(5, 7, [(9, 9, 9)] * 35)
+    gif = b"GIF89a" + (300).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
+    wav = multimodal.encode_wav(44100, 2, [0, 1000, -1000, 32767])
+    df = spark.createDataFrame(
+        [(1, png), (2, bmp), (3, gif), (4, wav), (5, b"not media")],
+        "id long, content binary",
+    )
+    out = df.select("id", multimodal.media_header_meta("content").alias("m"))
+    rows = {r["id"]: r["m"] for r in out.collect()}
+    assert rows[1].asDict() == {"format": "png", "width": 17, "height": 9, "channels": 3, "sample_rate": None}
+    assert rows[2].asDict() == {"format": "bmp", "width": 5, "height": 7, "channels": 3, "sample_rate": None}
+    assert rows[3].asDict() == {"format": "gif", "width": 300, "height": 200, "channels": 1, "sample_rate": None}
+    assert rows[4].asDict() == {"format": "wav", "width": None, "height": None, "channels": 2, "sample_rate": 44100}
+    assert all(v is None for v in rows[5].asDict().values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def _png_with_filters(width, height, pixels_rgb, filters):
+    """Assemble a real PNG whose scanlines use the given filter types —
+    forward-filters the raw data so the decoder's unfilter is tested
+    against an independent implementation."""
+    import struct, zlib
+
+    nch, stride = 3, width * 3
+    flat = bytes(c for px in pixels_rgb for c in px)
+    raw, prev = b"", bytearray(stride)
+    for y in range(height):
+        line = flat[y * stride : (y + 1) * stride]
+        f = filters[y % len(filters)]
+        enc = bytearray([f])
+        for i, x in enumerate(line):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc.append((x - pred) & 255)
+        raw += bytes(enc)
+        prev = bytearray(line)
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filter_types():
+    """The stdlib PNG decoder inverts every scanline filter (0-4):
+    decode(filtered(img)) == img for a gradient that exercises carries."""
+    w, h = 6, 10
+    pixels = [((x * 37 + y * 11) % 256, (x * 5) % 256, (y * 90) % 256) for y in range(h) for x in range(w)]
+    expected = [(r + g + b) / 3.0 for (r, g, b) in pixels]
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = multimodal.decode_image(_png_with_filters(w, h, pixels, filters))
+        assert got is not None and got[:3] == ("png", w, h)
+        assert got[3] == expected, f"filters={filters}"
+    # encode_png roundtrip too (filter 0 writer)
+    rt = multimodal.decode_image(multimodal.encode_png(w, h, pixels))
+    assert rt[3] == expected
+
+
+def test_decode_bmp_stride_and_orientation():
+    """BMP decode honors 4-byte row padding and bottom-up storage: a
+    3-wide image (stride 12 != 9) with distinct rows comes back in
+    visual row order."""
+    w, h = 3, 2
+    pixels = [(10, 10, 10)] * 3 + [(200, 200, 200)] * 3  # row0 dark? no: row0=10s, row1=200s
+    got = multimodal.decode_image(multimodal.encode_bmp(w, h, pixels))
+    assert got == ("bmp", w, h, [10.0] * 3 + [200.0] * 3)
+
+
+def test_decode_image_features_real_decode_path(spark):
+    """Features for a real BMP come from the REAL pixel decode (exact
+    bucket means), not the digest fake."""
+    v = 123
+    bmp = multimodal.encode_bmp(4, 4, [(v, v, v)] * 16)
+    rows = [(1, "image", bmp, {"mime": "image/bmp", "width": 4, "height": 4, "duration_ms": None, "sample_rate": None})]
+    df = multimodal.media_table(spark, rows)
+    feats = multimodal.decode_image_features(df).collect()[0]["features"]
+    assert feats == [v / 255.0] * 8
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     """approx_count_distinct (HLL++, rsd 1%) lands within 5% of the
     exact per-type distinct-user count. The entry query now emits the
