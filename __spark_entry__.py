@@ -1143,6 +1143,65 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_ts_ms")
 
 
+def avro_registry_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Avro on the wire end-to-end (connectors/avro_codec.py +
+    registry.py): even docs are framed with a v1 writer schema
+    (doc_id, source), odd docs with v2 (adds lang); the consumer
+    resolves PER MESSAGE against the v2 reader — Confluent semantics:
+    v1 frames take the reader default lang='und', v2 frames keep
+    their value. Every byte is spec Avro binary (zigzag varints,
+    length-prefixed strings) produced and consumed by the stdlib
+    codec in Arrow-batched UDFs — the reference's own serde execution
+    shape (pysrc/bytewax/connectors/kafka/serde.py:8-105)."""
+    import json as _json
+
+    from bytewax_spark.connectors import registry as reg
+    from bytewax_spark.dataflow import Dataflow, Stream
+
+    v1 = _json.dumps(
+        {
+            "type": "record",
+            "name": "Doc",
+            "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "source", "type": "string"},
+            ],
+        }
+    )
+    v2 = _json.dumps(
+        {
+            "type": "record",
+            "name": "Doc",
+            "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "source", "type": "string"},
+                {"name": "lang", "type": "string", "default": "und"},
+            ],
+        }
+    )
+    registry = reg.InMemorySchemaRegistry()
+    id1 = registry.register("doc-value", v1)
+    registry.register("doc-value", v2)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    flow = Dataflow("avro_resolve")
+    evens = Stream(flow, "evens", docs.filter(F.col("doc_id") % 2 == 0))
+    odds = Stream(flow, "odds", docs.filter(F.col("doc_id") % 2 == 1))
+    s1 = reg.serialize_registry(
+        "s1", evens, ["doc_id", "source"], registry, "doc-value",
+        schema_id=id1, payload_format="avro",
+    )
+    s2 = reg.serialize_registry(
+        "s2", odds, ["doc_id", "source", "lang"], registry, "doc-value",
+        payload_format="avro",
+    )
+    wire = Stream(
+        flow, "wire", s1.df.select("value").unionByName(s2.df.select("value"))
+    )
+    out = reg.deserialize_registry_resolving("de", wire, "value", registry, subject="doc-value")
+    return out.oks.df.select("doc_id", "source", "lang", "writer_schema_id")
+
+
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image bytes, really parsed, twice over: per document a
     genuine 24-bit BMP is encoded (functions/multimodal.py encode_bmp,
@@ -2870,6 +2929,15 @@ _ORACLES["approx_distinct_users"] = """
     FROM events GROUP BY 1
 """
 
+# v1 frames (even doc_id) resolve to the reader default lang='und';
+# v2 frames keep their lang; writer ids are registration order (1, 2)
+_ORACLES["avro_registry_resolve_docs"] = """
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 2 = 0 THEN 'und' ELSE lang END AS lang,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS writer_schema_id
+    FROM documents
+"""
+
 # the synthesized BMP is solid gray level doc_id%251, so the real
 # decode's bucketed mean is exactly that level / 255 (IEEE-identical
 # division on both engines); dims come straight from the doc_id arith
@@ -3196,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (binary media columns; stubbed codecs)
         "multimodal_image_features": multimodal_image_features,
         "multimodal_image_decode": multimodal_image_decode,
+        "avro_registry_resolve_docs": avro_registry_resolve_docs,
         "multimodal_frame_samples": multimodal_frame_samples,
         "multimodal_resize_meta": multimodal_resize_meta,
     }

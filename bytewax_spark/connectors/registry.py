@@ -21,15 +21,24 @@ payload. This module implements the framed variant Spark-first:
   on unknown ids; routing to ``errs`` is the streaming-safe
   equivalent and keeps the oks/errs operator contract).
 
-Divergence, documented: Confluent deserializers resolve the *writer*
-schema per message. A Spark plan has one static schema, so we resolve
-the expected id at plan time and route other ids to ``errs`` instead
-of re-fetching — at 100 TB you want the schema pinned per query, not
-a per-row registry lookup.
+Writer-schema resolution comes in BOTH shapes the ecosystem uses:
 
-Payloads are JSON here (spark-avro jar absent in this container);
-``payload_format="avro"`` switches to ``from_avro``/``to_avro`` when
-the jar is on the classpath — same framing either way.
+- :func:`deserialize_registry` pins ONE schema id at plan time and
+  routes frames with any other id to ``errs`` — the 100 TB default
+  (static Catalyst schema, no per-row registry lookups).
+- :func:`deserialize_registry_resolving` matches Confluent consumer
+  semantics: the writer schema is resolved PER MESSAGE from the frame
+  id against a plan-time registry snapshot, decoded with the writer
+  schema, then schema-resolved into the reader schema (defaults,
+  promotions, skipped fields). Per-record Python inside an
+  Arrow-batched UDF — exactly the reference's execution shape
+  (``confluent_kafka`` deserializers are per-message Python too).
+
+``payload_format="avro"`` now puts REAL Avro binary on the wire with
+or without the spark-avro jar: jar → JVM ``from_avro``/``to_avro``;
+no jar → the pure-Python spec codec
+(:mod:`bytewax_spark.connectors.avro_codec`). ``"json"`` stays the
+all-JVM codegen path.
 """
 
 from __future__ import annotations
@@ -39,12 +48,23 @@ import os
 import struct
 from typing import Any
 
+import pandas as pd
 from pyspark.sql import functions as F
 
-from bytewax_spark.connectors.serde import SerdeOut, _require_avro
+from bytewax_spark.connectors.serde import (
+    SerdeOut,
+    _require_avro,
+    avro_decode_col,
+    avro_encode_col,
+)
 from bytewax_spark.dataflow import Stream
 
-__all__ = ["InMemorySchemaRegistry", "serialize_registry", "deserialize_registry"]
+__all__ = [
+    "InMemorySchemaRegistry",
+    "serialize_registry",
+    "deserialize_registry",
+    "deserialize_registry_resolving",
+]
 
 _MAGIC = b"\x00"
 
@@ -115,8 +135,12 @@ def serialize_registry(
     if payload_format == "json":
         payload = F.to_json(F.struct(*cols)).cast("binary")
     elif payload_format == "avro":
-        _, to_avro = _require_avro()
-        payload = to_avro(F.struct(*cols), registry.schema_str(sid))
+        try:
+            _, to_avro = _require_avro()
+
+            payload = to_avro(F.struct(*cols), registry.schema_str(sid))
+        except ImportError:
+            payload = avro_encode_col(cols, registry.schema_str(sid))
     else:
         raise ValueError(f"payload_format must be json|avro, got {payload_format!r}")
     keep = [c for c in up.df.columns if c not in cols]
@@ -132,15 +156,16 @@ def deserialize_registry(
     subject: str | None = None,
     schema_id: int | None = None,
     spark_schema: Any | None = None,
+    payload_format: str = "json",
 ) -> SerdeOut:
     """Unframe + parse ``value_col``; frame mismatches (wrong magic,
     unknown/other schema id, truncated) and corrupt payloads go to
     ``errs`` with the raw bytes preserved.
 
     ``spark_schema`` (DDL or StructType) gives the payload's Spark
-    schema; when omitted it is derived from the registered JSON-schema
-    string, which for ``payload_format="json"`` producers is stored as
-    a Spark DDL string."""
+    schema; when omitted it is derived from the registered schema
+    string — a Spark DDL string for ``payload_format="json"``
+    producers, an Avro schema for ``"avro"``."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     flow = up.flow
@@ -149,31 +174,147 @@ def deserialize_registry(
         if subject is None:
             raise ValueError("deserialize_registry needs subject= or schema_id=")
         schema_id = registry.latest_id(subject)
-    ddl = registry.schema_str(schema_id)
-    schema = spark_schema if spark_schema is not None else ddl
+    registered = registry.schema_str(schema_id)
+
+    v = F.col(value_col)
+    frame_ok = F.coalesce(
+        (F.length(v) > 5)
+        & (F.expr(f"substring({value_col}, 1, 5)") == F.lit(_header(schema_id))),
+        F.lit(False),
+    )
+    keep = [c for c in up.df.columns if c != value_col]
+    payload_bin = F.expr(f"substring({value_col}, 6, length({value_col}) - 5)")
+
+    if payload_format == "avro":
+        try:
+            from_avro, _ = _require_avro()
+
+            parsed = up.df.withColumn("_frame_ok", frame_ok).withColumn(
+                "_parsed",
+                from_avro(
+                    F.when(F.col("_frame_ok"), payload_bin), registered, {"mode": "PERMISSIVE"}
+                ),
+            )
+            bad = (~F.col("_frame_ok")) | F.col("_parsed").isNull()
+            field_names = [f.name for f in parsed.schema["_parsed"].dataType.fields]
+        except ImportError:
+            parsed = up.df.withColumn("_frame_ok", frame_ok).withColumn(
+                "_payload", F.when(F.col("_frame_ok"), payload_bin)
+            ).withColumn("_parsed", avro_decode_col("_payload", registered)).drop("_payload")
+            from bytewax_spark.connectors.serde import _OK
+
+            bad = (~F.col("_frame_ok")) | ~F.coalesce(F.col(f"_parsed.{_OK}"), F.lit(False))
+            field_names = [
+                f.name
+                for f in parsed.schema["_parsed"].dataType.fields
+                if f.name != _OK
+            ]
+        ok_df = parsed.filter(~bad).select(*keep, *[F.col(f"_parsed.{f}") for f in field_names])
+        err_df = parsed.filter(bad).drop("_parsed", "_frame_ok")
+        return SerdeOut(
+            oks=Stream(flow, f"{fq}.oks", ok_df),
+            errs=Stream(flow, f"{fq}.errs", err_df),
+        )
+    if payload_format != "json":
+        raise ValueError(f"payload_format must be json|avro, got {payload_format!r}")
+
+    schema = spark_schema if spark_schema is not None else registered
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     field_names = [f.name for f in schema.fields]
     corrupt = "_corrupt_record"
     parse_schema = StructType(list(schema.fields) + [StructField(corrupt, StringType())])
 
-    v = F.col(value_col)
-    frame_ok = (F.length(v) > 5) & (
-        F.expr(f"substring({value_col}, 1, 5)") == F.lit(_header(schema_id))
-    )
-    payload = F.expr(f"substring({value_col}, 6, length({value_col}) - 5)").cast("string")
-    parsed = up.df.withColumn("_frame_ok", F.coalesce(frame_ok, F.lit(False))).withColumn(
+    parsed = up.df.withColumn("_frame_ok", frame_ok).withColumn(
         "_parsed",
         F.from_json(
-            F.when(F.col("_frame_ok"), payload),
+            F.when(F.col("_frame_ok"), payload_bin.cast("string")),
             parse_schema,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
         ),
     )
     bad = (~F.col("_frame_ok")) | F.col(f"_parsed.{corrupt}").isNotNull()
-    keep = [c for c in up.df.columns if c != value_col]
     ok_df = parsed.filter(~bad).select(*keep, *[F.col(f"_parsed.{f}") for f in field_names])
     err_df = parsed.filter(bad).drop("_parsed", "_frame_ok")
+    return SerdeOut(
+        oks=Stream(flow, f"{fq}.oks", ok_df),
+        errs=Stream(flow, f"{fq}.errs", err_df),
+    )
+
+
+def deserialize_registry_resolving(
+    step_id: str,
+    up: Stream,
+    value_col: str,
+    registry: InMemorySchemaRegistry,
+    subject: str | None = None,
+    reader_schema_id: int | None = None,
+) -> SerdeOut:
+    """Confluent-consumer semantics: resolve the WRITER schema per
+    message from the frame's schema id, decode with it, then
+    schema-resolve into the reader schema (reader defaults, numeric/
+    string-bytes promotions, writer-only fields skipped). Avro
+    payloads only.
+
+    The registry is snapshotted at plan time into the UDF closure
+    (bounded: a registry holds schemas, not data) — no per-row network
+    lookups, matching how Confluent clients cache ids after first
+    fetch. Frames with unknown ids, wrong magic, truncation, or
+    payloads that fail decode/resolution land on ``errs`` with raw
+    bytes preserved. Per-record Python inside an Arrow-batched UDF —
+    the reference's own serde execution shape
+    (``pysrc/bytewax/connectors/kafka/serde.py:8-105``)."""
+    from pyspark.sql import types as T
+
+    from bytewax_spark.connectors import avro_codec as ac
+
+    flow = up.flow
+    fq = flow.register(step_id, "deserialize_registry_resolving", (up.step_id,))
+    if reader_schema_id is None:
+        if subject is None:
+            raise ValueError("deserialize_registry_resolving needs subject= or reader_schema_id=")
+        reader_schema_id = registry.latest_id(subject)
+    reader_tree = ac.parse_schema(registry.schema_str(reader_schema_id))
+    snapshot = dict(registry._by_id)
+    out_schema = ac.to_spark_schema(reader_tree)
+    names = [f.name for f in out_schema.fields]
+    # all-nullable: error rows carry nulls in every decoded field
+    full = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in out_schema.fields]
+        + [T.StructField("_avro_ok", T.BooleanType()), T.StructField("writer_schema_id", T.IntegerType())]
+    )
+
+    @F.pandas_udf(returnType=full)
+    def dec(vals: pd.Series) -> pd.DataFrame:
+        trees: dict[int, Any] = {}
+        rows = []
+        for v in vals:
+            d = dict.fromkeys(names)
+            d["_avro_ok"], d["writer_schema_id"] = False, None
+            try:
+                b = bytes(v)
+                if len(b) > 5 and b[0] == 0:
+                    sid = struct.unpack(">I", b[1:5])[0]
+                    if sid in snapshot:
+                        if sid not in trees:
+                            trees[sid] = ac.parse_schema(snapshot[sid])
+                        rec = ac.decode(trees[sid], b[5:], reader_tree)
+                        rec["_avro_ok"], rec["writer_schema_id"] = True, sid
+                        d = rec
+            except Exception:
+                pass
+            rows.append(d)
+        return pd.DataFrame(rows, columns=names + ["_avro_ok", "writer_schema_id"])
+
+    keep = [c for c in up.df.columns if c != value_col]
+    parsed = up.df.withColumn("_parsed", dec(F.col(value_col)))
+    ok = F.coalesce(F.col("_parsed._avro_ok"), F.lit(False))
+    ok_df = parsed.filter(ok).select(
+        *keep,
+        *[F.col(f"_parsed.{n}") for n in names],
+        F.col("_parsed.writer_schema_id").alias("writer_schema_id"),
+    )
+    err_df = parsed.filter(~ok).drop("_parsed")
     return SerdeOut(
         oks=Stream(flow, f"{fq}.oks", ok_df),
         errs=Stream(flow, f"{fq}.errs", err_df),
