@@ -1310,6 +1310,18 @@ def lsh_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantized_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization
+    (functions/similarity.py quantize_embeddings): corpus reduces to
+    one row of per-dim max-abs scales (dims rows shuffle, never
+    vectors), broadcast back, map-local zip_with quantize — the
+    standard 4x ANN memory lever."""
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.quantize_embeddings(emb, "embedding", "vec_id")
+
+
 def lsh_cosine_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH cosine near-dup with hamming-1 multiprobe (functions/dedup.py
     lsh_cosine_pairs(multiprobe=1)): the recall knob — each vector also
@@ -2898,6 +2910,22 @@ _ORACLES["lsh_cosine_neardup_pairs"] = f"""
     WHERE ROUND({_SQL_COS.format(a='a.embedding', b='c.embedding')}, 6) >= 0.35
 """
 
+# floor(x*127/m + 0.5) with identical IEEE op order on both engines;
+# per-dim scales are corpus max-abs (1-indexed lists in DuckDB)
+_ORACLES["quantized_embeddings_int8"] = """
+    WITH s AS (
+      SELECT i, MAX(ABS(embedding[i]::DOUBLE)) AS m
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) GROUP BY i
+    ),
+    sv AS (SELECT LIST(m ORDER BY i) AS ms FROM s)
+    SELECT vec_id,
+           LIST_TRANSFORM(RANGE(1, 65),
+             j -> CASE WHEN ms[j] = 0 THEN 0
+                       ELSE CAST(FLOOR(embedding[j]::DOUBLE * 127 / ms[j] + 0.5) AS INT)
+                  END) AS qvec
+    FROM embeddings, sv
+"""
+
 # multiprobe semantics are declarative: pair kept iff the two buckets
 # differ in at most one bit AND exact cosine clears the threshold
 _ORACLES["lsh_cosine_multiprobe_pairs"] = f"""
@@ -3261,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets_embeddings": lsh_buckets_embeddings,
         "lsh_cosine_neardup_pairs": lsh_cosine_neardup_pairs,
         "lsh_cosine_multiprobe_pairs": lsh_cosine_multiprobe_pairs,
+        "quantized_embeddings_int8": quantized_embeddings_int8,
         # multimodal plumbing (binary media columns; stubbed codecs)
         "multimodal_image_features": multimodal_image_features,
         "multimodal_image_decode": multimodal_image_decode,

@@ -31,6 +31,7 @@ __all__ = [
     "lsh_bucket_col",
     "lsh_buckets",
     "lsh_probe_buckets",
+    "quantize_embeddings",
 ]
 
 
@@ -106,6 +107,49 @@ def ivf_topk(
         in_cells.select(F.col(id_col), F.col(cell_col), F.round(cosine(v, q), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str, id_col: str, bits: int = 8
+) -> DataFrame:
+    """(id, qvec) — symmetric per-dimension integer quantization: each
+    dimension scaled by its corpus-wide max |x| into [-(2^(bits-1)-1),
+    2^(bits-1)-1]. The standard ANN memory lever: int8 cuts embedding
+    bytes 4× (and SIMD dot products speed up accordingly) at ~0.1%
+    recall cost.
+
+    Scale shape mirrors ``quantile_band``: the corpus reduces to ONE
+    row of per-dim scales (posexplode → max-abs partial agg — dims
+    rows shuffle, not vectors), broadcast back as a nested-loop over
+    one row, then the quantization is a map-local ``zip_with``. The
+    100 TB table itself never shuffles.
+
+    Rounding is ``floor(x·q/m + 0.5)`` rather than round() so an
+    external SQL oracle reproduces every value bit-for-bit (same IEEE
+    op order; round() half-even/half-up conventions differ across
+    engines). All-zero dimensions quantize to 0."""
+    qmax = (1 << (bits - 1)) - 1
+    v = as_double(vec_col)
+    scales = (
+        df.select(F.posexplode(v).alias("_pos", "_x"))
+        .groupBy("_pos")
+        .agg(F.max(F.abs(F.col("_x"))).alias("_m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s.getField("_m"),
+            ).alias("_scales")
+        )
+    )
+    qcell = lambda x, m: (  # noqa: E731
+        F.when(m == 0, F.lit(0))
+        .otherwise(F.floor(x * F.lit(qmax) / m + F.lit(0.5)))
+        .cast("int")
+    )
+    return (
+        df.join(F.broadcast(scales))
+        .select(F.col(id_col), F.zip_with(v, F.col("_scales"), qcell).alias("qvec"))
     )
 
 

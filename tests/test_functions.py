@@ -503,6 +503,31 @@ def test_lsh_multiprobe_improves_recall_no_duplicates(spark, sf_dir):
     assert len(multi) / len(truth) > len(single) / len(truth)
 
 
+def test_quantize_embeddings_int8(spark, sf_dir):
+    """Symmetric int8 quantization: values within [-127, 127], the
+    per-dim max hits ±127 exactly, dequantization error bounded by
+    half a step, and the corpus side broadcasts the 1-row scales
+    instead of shuffling."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb, "embedding", "vec_id")
+    rows = {r["vec_id"]: r["qvec"] for r in q.collect()}
+    orig = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    dims = len(next(iter(orig.values())))
+    scales = [max(abs(v[j]) for v in orig.values()) for j in range(dims)]
+    flat = [x for v in rows.values() for x in v]
+    assert all(-127 <= x <= 127 for x in flat)
+    assert max(abs(x) for x in flat) == 127  # max-abs dim saturates
+    for vid, qv in list(rows.items())[:50]:
+        for j, (xq, x) in enumerate(zip(qv, orig[vid])):
+            if scales[j] == 0:
+                assert xq == 0
+            else:
+                assert abs(xq * scales[j] / 127.0 - x) <= scales[j] / 127.0
+    plan = q._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
 def test_minhash_signature_cache_is_bounded(spark, sf_dir):
     """Repeated minhash_lsh_pairs runs hold at most ONE persisted
     signature table; release_signature_caches() frees the last one."""
