@@ -165,6 +165,27 @@ def test_domain_mixture_count_bounded_to_listed_domains(spark, sf_dir):
     assert "partial_count" in plan
 
 
+def test_lsh_multiprobe_single_equi_join_no_python(spark, sf_dir):
+    """The hamming-1 multiprobe stays one equi-join on the probe
+    bucket key (hash-joinable at scale) — never a nested-loop over
+    pairs, never Python."""
+    plan = _plan(spark, "lsh_cosine_multiprobe_pairs", sf_dir)
+    assert "NestedLoop" not in plan
+    assert "EvalPython" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_quantize_corpus_side_never_hash_shuffles(spark, sf_dir):
+    """quantize_embeddings: only the dims-rows scale aggregation may
+    exchange; the vector table itself reaches the zip_with through a
+    1-row broadcast."""
+    plan = _plan(spark, "quantized_embeddings_int8", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
 def test_corpus_shuffle_head_no_global_sort(spark, sf_dir):
     """A shuffled head probe must collapse to TakeOrdered — sorting
     the whole corpus to look at 25 rows is the wrong plan."""
