@@ -1297,6 +1297,20 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_pred", "quality", "split")
 
 
+def minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a NEW batch (doc_id % 7 == 0) LSH-bucket-
+    joined against the SEEN corpus (functions/dedup.py
+    minhash_lsh_pairs_incremental) — the daily-crawl shape. Both sides
+    reduce to (id, band, bucket) before the join; no self-join, so the
+    batch never pairs with itself."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    seen = docs.filter(F.col("doc_id") % 7 != 0)
+    return dd.minhash_lsh_pairs_incremental(new, seen, "text", "doc_id", n=1, k=32, bands=4)
+
+
 def lsh_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed cosine near-dup (functions/dedup.py
     lsh_cosine_pairs): the scale path for a table with NO natural
@@ -2670,6 +2684,28 @@ _ORACLES["minhash_lsh_pairs_docs"] = f"""
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
+# the new batch (doc_id % 7 = 0) buckets against the seen remainder —
+# new x seen only, no self-join within either side
+_ORACLES["minhash_incremental_docs"] = f"""
+    WITH {_SQL_SHINGLES_N1},
+    sig AS (
+      SELECT doc_id, i,
+             MIN((((i * 2654435761) % 2147483647) * (shingle % 2147483647)
+                  + ((i * 40503 + 17) % 2147483647)) % 2147483647) AS minhash
+      FROM sh CROSS JOIN (SELECT UNNEST(RANGE(1, 33)) AS i)
+      GROUP BY doc_id, i
+    ),
+    banded AS (
+      SELECT doc_id, (i - 1) // 8 AS band,
+             MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc_id, band
+    )
+    SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS seen_id
+    FROM banded n JOIN banded s
+      ON n.band = s.band AND n.bucket = s.bucket
+     AND n.doc_id % 7 = 0 AND s.doc_id % 7 <> 0
+"""
+
 _ORACLES["neardup_clusters_docs"] = f"""
     WITH RECURSIVE {_SQL_SHINGLES_N1},
     sig AS (
@@ -3262,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "minhash_incremental_docs": minhash_incremental_docs,
         "sample_docs_10pct": sample_docs_10pct,
         "curate_corpus": curate_corpus,
         "stratified_sample_docs": stratified_sample_docs,

@@ -40,6 +40,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_incremental",
     "release_signature_caches",
     "simhash",
     "embedding_cosine_pairs",
@@ -266,33 +267,10 @@ def minhash_lsh_pairs(
     minima in i-order) → equi-join on (band, bucket). At 100 TB the
     bucket join replaces the quadratic shingle join; callers verify
     candidates with exact Jaccard on the candidate set only."""
-    rows_per_band = k // bands
-    wide = _minhash_wide(df, text_col, id_col, n, k)
-    # band buckets straight from the wide minima columns: md5 of the
-    # band's minima in i-order, comma-joined — per-row expressions, no
-    # collect_list, no second aggregation
-    band_structs = F.array(
-        [
-            F.struct(
-                F.lit(j).cast("int").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"_mh{i}").cast("string")
-                            for i in range(
-                                j * rows_per_band + 1, (j + 1) * rows_per_band + 1
-                            )
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for j in range(bands)
-        ]
-    )
-    banded = wide.select(F.col(id_col), F.explode(band_structs).alias("_bb")).select(
-        id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
-    )
+    # band buckets straight from the wide minima columns (_banded):
+    # md5 of the band's minima in i-order, comma-joined — per-row
+    # expressions, no collect_list, no second aggregation.
+    banded = _banded(df, text_col, id_col, n, k, bands)
     # The bucket equi-join is a diamond: both sides are the same banded
     # table. Left as lineage, each join side would re-execute the whole
     # signature pipeline (Spark reuses exchanges only for canonically
@@ -320,6 +298,66 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def _banded(df: DataFrame, text_col: str, id_col: str, n: int, k: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH rows — the shared banding step."""
+    rows_per_band = k // bands
+    wide = _minhash_wide(df, text_col, id_col, n, k)
+    band_structs = F.array(
+        [
+            F.struct(
+                F.lit(j).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"_mh{i}").cast("string")
+                            for i in range(
+                                j * rows_per_band + 1, (j + 1) * rows_per_band + 1
+                            )
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(band_structs).alias("_bb")).select(
+        id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against the already-ingested
+    corpus — the daily-crawl shape (``dedup_incremental``'s exact
+    anti-join, upgraded to MinHash). Returns (new_id, seen_id) pairs
+    whose LSH band buckets collide; callers drop ``new_id`` matches or
+    verify with exact Jaccard on the candidate set.
+
+    Scale: both sides reduce to (id, band, bucket) rows before the
+    equi-join — the seen corpus ships 16-byte buckets, never text. In
+    production the seen side's signature table is a PERSISTED artifact
+    (write ``_banded``'s output once per ingest and append), so each
+    daily batch costs one signature pass over the batch plus a
+    bucket join, not a rescan of the corpus. No self-join: new×seen
+    only, so a batch never pairs with itself here (run
+    ``minhash_lsh_pairs`` within the batch for that)."""
+    nb = _banded(new_df, text_col, id_col, n, k, bands).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    sb = _banded(seen_df, text_col, id_col, n, k, bands).select(
+        F.col(id_col).alias("seen_id"), "band", "bucket"
+    )
+    return nb.join(sb, ["band", "bucket"]).select("new_id", "seen_id").distinct()
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:

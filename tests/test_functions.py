@@ -503,6 +503,32 @@ def test_lsh_multiprobe_improves_recall_no_duplicates(spark, sf_dir):
     assert len(multi) / len(truth) > len(single) / len(truth)
 
 
+def test_minhash_incremental_equals_cross_side_of_full(spark, sf_dir):
+    """Incremental MinHash (new batch x seen corpus) finds exactly the
+    cross-side subset of the full self-join's candidate pairs — no
+    within-batch or within-seen pairs, nothing missed."""
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    seen = docs.filter(F.col("doc_id") % 7 != 0)
+    inc = {
+        (r["new_id"], r["seen_id"])
+        for r in dedup.minhash_lsh_pairs_incremental(
+            new, seen, "text", "doc_id", n=2
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=2).collect()
+    }
+    cross = {
+        (a, b) if a % 7 == 0 else (b, a)
+        for a, b in full
+        if (a % 7 == 0) != (b % 7 == 0)
+    }
+    assert inc == cross and len(inc) > 0
+    assert all(a % 7 == 0 and b % 7 != 0 for a, b in inc)
+
+
 def test_quantize_embeddings_int8(spark, sf_dir):
     """Symmetric int8 quantization: values within [-127, 127], the
     per-dim max hits ±127 exactly, dequantization error bounded by
