@@ -209,6 +209,12 @@ _DUCKDB_TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# oracles that are correctness artifacts, not fair yardsticks: the CC
+# oracle is a RECURSIVE reachability CTE (single-threaded, minutes at
+# sf0.1 vs Spark's O(diameter) label propagation) — timing it would
+# stall the bench run, so the Spark timing stands alone.
+_DUCKDB_SKIP = {"neardup_clusters_docs"}
+
 
 def _duckdb_times(
     oracles: dict[str, str], sf_dir: str, names: list[str]
@@ -230,7 +236,7 @@ def _duckdb_times(
     times: dict[str, float] = {}
     for name in names:
         sql = oracles.get(name)
-        if not sql:
+        if not sql or name in _DUCKDB_SKIP:
             continue
         best = float("inf")
         for _ in range(3):
