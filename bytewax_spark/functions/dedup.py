@@ -286,9 +286,23 @@ def minhash_lsh_pairs(
     # memory; release_signature_caches() frees the last one. Unpersist
     # is always correctness-safe (a still-running reader just
     # recomputes from lineage).
-    banded = banded.persist()
-    while _SIGNATURE_CACHES:
-        _SIGNATURE_CACHES.pop().unpersist()
+    # Lifecycle: at most ONE signature table stays cached. A repeated
+    # run over the same inputs produces a canonically-identical plan —
+    # reuse the still-cached table (exactly what Spark's CacheManager
+    # does for any identical cached plan; same staleness semantics as
+    # df.cache()). A run over different inputs evicts the old entry
+    # BEFORE persisting: CacheManager keys on canonicalized plans, so
+    # unpersisting the old handle after the new persist would tear
+    # down a shared entry and leave the diamond uncached.
+    prev = _SIGNATURE_CACHES.pop() if _SIGNATURE_CACHES else None
+    if prev is not None and prev._jdf.queryExecution().analyzed().sameResult(
+        banded._jdf.queryExecution().analyzed()
+    ):
+        banded = prev
+    else:
+        if prev is not None:
+            prev.unpersist()
+        banded = banded.persist()
     _SIGNATURE_CACHES.append(banded)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
