@@ -1250,6 +1250,50 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio bytes, really decoded: per document a genuine PCM16
+    WAV is encoded (functions/multimodal.py encode_wav — RIFF header,
+    fmt chunk, little-endian samples derived from doc_id), then
+    decode_audio_features walks the chunks and unpacks the samples
+    for rate/duration/RMS/peak. Integer samples make the RMS exact,
+    so the oracle reproduces it bit-for-bit from the arithmetic."""
+    from bytewax_spark.functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pdf.assign(
+                content=[
+                    mm.encode_wav(
+                        8000,
+                        1,
+                        [((int(d) * 31 + i * 7) % 2003) - 1001 for i in range(64)],
+                    )
+                    for d in pdf["doc_id"]
+                ]
+            )
+
+    import pyspark.sql.types as T
+
+    media = docs.mapInPandas(
+        synth,
+        schema=T.StructType(
+            docs.schema.fields + [T.StructField("content", T.BinaryType())]
+        ),
+    )
+    feats = mm.decode_audio_features(media)
+    return feats.select(
+        F.col("doc_id").alias("media_id"),
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )
+
+
 def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """resize_images: meta rewrite + per-item decode fallback; output
     meta dims are the requested target size."""
@@ -3014,6 +3058,20 @@ _ORACLES["multimodal_image_decode"] = """
     FROM documents
 """
 
+# integer samples -> SUM(v*v) exact, /64.0 and SQRT identical IEEE
+_ORACLES["multimodal_audio_features"] = """
+    WITH s AS (
+      SELECT doc_id, ((doc_id * 31 + i * 7) % 2003) - 1001 AS v
+      FROM documents CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS i)
+    )
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate, 1 AS channels,
+           CAST(64 AS BIGINT) AS n_samples, CAST(8 AS BIGINT) AS duration_ms,
+           ROUND(SQRT(SUM(v * v) / 64.0), 6) AS rms,
+           CAST(MAX(ABS(v)) AS INT) AS peak
+    FROM s GROUP BY doc_id
+"""
+
 _ORACLES["multimodal_resize_meta"] = """
     SELECT doc_id AS media_id, 224 AS width, 224 AS height,
            OCTET_LENGTH(ENCODE(text)) AS content_len
@@ -3330,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (binary media columns; stubbed codecs)
         "multimodal_image_features": multimodal_image_features,
         "multimodal_image_decode": multimodal_image_decode,
+        "multimodal_audio_features": multimodal_audio_features,
         "avro_registry_resolve_docs": avro_registry_resolve_docs,
         "multimodal_frame_samples": multimodal_frame_samples,
         "multimodal_resize_meta": multimodal_resize_meta,

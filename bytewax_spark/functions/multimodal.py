@@ -47,6 +47,9 @@ __all__ = [
     "encode_bmp",
     "encode_wav",
     "decode_image",
+    "decode_wav",
+    "decode_audio_features",
+    "jpeg_dimensions",
     "decode_image_features",
     "resize_images",
     "sample_frames",
@@ -314,6 +317,98 @@ def _decode_bmp_pixels(b: bytes) -> tuple[str, int, int, list[float]] | None:
     if h_signed > 0:
         rows.reverse()  # stored bottom-up
     return ("bmp", w, h, [v for row in rows for v in row])
+
+
+def jpeg_dimensions(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG's SOF marker — the one common
+    format whose geometry is NOT at a fixed offset (markers must be
+    walked), hence Python rather than :func:`media_header_meta`'s
+    Catalyst expressions. Pure stdlib; no pixel decode (that needs a
+    real DCT codec)."""
+    b = bytes(b or b"")
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload markers
+            pos += 2
+            continue
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        # SOF0..SOF15 carry geometry (skip DHT 0xC4, DAC 0xCC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(b):
+                return None
+            h = int.from_bytes(b[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(b[pos + 7 : pos + 9], "big")
+            return (w, h)
+        pos += 2 + seg_len
+    return None
+
+
+def decode_wav(b: bytes) -> tuple[int, int, list[int]] | None:
+    """(sample_rate, channels, PCM16 samples) via stdlib chunk walk,
+    or None for non-WAV / non-PCM16 bytes."""
+    b = bytes(b or b"")
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = nch = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if tag == b"fmt ":
+            fmt, nch, rate = _struct.unpack("<HHI", b[pos + 8 : pos + 16])
+            bits = _struct.unpack("<H", b[pos + 22 : pos + 24])[0]
+            if fmt != 1 or bits != 16:
+                return None
+        elif tag == b"data" and rate is not None:
+            data = b[pos + 8 : pos + 8 + ln]
+            n = len(data) // 2
+            return (rate, nch, list(_struct.unpack(f"<{n}h", data[: n * 2])))
+        pos += 8 + ln + (ln & 1)
+    return None
+
+
+def decode_audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """WAV content → (sample_rate, channels, n_samples, duration_ms,
+    rms, peak) — REAL stdlib PCM decode inside ``mapInPandas``;
+    non-WAV bytes yield nulls. Media bytes stay in their partition;
+    only scalar features emerge."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+            T.StructField("peak", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            feats = []
+            for b in pdf[content_col]:
+                w = decode_wav(b)
+                if w is None:
+                    feats.append((None,) * 6)
+                    continue
+                rate, nch, samples = w
+                n = len(samples)
+                frames = n // max(1, nch)
+                rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+                peak = max((abs(s) for s in samples), default=0)
+                feats.append((rate, nch, n, frames * 1000 // rate, rms, peak))
+            cols = ["sample_rate", "channels", "n_samples", "duration_ms", "rms", "peak"]
+            yield pdf.assign(**dict(zip(cols, map(list, zip(*feats)))))
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def decode_image(b: bytes) -> tuple[str, int, int, list[float]] | None:

@@ -306,6 +306,42 @@ def test_decode_bmp_stride_and_orientation():
     assert got == ("bmp", w, h, [10.0] * 3 + [200.0] * 3)
 
 
+def test_decode_wav_roundtrip_and_audio_features(spark):
+    """encode_wav -> decode_wav is lossless PCM16; decode_audio_features
+    computes exact RMS/peak/duration from the real bytes; non-WAV
+    content yields nulls."""
+    import math
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    wav = multimodal.encode_wav(16000, 1, samples)
+    assert multimodal.decode_wav(wav) == (16000, 1, samples)
+    rows = [
+        (1, "audio", wav, {"mime": "audio/wav", "width": None, "height": None, "duration_ms": None, "sample_rate": None}),
+        (2, "audio", b"not audio", {"mime": None, "width": None, "height": None, "duration_ms": None, "sample_rate": None}),
+    ]
+    out = {r["media_id"]: r for r in multimodal.decode_audio_features(
+        multimodal.media_table(spark, rows)).collect()}
+    good = out[1]
+    assert good["sample_rate"] == 16000 and good["channels"] == 1
+    assert good["n_samples"] == 6 and good["duration_ms"] == 6 * 1000 // 16000
+    assert good["peak"] == 32768
+    assert abs(good["rms"] - math.sqrt(sum(s * s for s in samples) / 6)) < 1e-9
+    assert out[2]["sample_rate"] is None and out[2]["rms"] is None
+
+
+def test_jpeg_dimensions_sof_scan():
+    """Minimal real JPEG structure: SOI, APP0, DHT (skipped), SOF0 with
+    geometry — the marker walk finds 640x480; truncated/garbage -> None."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    dht = b"\xff\xc4" + (4).to_bytes(2, "big") + b"\x00\x00"
+    sof = b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08" + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    jpg = b"\xff\xd8" + app0 + dht + sof + b"\xff\xd9"
+    assert multimodal.jpeg_dimensions(jpg) == (640, 480)
+    assert multimodal.jpeg_dimensions(b"\xff\xd8\xff") is None
+    assert multimodal.jpeg_dimensions(b"PNG?") is None
+    assert multimodal.jpeg_dimensions(multimodal.encode_bmp(2, 2, [(0, 0, 0)] * 4)) is None
+
+
 def test_decode_image_features_real_decode_path(spark):
     """Features for a real BMP come from the REAL pixel decode (exact
     bucket means), not the digest fake."""
