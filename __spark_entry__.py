@@ -1394,6 +1394,23 @@ def lsh_cosine_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_docs_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleaved export key (functions/export.py zorder_key):
+    documents clustered on (length band, source hash) simultaneously,
+    so min/max file skipping works for filters on either dimension.
+    Pure bitwise codegen expressions; the only shuffle is the caller's
+    range sort."""
+    from bytewax_spark.functions import export as ex
+    from bytewax_spark.functions.text import hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    d1 = (F.col("n_chars") % 256).cast("bigint")
+    d2 = (hash64(F.col("source")) % 256).cast("bigint")
+    return docs.select(
+        "doc_id", ex.zorder_key([d1, d2], bits=8).alias("zkey")
+    )
+
+
 def sample_docs_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% document sample (functions/sampling.py):
     membership is decided by md5-bucket of doc_id, so the subset is
@@ -3006,6 +3023,23 @@ _ORACLES["quantized_embeddings_int8"] = """
     FROM embeddings, sv
 """
 
+# Morton interleave written out as arithmetic: bit b of d1 -> 2b, of
+# d2 -> 2b+1 (8 bits each)
+_ORACLES["zorder_docs_layout"] = f"""
+    WITH q AS (
+      SELECT doc_id,
+             (n_chars % 256)::BIGINT AS d1,
+             ({_SQL_H64.format('source')} % 256)::BIGINT AS d2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({' + '.join(
+               f"(((d1 >> {b}) & 1) << {2 * b}) + (((d2 >> {b}) & 1) << {2 * b + 1})"
+               for b in range(8)
+           )} AS BIGINT) AS zkey
+    FROM q
+"""
+
 # multiprobe semantics are declarative: pair kept iff the two buckets
 # differ in at most one bit AND exact cosine clears the threshold
 _ORACLES["lsh_cosine_multiprobe_pairs"] = f"""
@@ -3385,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_neardup_pairs": lsh_cosine_neardup_pairs,
         "lsh_cosine_multiprobe_pairs": lsh_cosine_multiprobe_pairs,
         "quantized_embeddings_int8": quantized_embeddings_int8,
+        "zorder_docs_layout": zorder_docs_layout,
         # multimodal plumbing (binary media columns; stubbed codecs)
         "multimodal_image_features": multimodal_image_features,
         "multimodal_image_decode": multimodal_image_decode,

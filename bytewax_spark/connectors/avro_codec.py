@@ -176,9 +176,14 @@ def _encode_into(out: io.BytesIO, schema: Any, value: Any) -> None:
     elif t == "record":
         for f in schema["fields"]:
             try:
-                fv = value[f["name"]] if f["name"] in value else f.get("default")
+                missing = f["name"] not in value
+                fv = f.get("default") if missing else value[f["name"]]
             except TypeError:
-                fv = getattr(value, f["name"])
+                missing, fv = False, getattr(value, f["name"])
+            if missing and "default" not in f and _type_name(f["type"]) != "null":
+                raise SchemaResolutionError(
+                    f"record field {f['name']!r} missing and schema has no default"
+                )
             _encode_into(out, f["type"], fv)
     else:
         raise SchemaResolutionError(f"unknown schema type {t!r}")

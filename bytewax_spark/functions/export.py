@@ -32,7 +32,14 @@ from pyspark.sql import functions as F
 
 from .text import hash64
 
-__all__ = ["shuffle_hash", "corpus_shuffle", "shard_by_hash", "write_shards"]
+__all__ = [
+    "shuffle_hash",
+    "corpus_shuffle",
+    "shard_by_hash",
+    "write_shards",
+    "zorder_key",
+    "zorder_layout",
+]
 
 
 def shuffle_hash(key: Column | str, salt: str = "") -> Column:
@@ -68,6 +75,54 @@ def shard_by_hash(
     out = df.withColumn(shard_col, (h % n_shards).cast("int"))
     return out.repartition(n_shards, F.col(shard_col)).sortWithinPartitions(
         F.col(shard_col), h.asc(), F.col(key_col).asc()
+    )
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of up to 4 non-negative integer
+    columns into one bigint sort key — multi-dimensional data
+    clustering for export layout (the same idea as Delta's OPTIMIZE
+    ZORDER, public: Morton 1966).
+
+    Why at 100 TB: range-sorting by the interleaved key co-locates
+    rows that are close in EVERY listed dimension, so downstream
+    range/point queries on any prefix-free combination of those
+    columns (reader shards filtering by source AND length band, say)
+    skip most files via min/max statistics — one layout serves many
+    filters, where a lexicographic sort serves only its leading
+    column.
+
+    Columns must already be quantized to ``[0, 2^bits)`` (bucket ids,
+    quantile ranks, truncated values); values outside are masked to
+    the low ``bits``. Pure bitwise expressions — whole-stage codegen,
+    no shuffle until the caller's range sort."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError(f"zorder_key takes 1-4 columns, got {len(cols)}")
+    if bits * len(cols) > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a signed bigint")
+    n = len(cols)
+    key: Column = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        c = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+        c = c.bitwiseAND(F.lit((1 << bits) - 1))
+        # spread bit b of column ci to output bit b*n + ci
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + ci
+                ).cast("bigint")
+            )
+    return key
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], bits: int = 16, key_col: str = "zkey"
+) -> DataFrame:
+    """Rows range-sorted by their Morton key (plus the first column as
+    a total-order tiebreak): the terasort-shape sort that makes
+    min/max file skipping work on every z-ordered dimension."""
+    return df.withColumn(key_col, zorder_key(cols, bits)).orderBy(
+        F.col(key_col).asc(), F.col(cols[0]).asc()
     )
 
 

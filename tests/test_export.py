@@ -54,3 +54,60 @@ def test_write_shards_roundtrip(spark, tmp_path):
         for r in export.shard_by_hash(df, "doc_id", 4).select("doc_id", "shard").collect()
     }
     assert shards == direct
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """Known Morton values: interleave(x, y) with x bits at even
+    positions, y at odd; masking keeps out-of-range values sane;
+    arity/width validation is loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    def morton2(x, y, bits=8):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0110), (0, 0), (255, 255), (256 + 5, 3)], "x long, y long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(export.zorder_key(["x", "y"], bits=8).alias("z")).collect()
+    ]
+    assert got == [
+        morton2(0b1010, 0b0110),
+        0,
+        morton2(255, 255),
+        morton2(5, 3),  # 261 masked to low 8 bits
+    ]
+    with pytest.raises(ValueError, match="1-4"):
+        export.zorder_key([], bits=8)
+    with pytest.raises(ValueError, match="bigint"):
+        export.zorder_key(["x", "y"], bits=32)
+
+
+def test_zorder_layout_balances_file_extents(spark):
+    """The property min/max skipping buys: cut the sorted sequence
+    into 16-row 'files' and measure each file's bounding box. Z-order
+    files span 4x4 in (x, y) — selective for filters on EITHER
+    dimension — while lexicographic files span the full y range
+    (1x16), useless for y filters."""
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z = export.zorder_layout(df, ["x", "y"], bits=4, key_col="zk").collect()
+    seq = [(r["x"], r["y"]) for r in z]
+    assert sorted(seq) == rows  # a permutation
+
+    def worst_extent(order):
+        worst = 0
+        for i in range(0, len(order), 16):
+            chunk = order[i : i + 16]
+            xs, ys = [p[0] for p in chunk], [p[1] for p in chunk]
+            worst = max(worst, max(max(xs) - min(xs), max(ys) - min(ys)))
+        return worst
+
+    assert worst_extent(seq) == 3  # every z file is a 4x4 tile
+    assert worst_extent(sorted(rows)) == 15  # lex files span all of y
