@@ -158,6 +158,63 @@ def test_kafka_end_to_end_produce_consume_serde(spark, tmp_path):
     assert sorted(errs) == sorted([b"\x00\x00\x00\x00\x63bad-id", hdr + b"not json"])
 
 
+def test_kafka_streaming_avro_per_message_resolution(spark, tmp_path):
+    """Streaming e2e with REAL Avro frames: two writer-schema versions
+    produced to the embedded log, consumed as a stream, resolved per
+    message against the v2 reader, aggregated; junk frames land on the
+    streaming errs sink."""
+    import json as _json
+    import struct as _struct
+
+    from bytewax_spark.connectors import avro_codec as ac
+
+    v1 = _json.dumps(
+        {"type": "record", "name": "E", "fields": [
+            {"name": "user", "type": "string"}, {"name": "v", "type": "long"}]}
+    )
+    v2 = _json.dumps(
+        {"type": "record", "name": "E", "fields": [
+            {"name": "user", "type": "string"}, {"name": "v", "type": "long"},
+            {"name": "region", "type": "string", "default": "eu"}]}
+    )
+    registry = reg.InMemorySchemaRegistry(str(tmp_path / "registry.json"))
+    id1 = registry.register("e-value", v1)
+    id2 = registry.register("e-value", v2)
+
+    def frame(sid, schema, rec):
+        return b"\x00" + _struct.pack(">I", sid) + ac.encode(schema, rec)
+
+    log = KafkaLog(str(tmp_path / "log"))
+    log.produce(
+        "events",
+        [
+            (b"u1", frame(id1, v1, {"user": "u1", "v": 1})),
+            (b"u1", frame(id2, v2, {"user": "u1", "v": 2, "region": "us"})),
+            (b"u2", frame(id1, v1, {"user": "u2", "v": 5})),
+            (b"u2", b"\x00\x00\x00\x00\x63junk"),  # unknown id
+        ],
+    )
+    flow = Dataflow("kavro")
+    raw = op.input("in", flow, KafkaSource([str(tmp_path / "log")], ["events"]))
+    out = reg.deserialize_registry_resolving("de", raw, "value", registry, subject="e-value")
+    agg = out.oks.df.groupBy("user", "region").agg(F.sum("v").alias("total"))
+    q = (
+        agg.writeStream.format("memory").queryName("kavro_out").outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1")).trigger(availableNow=True).start()
+    )
+    q2 = (
+        out.errs.df.writeStream.format("memory").queryName("kavro_errs")
+        .option("checkpointLocation", str(tmp_path / "ck2")).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q2.awaitTermination(120)
+    got = {(r["user"], r["region"]): r["total"] for r in spark.sql("SELECT * FROM kavro_out").collect()}
+    # v1 frames resolve with the reader default region='eu'
+    assert got == {("u1", "eu"): 1, ("u1", "us"): 2, ("u2", "eu"): 5}
+    errs = [bytes(r["value"]) for r in spark.sql("SELECT * FROM kavro_errs").collect()]
+    assert errs == [b"\x00\x00\x00\x00\x63junk"]
+
+
 def test_registry_serialize_deserialize_roundtrip(spark):
     registry = reg.InMemorySchemaRegistry()
     registry.register("s-value", "a INT, b STRING")
