@@ -463,11 +463,20 @@ def lsh_cosine_pairs(
     ``multiprobe=1`` is the recall knob: each vector ALSO probes the
     ``n_planes`` buckets at hamming distance 1 (the buckets a
     borderline vector could have landed in), recovering most pairs a
-    single hard bucket boundary would split. Cost: the probing side of
-    the join expands ``n_planes + 1``×; each qualifying pair still
+    single hard bucket boundary would split. Each qualifying pair
     appears exactly once (a pair's buckets differ in at most one bit,
     so exactly one probe of the lower id matches the higher id's exact
-    bucket — no dedup pass needed)."""
+    bucket — no dedup pass needed).
+
+    Multiprobe shuffle shape, deliberately: vectors RIDE the probe
+    expansion ((p+1)·N vector rows through one exchange) and cosine
+    evaluates inside the join projection with an immediate filter —
+    candidates never materialize. The tempting alternative (expand
+    ids only, join vectors back per candidate) is strictly worse: the
+    candidate stream is (p+1)·bucket_size·N/2 pairs — orders of
+    magnitude larger than the vector expansion — and re-attaching
+    vectors means shuffling IT twice. Measured 6.9 s → 8.3 s at
+    sf0.1; the gap widens with bucket size."""
     from bytewax_spark.functions.similarity import (
         adaptive_n_planes,
         as_double,
