@@ -15,7 +15,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_parquet"]
+__all__ = ["read_parquet", "write_bucketed", "bucketed_table"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and bucket-sorted) on ``key`` —
+    the co-located-join layout.
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT an exchange: every bucket pairs file-to-file, so the
+    100 TB fact-to-fact join (the one that can't broadcast) runs
+    shuffle-free, and repeated joins amortize ONE write-time shuffle
+    across every downstream query. ``sort=True`` additionally
+    bucket-sorts so sort-merge joins skip their sort. Catalog-backed
+    (``saveAsTable``) because bucket metadata lives in the table
+    catalog, not the parquet files — plain ``.parquet(path)`` cannot
+    carry it."""
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read back a bucketed table (the catalog carries the bucket
+    spec, so joins/aggregations on the bucket key plan exchange-free
+    when ``spark.sql.sources.bucketing.enabled`` is on — default)."""
+    return spark.table(table)
 
 
 def _nano_cols(path: str) -> list[str]:
