@@ -46,6 +46,7 @@ __all__ = [
     "stateful_batch",
     "stateful",
     "collect_stream",
+    "heavy_hitters_stream",
     "stateful_map_stream",
     "stateful_flat_map_stream",
 ]
@@ -283,6 +284,85 @@ def stateful_flat_map_stream(
     key_type = {f.name: f.dataType.simpleString() for f in up.df.schema.fields}[up.key_col]
     return stateful_batch(
         step_id, up, _SFMap, schema=f"{up.key_col} {key_type}, {out_col} {out_type}"
+    )
+
+
+def heavy_hitters_stream(
+    step_id: str,
+    up: KeyedStream,
+    item_col: str,
+    k: int = 10,
+    capacity: int | None = None,
+) -> KeyedStream:
+    """Streaming top-k heavy hitters per key via the SPACE-SAVING
+    sketch (Metwally, Agrawal, El Abbadi 2005 — public algorithm):
+    ``capacity`` counters per key, an unseen item evicts the minimum
+    counter and inherits its count as its error bound. Guarantees:
+    every item with true frequency > N/capacity is present, and
+    ``count_est - err_bound <= true <= count_est``.
+
+    This is the unbounded-stream complement of the exact two-phase
+    rank in ``functions/topk.py``: exact top-k needs the whole corpus
+    (a shuffle per query); this holds O(capacity) state per key
+    FOREVER — at 100 TB/day the sketch is the only option for "top
+    domains right now" dashboards. Streaming emits the running top-k
+    after each micro-batch (downstream takes the latest); batch mode
+    emits once at EOF. Output: (key, item, count_est, err_bound).
+    With ``capacity`` >= distinct items, counts are exact and
+    err_bound is 0."""
+    if capacity is None:
+        capacity = 10 * k
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} < k {k}")
+    emit_each = bool(up.df.isStreaming)
+
+    class _SpaceSaving(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.counters: dict = snap if snap is not None else {}
+
+        def on_batch(self, pdf):
+            for it in pdf[item_col]:
+                c = self.counters.get(it)
+                if c is not None:
+                    self.counters[it] = (c[0] + 1, c[1])
+                elif len(self.counters) < capacity:
+                    self.counters[it] = (1, 0)
+                else:
+                    # evict the min counter (deterministic tie-break);
+                    # the newcomer inherits its count as error bound
+                    victim, (cmin, _) = min(
+                        self.counters.items(), key=lambda kv: (kv[1][0], str(kv[0]))
+                    )
+                    del self.counters[victim]
+                    self.counters[it] = (cmin + 1, cmin)
+            return (self._top(), self.RETAIN) if emit_each else (None, self.RETAIN)
+
+        def on_eof(self):
+            return self._top(), self.DISCARD
+
+        def _top(self):
+            top = sorted(
+                self.counters.items(), key=lambda kv: (-kv[1][0], str(kv[0]))
+            )[:k]
+            return pd.DataFrame(
+                {
+                    item_col: [t[0] for t in top],
+                    "count_est": [t[1][0] for t in top],
+                    "err_bound": [t[1][1] for t in top],
+                }
+            )
+
+        def snapshot(self):
+            return self.counters
+
+    up = _require_keyed(step_id, up)
+    key_type = {f.name: f.dataType.simpleString() for f in up.df.schema.fields}[up.key_col]
+    item_type = {f.name: f.dataType.simpleString() for f in up.df.schema.fields}[item_col]
+    return stateful_batch(
+        step_id,
+        up,
+        _SpaceSaving,
+        schema=f"{up.key_col} {key_type}, {item_col} {item_type}, count_est long, err_bound long",
     )
 
 

@@ -577,3 +577,60 @@ def test_close_on_idle_flushes_open_session(spark):
     finally:
         q.stop()
     assert got == [("a", 2)]
+
+
+def test_heavy_hitters_stream_running_estimates(spark):
+    """Space-saving over micro-batches: small capacity on a skewed
+    stream keeps the true heavy hitters with spec-guaranteed bounds
+    (count_est - err_bound <= true <= count_est); state persists
+    across batches."""
+    from bytewax_spark.streaming import heavy_hitters_stream
+
+    items = (["hot"] * 12 + ["warm"] * 6 + ["c1", "c2", "c3", "c4", "c5", "c6"])
+    true = {x: items.count(x) for x in set(items)}
+    flow = Dataflow("s_hh")
+    src = TestingSource(
+        [("p0", it) for it in items], schema="part string, item string",
+        streaming=True, files=4,
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "part")
+    out = heavy_hitters_stream("hh", ks, "item", k=3, capacity=4)
+    sink = MemorySink("s_hh_out")
+    op.output("out", out, sink)
+    rows = drain(spark, flow, "s_hh_out")
+    assert rows, "expected running emissions"
+    assert "hot" in {r["item"] for r in rows}
+    # the algorithm invariant holds at EVERY emission (running counts
+    # only see a prefix of the stream, so only the lower bound is
+    # comparable to full-stream truth): count_est - err_bound <= true
+    for r in rows:
+        assert r["count_est"] - r["err_bound"] <= true.get(r["item"], 0)
+    # 'hot' is resident from batch 1 and never evicted (capacity evicts
+    # the MIN counter): its final count is exact with zero error
+    hot_rows = [r for r in rows if r["item"] == "hot"]
+    assert max(r["count_est"] for r in hot_rows) == true["hot"]
+    assert all(r["err_bound"] == 0 for r in hot_rows)
+
+
+def test_heavy_hitters_batch_exact_when_capacity_suffices(spark):
+    from bytewax_spark.streaming import heavy_hitters_stream
+
+    items = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    flow = Dataflow("b_hh")
+    src = TestingSource([("p0", it) for it in items], schema="part string, item string")
+    ks = op.key_on("key", op.input("in", flow, src), "part")
+    out = heavy_hitters_stream("hh", ks, "item", k=3, capacity=16)
+    got = [(r["item"], r["count_est"], r["err_bound"]) for r in out.df.collect()]
+    assert got == [("a", 5, 0), ("b", 3, 0), ("c", 2, 0)]
+
+
+def test_heavy_hitters_capacity_validation(spark):
+    from bytewax_spark.streaming import heavy_hitters_stream
+
+    flow = Dataflow("v_hh")
+    src = TestingSource([("p", "x")], schema="part string, item string")
+    ks = op.key_on("key", op.input("in", flow, src), "part")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        heavy_hitters_stream("hh", ks, "item", k=8, capacity=4)
