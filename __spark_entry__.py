@@ -1394,6 +1394,23 @@ def lsh_cosine_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def space_saving_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-saving heavy-hitter sketch (streaming/heavy_hitters_stream)
+    run in batch mode with capacity >= distinct items, where it is
+    EXACT (err_bound 0) — top-10 users per event type. The driver
+    check proves the sketch's counting/ranking path; the streaming
+    guarantee (bounded state, running estimates) is exercised in
+    test_streaming.py."""
+    from bytewax_spark.streaming import heavy_hitters_stream
+
+    flow = _flow("sstopk")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    proj = op.map("proj", ev, {"event_type": "event_type", "user_id": "user_id"})
+    ks = op.key_on("key", proj, "event_type")
+    out = heavy_hitters_stream("hh", ks, "user_id", k=10, capacity=50_000)
+    return out.df
+
+
 def zorder_docs_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton-interleaved export key (functions/export.py zorder_key):
     documents clustered on (length band, source hash) simultaneously,
@@ -3023,6 +3040,23 @@ _ORACLES["quantized_embeddings_int8"] = """
     FROM embeddings, sv
 """
 
+# exact at this capacity; tie-break mirrors the sketch's
+# deterministic (count desc, str(item) asc) ordering
+_ORACLES["space_saving_topk_users"] = """
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY cnt DESC, CAST(user_id AS VARCHAR)
+      ) AS rn
+      FROM c
+    )
+    SELECT event_type AS key, user_id, cnt AS count_est,
+           CAST(0 AS BIGINT) AS err_bound
+    FROM r WHERE rn <= 10
+"""
+
 # Morton interleave written out as arithmetic: bit b of d1 -> 2b, of
 # d2 -> 2b+1 (8 bits each)
 _ORACLES["zorder_docs_layout"] = f"""
@@ -3420,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_multiprobe_pairs": lsh_cosine_multiprobe_pairs,
         "quantized_embeddings_int8": quantized_embeddings_int8,
         "zorder_docs_layout": zorder_docs_layout,
+        "space_saving_topk_users": space_saving_topk_users,
         # multimodal plumbing (binary media columns; stubbed codecs)
         "multimodal_image_features": multimodal_image_features,
         "multimodal_image_decode": multimodal_image_decode,
