@@ -208,11 +208,24 @@ class _Reader:
         self.pos = 0
 
     def read(self, n: int) -> bytes:
-        if self.pos + n > len(self.data):
-            raise SchemaResolutionError("truncated avro payload")
+        # n < 0 (a corrupt varint length) would slice backwards and
+        # walk pos off the buffer — treat as corruption, loudly
+        if n < 0 or self.pos + n > len(self.data):
+            raise SchemaResolutionError("truncated or corrupt avro payload")
         b = self.data[self.pos : self.pos + n]
         self.pos += n
         return b
+
+    def check_block(self, n: int) -> int:
+        """Validate an array/map block count against the bytes left:
+        every block item costs >= 1 byte (items of type "null" are
+        the lone zero-byte exception; rejecting pathological counts
+        there too is documented strictness), so a count beyond the
+        remaining buffer is corruption — without this, garbage like a
+        2^60 count would loop/allocate unboundedly."""
+        if n > len(self.data) - self.pos:
+            raise SchemaResolutionError(f"block count {n} exceeds remaining bytes")
+        return n
 
     def read_long(self) -> int:
         shift, acc = 0, 0
@@ -257,7 +270,7 @@ def _skip(r: _Reader, schema: Any) -> None:
     elif t == "enum":
         r.read_long()
     elif t == "union":
-        _skip(r, schema[r.read_long()])
+        _skip(r, schema[_union_branch_index(r, schema)])
     elif t == "array":
         while True:
             n = r.read_long()
@@ -266,7 +279,7 @@ def _skip(r: _Reader, schema: Any) -> None:
             if n < 0:
                 r.read(r.read_long())  # block size given: skip wholesale
                 continue
-            for _ in range(n):
+            for _ in range(r.check_block(n)):
                 _skip(r, schema["items"])
     elif t == "map":
         while True:
@@ -276,7 +289,7 @@ def _skip(r: _Reader, schema: Any) -> None:
             if n < 0:
                 r.read(r.read_long())
                 continue
-            for _ in range(n):
+            for _ in range(r.check_block(n)):
                 r.read(r.read_long())  # key
                 _skip(r, schema["values"])
     elif t == "record":
@@ -284,6 +297,20 @@ def _skip(r: _Reader, schema: Any) -> None:
             _skip(r, f["type"])
     else:
         raise SchemaResolutionError(f"unknown schema type {t!r}")
+
+
+def _utf8(b: bytes) -> str:
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise SchemaResolutionError(f"invalid utf-8 in avro string: {e}") from e
+
+
+def _union_branch_index(r: _Reader, union: list) -> int:
+    idx = r.read_long()
+    if not 0 <= idx < len(union):
+        raise SchemaResolutionError(f"union index {idx} out of range ({len(union)})")
+    return idx
 
 
 def _first_match(reader_union: list, writer: Any) -> Any:
@@ -301,7 +328,7 @@ def _decode(r: _Reader, writer: Any, reader: Any) -> Any:
     wt = _type_name(writer)
     rt = _type_name(reader)
     if wt == "union":
-        branch = writer[r.read_long()]
+        branch = writer[_union_branch_index(r, writer)]
         return _decode(r, branch, reader)
     if rt == "union":
         return _decode(r, writer, _first_match(reader, writer))
@@ -320,14 +347,17 @@ def _decode(r: _Reader, writer: Any, reader: Any) -> Any:
         return struct.unpack("<d", r.read(8))[0]
     if wt == "bytes":
         b = r.read(r.read_long())
-        return b.decode("utf-8") if rt == "string" else b
+        return _utf8(b) if rt == "string" else b
     if wt == "string":
         b = r.read(r.read_long())
-        return b if rt == "bytes" else b.decode("utf-8")
+        return b if rt == "bytes" else _utf8(b)
     if wt == "fixed":
         return r.read(writer["size"])
     if wt == "enum":
-        sym = writer["symbols"][r.read_long()]
+        sidx = r.read_long()
+        if not 0 <= sidx < len(writer["symbols"]):
+            raise SchemaResolutionError(f"enum index {sidx} out of range")
+        sym = writer["symbols"][sidx]
         if sym not in reader["symbols"]:
             default = reader.get("default")
             if default is None:
@@ -343,7 +373,7 @@ def _decode(r: _Reader, writer: Any, reader: Any) -> Any:
             if n < 0:
                 n = -n
                 r.read_long()  # block byte size, unused when decoding
-            for _ in range(n):
+            for _ in range(r.check_block(n)):
                 out.append(_decode(r, writer["items"], reader["items"]))
     if wt == "map":
         out = {}
@@ -354,8 +384,8 @@ def _decode(r: _Reader, writer: Any, reader: Any) -> Any:
             if n < 0:
                 n = -n
                 r.read_long()
-            for _ in range(n):
-                k = r.read(r.read_long()).decode("utf-8")
+            for _ in range(r.check_block(n)):
+                k = _utf8(r.read(r.read_long()))
                 out[k] = _decode(r, writer["values"], reader["values"])
     if wt == "record":
         reader_fields = {f["name"]: f for f in reader["fields"]}
