@@ -324,8 +324,11 @@ def jpeg_dimensions(b: bytes) -> tuple[int, int] | None:
     format whose geometry is NOT at a fixed offset (markers must be
     walked), hence Python rather than :func:`media_header_meta`'s
     Catalyst expressions. Pure stdlib; no pixel decode (that needs a
-    real DCT codec)."""
-    b = bytes(b or b"")
+    real DCT codec). Corrupt bytes → None, never an exception."""
+    try:
+        b = bytes(b or b"")
+    except Exception:
+        return None
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -350,7 +353,14 @@ def jpeg_dimensions(b: bytes) -> tuple[int, int] | None:
 
 def decode_wav(b: bytes) -> tuple[int, int, list[int]] | None:
     """(sample_rate, channels, PCM16 samples) via stdlib chunk walk,
-    or None for non-WAV / non-PCM16 bytes."""
+    or None for non-WAV / non-PCM16 / corrupt bytes."""
+    try:
+        return _decode_wav_inner(b)
+    except Exception:
+        return None
+
+
+def _decode_wav_inner(b: bytes) -> tuple[int, int, list[int]] | None:
     b = bytes(b or b"")
     if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -413,10 +423,15 @@ def decode_audio_features(df: DataFrame, content_col: str = "content") -> DataFr
 
 def decode_image(b: bytes) -> tuple[str, int, int, list[float]] | None:
     """(format, width, height, grayscale pixels row-major) via the
-    pure-stdlib decoders, or None for unsupported bytes."""
+    pure-stdlib decoders, or None for unsupported OR CORRUPT bytes —
+    a malformed blob in a 100 TB corpus must degrade to None (callers
+    fall back to the digest fake), never kill the executor task."""
     if not b:
         return None
-    return _decode_png_pixels(bytes(b)) or _decode_bmp_pixels(bytes(b))
+    try:
+        return _decode_png_pixels(bytes(b)) or _decode_bmp_pixels(bytes(b))
+    except Exception:
+        return None
 
 
 def _fake_pixels(content: bytes, n: int = 8) -> list[float]:
