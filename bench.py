@@ -202,6 +202,14 @@ EXTENDED_QUERIES = [
     "pack_sequences_docs",
     "cap_docs_per_source",
     "corpus_shuffle_head",
+    # round-3 additions: incremental near-dup, int8 quantization,
+    # z-order key, real media decode, avro wire, space-saving sketch
+    "minhash_incremental_docs",
+    "quantized_embeddings_int8",
+    "zorder_docs_layout",
+    "multimodal_image_decode",
+    "avro_registry_resolve_docs",
+    "space_saving_topk_users",
 ]
 
 _DUCKDB_TABLES = [

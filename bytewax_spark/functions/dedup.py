@@ -192,7 +192,12 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_wide(
-    df: DataFrame, text_col: str, id_col: str, n: int, k: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    k: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, mh1..mhK) — K permutation minima as WIDE COLUMNS.
 
@@ -205,11 +210,13 @@ def _minhash_wide(
     rows through the aggregate, and per-row array_min/transform
     formulations run interpreted (higher-order lambdas don't codegen).
     No distinct on shingles — duplicates can't change a minimum.
-    Docs with zero shingles produce no group, hence no row."""
+    Docs with zero shingles produce no group, hence no row.
+    ``extra_cols`` ride along through the aggregation (e.g. a side
+    marker for incremental dedup)."""
     sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_s")
+        F.col(id_col), *extra_cols, F.explode(word_shingles(text_col, n)).alias("_s")
     ).select(
-        id_col, F.pmod(hash64(F.col("_s")), F.lit(MINHASH_P)).alias("_h")
+        id_col, *extra_cols, F.pmod(hash64(F.col("_s")), F.lit(MINHASH_P)).alias("_h")
     )
     mins = [
         F.min(
@@ -221,7 +228,7 @@ def _minhash_wide(
         ).alias(f"_mh{i}")
         for i in range(1, k + 1)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return sh.groupBy(id_col, *extra_cols).agg(*mins)
 
 
 def minhash_signatures(
@@ -244,13 +251,36 @@ _SIGNATURE_CACHES: list[DataFrame] = []
 
 
 def release_signature_caches() -> None:
-    """Unpersist any signature table cached by ``minhash_lsh_pairs``.
-
-    Call after the pairs DataFrame has been fully materialized (or at
-    pipeline teardown). Safe at any time: an unpersisted table that is
-    still being read simply recomputes from lineage."""
+    """Unpersist any signature table cached by the MinHash pair
+    builders. Call after the pairs DataFrame has been fully
+    materialized (or at pipeline teardown). Safe at any time: an
+    unpersisted table that is still being read simply recomputes from
+    lineage."""
     while _SIGNATURE_CACHES:
         _SIGNATURE_CACHES.pop().unpersist()
+
+
+def _cache_signature_table(banded: DataFrame) -> DataFrame:
+    """Lifecycle for persisted signature tables: at most ONE stays
+    cached. A repeated run over the same inputs produces a
+    canonically-identical plan — reuse the still-cached table (exactly
+    what Spark's CacheManager does for any identical cached plan; same
+    staleness semantics as ``df.cache()``). A run over different
+    inputs evicts the old entry BEFORE persisting: CacheManager keys
+    on canonicalized plans, so unpersisting the old handle after the
+    new persist would tear down a shared entry and leave the read
+    diamond uncached."""
+    prev = _SIGNATURE_CACHES.pop() if _SIGNATURE_CACHES else None
+    if prev is not None and prev._jdf.queryExecution().analyzed().sameResult(
+        banded._jdf.queryExecution().analyzed()
+    ):
+        banded = prev
+    else:
+        if prev is not None:
+            prev.unpersist()
+        banded = banded.persist()
+    _SIGNATURE_CACHES.append(banded)
+    return banded
 
 
 def minhash_lsh_pairs(
@@ -286,24 +316,7 @@ def minhash_lsh_pairs(
     # memory; release_signature_caches() frees the last one. Unpersist
     # is always correctness-safe (a still-running reader just
     # recomputes from lineage).
-    # Lifecycle: at most ONE signature table stays cached. A repeated
-    # run over the same inputs produces a canonically-identical plan —
-    # reuse the still-cached table (exactly what Spark's CacheManager
-    # does for any identical cached plan; same staleness semantics as
-    # df.cache()). A run over different inputs evicts the old entry
-    # BEFORE persisting: CacheManager keys on canonicalized plans, so
-    # unpersisting the old handle after the new persist would tear
-    # down a shared entry and leave the diamond uncached.
-    prev = _SIGNATURE_CACHES.pop() if _SIGNATURE_CACHES else None
-    if prev is not None and prev._jdf.queryExecution().analyzed().sameResult(
-        banded._jdf.queryExecution().analyzed()
-    ):
-        banded = prev
-    else:
-        if prev is not None:
-            prev.unpersist()
-        banded = banded.persist()
-    _SIGNATURE_CACHES.append(banded)
+    banded = _cache_signature_table(banded)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -314,10 +327,18 @@ def minhash_lsh_pairs(
     )
 
 
-def _banded(df: DataFrame, text_col: str, id_col: str, n: int, k: int, bands: int) -> DataFrame:
-    """(id, band, bucket) LSH rows — the shared banding step."""
+def _banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    k: int,
+    bands: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id[, extra...], band, bucket) LSH rows — the shared banding step."""
     rows_per_band = k // bands
-    wide = _minhash_wide(df, text_col, id_col, n, k)
+    wide = _minhash_wide(df, text_col, id_col, n, k, extra_cols)
     band_structs = F.array(
         [
             F.struct(
@@ -337,8 +358,13 @@ def _banded(df: DataFrame, text_col: str, id_col: str, n: int, k: int, bands: in
             for j in range(bands)
         ]
     )
-    return wide.select(F.col(id_col), F.explode(band_structs).alias("_bb")).select(
-        id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    return wide.select(
+        F.col(id_col), *extra_cols, F.explode(band_structs).alias("_bb")
+    ).select(
+        id_col,
+        *extra_cols,
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
     )
 
 
@@ -358,17 +384,27 @@ def minhash_lsh_pairs_incremental(
     verify with exact Jaccard on the candidate set.
 
     Scale: both sides reduce to (id, band, bucket) rows before the
-    equi-join — the seen corpus ships 16-byte buckets, never text. In
-    production the seen side's signature table is a PERSISTED artifact
-    (write ``_banded``'s output once per ingest and append), so each
-    daily batch costs one signature pass over the batch plus a
-    bucket join, not a rescan of the corpus. No self-join: new×seen
-    only, so a batch never pairs with itself here (run
+    equi-join — the seen corpus ships 16-byte buckets, never text —
+    and the signatures for BOTH sides come from ONE union-tagged
+    pass (a side marker rides the aggregation), so the corpus scans
+    and shingle-explodes once, not once per side; the tagged table is
+    persisted (shared cache lifecycle) because both join sides filter
+    it. In production the seen side's signature table is a PERSISTED
+    artifact (write ``_banded``'s output once per ingest and append),
+    so each daily batch costs one signature pass over the batch plus
+    a bucket join, not a rescan of the corpus. No self-join:
+    new×seen only, so a batch never pairs with itself here (run
     ``minhash_lsh_pairs`` within the batch for that)."""
-    nb = _banded(new_df, text_col, id_col, n, k, bands).select(
+    tag = lambda df, side: df.select(  # noqa: E731
+        F.col(id_col), F.col(text_col), F.lit(side).alias("_side")
+    )
+    both = tag(new_df, 0).unionByName(tag(seen_df, 1))
+    banded = _banded(both, text_col, id_col, n, k, bands, extra_cols=("_side",))
+    banded = _cache_signature_table(banded)
+    nb = banded.filter(F.col("_side") == 0).select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )
-    sb = _banded(seen_df, text_col, id_col, n, k, bands).select(
+    sb = banded.filter(F.col("_side") == 1).select(
         F.col(id_col).alias("seen_id"), "band", "bucket"
     )
     return nb.join(sb, ["band", "bucket"]).select("new_id", "seen_id").distinct()
