@@ -1341,6 +1341,18 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_pred", "quality", "split")
 
 
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (functions/dedup.py
+    dedup_lines_global, the C4 §2.2 step): each line survives only in
+    its first (doc_id, line_no) occurrence; documents reassemble from
+    surviving lines, row count preserved (fully-deduped docs come
+    back empty)."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.dedup_lines_global(docs, "text", "doc_id")
+
+
 def minhash_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: a NEW batch (doc_id % 7 == 0) LSH-bucket-
     joined against the SEEN corpus (functions/dedup.py
@@ -2762,6 +2774,28 @@ _ORACLES["minhash_lsh_pairs_docs"] = f"""
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
+# first (doc_id, line_no) occurrence of each exact line survives;
+# docs reassemble from survivors in line order
+_ORACLES["line_dedup_docs"] = """
+    WITH l AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) AS ln,
+             unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, ln, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rk
+      FROM l
+    ),
+    r AS (
+      SELECT doc_id, STRING_AGG(line, chr(10) ORDER BY ln) AS txt
+      FROM k WHERE rk = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.txt, '') AS text
+    FROM documents d LEFT JOIN r USING (doc_id)
+"""
+
 # the new batch (doc_id % 7 = 0) buckets against the seen remainder —
 # new x seen only, no self-join within either side
 _ORACLES["minhash_incremental_docs"] = f"""
@@ -3425,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "minhash_incremental_docs": minhash_incremental_docs,
+        "line_dedup_docs": line_dedup_docs,
         "sample_docs_10pct": sample_docs_10pct,
         "curate_corpus": curate_corpus,
         "stratified_sample_docs": stratified_sample_docs,

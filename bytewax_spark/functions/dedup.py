@@ -36,6 +36,7 @@ __all__ = [
     "MINHASH_BANDS",
     "dedup_exact",
     "dedup_incremental",
+    "dedup_lines_global",
     "shingle_docs",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -110,6 +111,49 @@ def dedup_exact_stream(
         .withWatermark(watermark_col, delay)
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_h")
+    )
+
+
+def dedup_lines_global(
+    df: DataFrame, text_col: str, id_col: str, out_col: str | None = None
+) -> DataFrame:
+    """CORPUS-WIDE exact line dedup, C4-style (Raffel et al. 2020
+    §2.2 — public): every line that appears anywhere in the corpus
+    survives only in its first occurrence (min (doc_id, line_no));
+    documents are reassembled from their surviving lines in order.
+    Documents whose lines all lose come back with empty text — row
+    count is preserved.
+
+    Scale shape: explode to (id, line_no, line) → one shuffle
+    partitioned by (line-hash, line) for the first-occurrence rank
+    (hashing first keeps partition routing cheap; the line rides the
+    row either way) → one shuffle back on id to rebuild. Boilerplate
+    lines (nav bars, cookie banners) are exactly the hot keys here —
+    rank-1-of-group is skew-tolerant because only the winner row
+    survives the aggregation's map side... but the rank itself must
+    see all copies; AQE skew splitting handles the hot line groups."""
+    from pyspark.sql import Window
+
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(text_col, "\n")).alias("_ln", "_line")
+    )
+    h = hash64(F.col("_line"))
+    w = Window.partitionBy(h, F.col("_line")).orderBy(F.col(id_col), F.col("_ln"))
+    keep = lines.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    rebuilt = keep.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ln", "_line"))),
+                lambda s: s.getField("_line"),
+            ),
+        ).alias("_rebuilt")
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col("_rebuilt"), F.lit("")))
+        .drop("_rebuilt")
     )
 
 

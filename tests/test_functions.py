@@ -539,6 +539,24 @@ def test_lsh_multiprobe_improves_recall_no_duplicates(spark, sf_dir):
     assert len(multi) / len(truth) > len(single) / len(truth)
 
 
+def test_dedup_lines_global_c4_semantics(spark):
+    """First (doc_id, line_no) occurrence of each exact line wins;
+    later docs keep only their novel lines; fully-duplicated docs
+    come back empty but stay in the output."""
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc"), (3, "a\nb"), (4, "d\nd")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in
+           dedup.dedup_lines_global(df, "text", "doc_id").collect()}
+    assert got == {
+        1: "a\nb",   # everything first-seen
+        2: "c",      # 'b' lost to doc 1
+        3: "",       # both lines lost, row preserved
+        4: "d",      # within-doc repeat: second 'd' loses to the first
+    }
+
+
 def test_minhash_incremental_equals_cross_side_of_full(spark, sf_dir):
     """Incremental MinHash (new batch x seen corpus) finds exactly the
     cross-side subset of the full self-join's candidate pairs — no
