@@ -186,6 +186,25 @@ def test_quantize_corpus_side_never_hash_shuffles(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_minhash_incremental_single_signature_pass(spark, sf_dir):
+    """Incremental MinHash computes signatures ONCE over the
+    union-tagged corpus and persists the tagged table: BOTH join sides
+    must read it through InMemoryTableScan (the per-side formulation
+    re-ran the shingle explode + aggregation per side — measured
+    5.9 s vs 1.6 s at sf0.1)."""
+    plan = _plan(spark, "minhash_incremental_docs", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_line_dedup_stays_jvm_side(spark, sf_dir):
+    """Corpus-wide line dedup: explode, rank and reassembly are all
+    Catalyst — no Python, no nested-loop join."""
+    plan = _plan(spark, "line_dedup_docs", sf_dir)
+    assert "EvalPython" not in plan
+    assert "NestedLoop" not in plan
+
+
 def test_corpus_shuffle_head_no_global_sort(spark, sf_dir):
     """A shuffled head probe must collapse to TakeOrdered — sorting
     the whole corpus to look at 25 rows is the wrong plan."""
