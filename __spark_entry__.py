@@ -1541,6 +1541,111 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def bloom_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup with a Bloom pre-filter
+    (functions/dedup.py dedup_bloom_incremental): the seen corpus
+    (doc_id < 250) compresses to a 2^16-bit Bloom filter (one bounded
+    aggregation, rides the plan as a literal); batch rows the filter
+    rejects are provably novel and skip the anti-join, only
+    Bloom-positives get exact confirmation. Bit-identical to
+    dedup_incremental — the oracle is the same SQL."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    out = dd.dedup_bloom_incremental(new, seen, "text", "doc_id", m_bits=1 << 16)
+    return out.select("doc_id")
+
+
+def minhash_verified_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates VERIFIED with exact Jaccard ≥ 0.8
+    (functions/dedup.py minhash_lsh_verified_pairs) — the full
+    production near-dup product: bucket-join bounds the quadratic
+    work, array_intersect re-checks each candidate once."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_verified_pairs(
+        docs, "text", "doc_id", n=1, k=32, bands=4, threshold=0.8
+    )
+
+
+def semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (functions/dedup.py semdedup, SemDeDup-shaped —
+    arXiv:2303.09540): within each cluster cell (label here; k-means
+    cells in production), drop every vector within 0.35 cosine of a
+    lower-id keeper. Cell-blocked self-join — never all-pairs; cell
+    size is the k-means k knob at 100 TB."""
+    from bytewax_spark.functions import dedup as dd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dd.semdedup(emb, "embedding", "vec_id", "label", threshold=0.35)
+    return out.select("vec_id", "label")
+
+
+def sample_exact_100_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-row deterministic uniform sample
+    (functions/sampling.py sample_exact_n): lowest 100 salted key
+    hashes win — sort+limit compiles to TakeOrderedAndProject, n rows
+    per partition leave the scan, no global sort."""
+    from bytewax_spark.functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_exact_n(docs, "doc_id", 100, salt="ex").select(
+        "doc_id", "lang"
+    )
+
+
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (functions/retrieval.py,
+    arXiv:2302.03169): score every document by the hashed-unigram
+    log-likelihood ratio between a target corpus (source='src0' stands
+    in for the high-quality set) and the raw pool. Log weights are
+    quantized to int64 micro-units so the per-doc sum is exact integer
+    math — deterministic under any aggregation order."""
+    from bytewax_spark.functions import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return retrieval.dsir_logratio_weights(docs, target, "text", "doc_id", buckets=256)
+
+
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (functions/retrieval.py):
+    tf·(ln((N+1)/(df+1))+1), ranked per doc. One (id, term) shuffle;
+    document frequencies aggregate from the tf table itself; N is a
+    broadcast one-row aggregate."""
+    from bytewax_spark.functions import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the query {spark, hash, window}
+    (functions/retrieval.py bm25_scores, k1=1.2 b=0.75): the term
+    filter cuts the token stream at scan rate before any shuffle;
+    top-k is TakeOrderedAndProject."""
+    from bytewax_spark.functions import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_scores(
+        docs, "text", "doc_id", ["spark", "hash", "window"], k=10
+    )
+
+
+def chunk_docs_32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (functions/packing.py
+    chunk_documents): 32-token windows every 24 tokens — the
+    RAG-embedding layout. Pure per-row expressions (sequence +
+    posexplode + slice), no shuffle, scan-rate at 100 TB."""
+    from bytewax_spark.functions import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing.chunk_documents(docs, "text", "doc_id", max_tokens=32, stride=24)
+
+
 def corpus_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report — the audit table a curation run
     prints: document count, total tokens, distinct languages, mean
@@ -2636,6 +2741,92 @@ _ORACLES["dedup_incremental_docs"] = f"""
                     WHERE doc_id < 250)
 """
 
+# the Bloom pre-filter changes data movement, not the answer: the
+# oracle is dedup_incremental's SQL verbatim
+_ORACLES["bloom_dedup_incremental_docs"] = f"""
+    WITH newb AS (
+      SELECT {_SQL_H64.format("text")} AS h, MIN(doc_id) AS doc_id
+      FROM documents WHERE doc_id >= 250 GROUP BY 1
+    )
+    SELECT doc_id FROM newb
+    WHERE h NOT IN (SELECT {_SQL_H64.format("text")} FROM documents
+                    WHERE doc_id < 250)
+"""
+
+_ORACLES["sample_exact_100_docs"] = f"""
+    SELECT doc_id, lang FROM documents
+    ORDER BY {_SQL_H64.format("CONCAT('ex', CAST(doc_id AS VARCHAR))")}, doc_id
+    LIMIT 100
+"""
+
+# weight table mirrors retrieval.dsir_logratio_weights bit-for-bit:
+# identical log-expression op order, int64 micro quantization
+_ORACLES["dsir_weights_docs"] = f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_SQL_H64.format('t')} % 256 AS b
+      FROM (SELECT doc_id, source, UNNEST({_SQL_TOKS}) AS t FROM documents)
+    ),
+    rc AS (SELECT b, COUNT(*) AS rcnt FROM tok GROUP BY 1),
+    tcn AS (SELECT b, COUNT(*) AS tcnt FROM tok WHERE source = 'src0' GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(rcnt) FROM rc) AS R, (SELECT SUM(tcnt) FROM tcn) AS T),
+    w AS (
+      SELECT rc.b,
+             CAST(ROUND((LN(COALESCE(tcnt, 0) + 1.0) - LN(T + 256.0)
+                   - LN(rcnt + 1.0) + LN(R + 256.0)) * 1000000) AS BIGINT) AS w
+      FROM rc LEFT JOIN tcn USING (b), tot
+    ),
+    pd AS (SELECT doc_id, b, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(n * w) AS BIGINT) AS llr_micro
+    FROM pd JOIN w USING (b) GROUP BY 1
+"""
+
+_ORACLES["tfidf_top_terms_docs"] = f"""
+    WITH tok AS (SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS N FROM documents)
+    SELECT doc_id, term, tf, score, rk FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * (LN((N + 1.0) / (dfc + 1.0)) + 1.0), 4) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf * (LN((N + 1.0) / (dfc + 1.0)) + 1.0), 4) DESC,
+                        tf.term
+             ) AS rk
+      FROM tf JOIN dfq USING (term), nd
+    ) WHERE rk <= 3
+"""
+
+_ORACLES["bm25_search_docs"] = f"""
+    WITH tok AS (SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    corpus AS (SELECT COUNT(*) AS N, SUM(dl) AS TOT FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1)
+    SELECT doc_id, ROUND(SUM(
+        LN(1.0 + (N - dfc + 0.5) / (dfc + 0.5)) *
+        (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (TOT / N)))
+      ), 4) AS score
+    FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), corpus
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+"""
+
+_ORACLES["chunk_docs_32"] = f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks, UNNEST(RANGE(0, LEN(toks), 24)) AS strt
+      FROM t WHERE LEN(toks) > 0
+    )
+    SELECT doc_id, CAST(strt // 24 AS BIGINT) AS chunk_id,
+           ARRAY_TO_STRING(toks[strt + 1:strt + 32], ' ') AS chunk_text,
+           CAST(LEN(toks[strt + 1:strt + 32]) AS BIGINT) AS n_tokens
+    FROM s
+"""
+
 _ORACLES["corpus_report_docs"] = f"""
     SELECT source,
            COUNT(*) AS n_docs,
@@ -2772,6 +2963,42 @@ _ORACLES["minhash_lsh_pairs_docs"] = f"""
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+# LSH candidates (same sig/banded CTEs as minhash_lsh_pairs_docs)
+# re-checked with exact Jaccard over the full shingle sets
+_ORACLES["minhash_verified_pairs_docs"] = f"""
+    WITH {_SQL_SHINGLES_N1},
+    sig AS (
+      SELECT doc_id, i,
+             MIN((((i * 2654435761) % 2147483647) * (shingle % 2147483647)
+                  + ((i * 40503 + 17) % 2147483647)) % 2147483647) AS minhash
+      FROM sh CROSS JOIN (SELECT UNNEST(RANGE(1, 33)) AS i)
+      GROUP BY doc_id, i
+    ),
+    banded AS (
+      SELECT doc_id, (i - 1) // 8 AS band,
+             MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS c
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.8
 """
 
 # first (doc_id, line_no) occurrence of each exact line survives;
@@ -3008,6 +3235,19 @@ _ORACLES["embedding_near_dup_pairs"] = f"""
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
+"""
+
+# min-id-wins survivor set: a row is dropped iff a lower-id row in its
+# cell sits within the cosine threshold
+_ORACLES["semdedup_docs"] = f"""
+    WITH losers AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vid FROM losers)
 """
 
 _ORACLES["cosine_topk_vec0"] = f"""
@@ -3479,6 +3719,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_head": corpus_shuffle_head,
         "shard_sizes_docs": shard_sizes_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
+        "bloom_dedup_incremental_docs": bloom_dedup_incremental_docs,
+        "minhash_verified_pairs_docs": minhash_verified_pairs_docs,
+        "semdedup_docs": semdedup_docs,
+        "sample_exact_100_docs": sample_exact_100_docs,
+        "dsir_weights_docs": dsir_weights_docs,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "bm25_search_docs": bm25_search_docs,
+        "chunk_docs_32": chunk_docs_32,
         "corpus_report_docs": corpus_report_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_vec0": cosine_topk_vec0,

@@ -36,16 +36,21 @@ __all__ = [
     "MINHASH_BANDS",
     "dedup_exact",
     "dedup_incremental",
+    "dedup_bloom_incremental",
+    "bloom_build",
+    "bloom_might_contain",
     "dedup_lines_global",
     "shingle_docs",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_lsh_verified_pairs",
     "minhash_lsh_pairs_incremental",
     "release_signature_caches",
     "simhash",
     "embedding_cosine_pairs",
     "lsh_cosine_pairs",
+    "semdedup",
 ]
 
 MINHASH_K = 32          # signature length
@@ -94,6 +99,97 @@ def dedup_incremental(
     batch = dedup_exact(new_df, text_col, id_col, key).withColumn("_h", h)
     seen = seen_df.select(h)
     return batch.join(seen, "_h", "left_anti").drop("_h")
+
+
+# powers of two as a plan literal (bit 63 is int64's sign bit) — lets
+# build and probe select a bit mask by a COLUMN index, which
+# shiftleft() can't do (its shift count is a Python int)
+_POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def bloom_build(
+    df: DataFrame, key: Column | str, m_bits: int, n_hashes: int = 4
+) -> list[int]:
+    """Build a Bloom filter over ``key`` as a dense list of ``m_bits/64``
+    int64 words — pure expressions end to end (k seeded md5 positions
+    per row → (word, bit) → one ``bit_or`` aggregation).
+
+    The driver materialization is bounded by the CHOSEN ``m_bits``
+    (m/64 rows), never by the corpus: a 2^27-bit filter is 16 MB
+    regardless of whether it summarizes 1 GB or 100 TB of keys. Size
+    ``m_bits`` ≈ 10 bits/key for ~1% false positives (classic Bloom
+    sizing); false positives only cost extra rows in the caller's exact
+    confirm step, never wrong answers."""
+    assert m_bits % 64 == 0, "m_bits must be a multiple of 64"
+    key = F.col(key) if isinstance(key, str) else key
+    pos = F.array(
+        [
+            F.pmod(hash64(F.concat(F.lit(f"bf{s}:"), key.cast("string"))), F.lit(m_bits))
+            for s in range(n_hashes)
+        ]
+    )
+    pow2 = F.lit(_POW2)
+    rows = (
+        df.select(F.explode(pos).alias("_p"))
+        .select(
+            (F.col("_p") / 64).cast("int").alias("_w"),
+            F.element_at(pow2, F.pmod(F.col("_p"), F.lit(64)).cast("int") + 1).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["_w"]] = r["_bits"]
+    return words
+
+
+def bloom_might_contain(
+    words: list[int], key: Column | str, m_bits: int, n_hashes: int = 4
+) -> Column:
+    """Membership probe against a ``bloom_build`` filter: the bit array
+    rides the PLAN as an array literal (broadcast with the task binary,
+    no shuffle, no join), the k bit tests are map-side bitwise
+    expressions. False positives possible; false negatives never."""
+    key = F.col(key) if isinstance(key, str) else key
+    arr = F.lit(words)
+    pow2 = F.lit(_POW2)
+    cond = None
+    for s in range(n_hashes):
+        p = F.pmod(hash64(F.concat(F.lit(f"bf{s}:"), key.cast("string"))), F.lit(m_bits))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        mask = F.element_at(pow2, F.pmod(p, F.lit(64)).cast("int") + 1)
+        hit = word.bitwiseAND(mask) != 0
+        cond = hit if cond is None else cond & hit
+    return cond
+
+
+def dedup_bloom_incremental(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    key: Column | None = None,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """``dedup_incremental`` with a Bloom pre-filter on the seen corpus
+    — same answer, different data movement. The seen side compresses to
+    an ``m_bits`` Bloom filter (one bounded aggregation, built once per
+    corpus in production and reused across daily batches); batch rows
+    the filter rejects are PROVABLY novel and skip the anti-join
+    entirely, so only Bloom-positives (true dupes + the ~1% false
+    positives) shuffle against the seen hashes for exact confirmation.
+    On a mostly-novel crawl batch that removes ~99% of the anti-join's
+    probe side; result is bit-identical to ``dedup_incremental``."""
+    h = (key if key is not None else hash64(text_col)).alias("_h")
+    batch = dedup_exact(new_df, text_col, id_col, key).withColumn("_h", h)
+    words = bloom_build(seen_df.select(h), "_h", m_bits, n_hashes)
+    probe = bloom_might_contain(words, F.col("_h"), m_bits, n_hashes)
+    novel = batch.filter(~probe)
+    maybe = batch.filter(probe).join(seen_df.select(h), "_h", "left_anti")
+    return novel.unionByName(maybe).drop("_h")
 
 
 def dedup_exact_stream(
@@ -371,6 +467,44 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates VERIFIED with exact Jaccard — the full
+    production near-dup product (candidates alone over-report; a real
+    pipeline always re-checks). Returns (id_a, id_b, jaccard ≥ t).
+
+    Scale shape: the quadratic work is bounded by the LSH candidate
+    set (bucket-join, uniform keys); exact Jaccard then runs ONCE per
+    candidate pair via each side's distinct-shingle array —
+    ``array_intersect`` inside a projection, no extra shuffle beyond
+    the two id equi-joins that re-attach the (id, shingle-array) table.
+    The shingle arrays never self-join."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, n, k, bands)
+    sets = (
+        shingle_docs(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("shingle")).alias("_toks"))
+    )
+    da = sets.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
+    db = sets.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _banded(
     df: DataFrame,
     text_col: str,
@@ -592,3 +726,31 @@ def lsh_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic dedup over an embedding column, SemDeDup-shaped
+    (Abbas et al. 2023, arXiv:2303.09540 — public): cluster the corpus
+    (k-means cells via ``clustering.kmeans_fit``/``assign_cells``, or
+    any existing block column), then within each cell drop every
+    document that sits within ``threshold`` cosine of a KEPT document.
+
+    Representative policy: min-id wins — a row is dropped iff some
+    lower-id row in its cell is within threshold. (The paper keeps the
+    point farthest from the centroid; the deterministic id rule is the
+    oracle-checkable variant, and the policy only picks WHICH member of
+    a near-dup neighborhood survives.) Min-id-wins is one
+    ``embedding_cosine_pairs`` call (cell-blocked self-join — never
+    all-pairs) plus an anti-join on the loser ids: at 100 TB the
+    quadratic term is bounded by the largest cell, which the k-means k
+    controls directly (k ~ N/target_cell_size, same sizing rule as IVF).
+    """
+    pairs = embedding_cosine_pairs(df, vec_col, id_col, cell_col, threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

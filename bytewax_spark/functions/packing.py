@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["prefix_sum", "pack_sequences"]
+__all__ = ["prefix_sum", "pack_sequences", "chunk_documents"]
 
 
 def prefix_sum(
@@ -125,4 +125,51 @@ def pack_sequences(
         begin.alias("begin"),
         fin.alias("end"),
         F.greatest(F.lit(0).cast("long"), F.col("_start") - seq_lo).alias("seq_offset"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into token windows of at most ``max_tokens``
+    tokens, starting every ``stride`` tokens (``stride < max_tokens``
+    ⇒ overlapping windows, the RAG-embedding layout; default
+    ``stride = max_tokens`` ⇒ disjoint chunks, the context-length
+    layout). Returns ``(id, chunk_id, chunk_text, n_tokens)``; docs
+    with zero tokens produce no chunks.
+
+    Unlike ``pack_sequences`` (which lays docs into a GLOBAL token
+    stream and needs a distributed prefix sum), chunking is per-row:
+    tokenize → ``sequence`` of window starts → ``posexplode`` + slice,
+    all inside one codegen stage — embarrassingly parallel, no
+    shuffle, runs at scan rate on 100 TB."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    from bytewax_spark.functions.text import tokenize
+
+    base = df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, max_tokens)
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+        )
     )

@@ -1,0 +1,200 @@
+"""Corpus scoring & retrieval — importance weights (DSIR-style),
+TF-IDF, BM25 — for training-data selection pipelines.
+
+All pure ``pyspark.sql.functions`` expressions (no UDFs). The shared
+scale posture: token explodes reduce to SMALL aggregate tables
+(hash-bucket distributions, vocabulary document frequencies, one-row
+corpus totals) that broadcast back onto the stream; the corpus itself
+shuffles at most once, on (id, term)-shaped keys with map-side partial
+counts.
+
+Float determinism: anywhere a score feeds an order-sensitive step or a
+cross-engine oracle, the irrational part (logs) is quantized to
+integer micro-units or rounded at fixed decimals so results are
+engine-portable (see ``dsir_logratio_weights``).
+
+Parity note: the reference engine has no retrieval/importance surface;
+this module is part of the beyond-reference LLM-pipeline layer
+(SURVEY.md §2.7). DSIR follows Xie et al. 2023 (arXiv:2302.03169,
+public): hashed n-gram features, importance = target/raw
+log-likelihood ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import hash64, tokenize
+
+__all__ = [
+    "dsir_logratio_weights",
+    "tfidf_top_terms",
+    "bm25_scores",
+]
+
+
+def _bucketed_tokens(df: DataFrame, text_col: str, id_col: str, buckets: int) -> DataFrame:
+    """(id, bucket) — one row per token OCCURRENCE, hashed into a
+    fixed feature space. The hash runs before the explode leaves the
+    row, so shuffled rows are (id, int) regardless of token length."""
+    return df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("_t")
+    ).select(id_col, F.pmod(hash64(F.col("_t")), F.lit(buckets)).alias("_b"))
+
+
+def dsir_logratio_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 256,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance weights: score every raw document by how
+    much its hashed-unigram distribution looks like the TARGET corpus
+    (the small high-quality set you want more of) versus the raw pool.
+
+    Per bucket b (add-one smoothed):
+        w_b = ln(tc_b+1) - ln(T+B) - ln(rc_b+1) + ln(R+B)
+    quantized to integer micro-units; per doc:
+        llr_micro = Σ_tokens w_bucket(token)   (exact int arithmetic)
+    Positive = target-like. Sampling ∝ exp(llr) is the DSIR resampling
+    step (callers: ``sampling.sample_by_hash`` on a weight-derived
+    rate, or ``topk``/``selection`` on the score).
+
+    Scale: both distribution estimates are ``buckets``-row aggregates
+    (map-side combine; B is a constant, not vocabulary-sized), joined
+    full-outer and BROADCAST onto the per-(doc, bucket) counts — the
+    only corpus-sized shuffle is the (id, bucket) partial-count
+    aggregation. Quantizing the log weights to int64 micro-units makes
+    the per-doc sum exact integer math: deterministic under any
+    aggregation order, bit-equal across engines (a float sum would
+    drift with partitioning)."""
+    raw_toks = _bucketed_tokens(raw_df, text_col, id_col, buckets)
+    tgt_toks = _bucketed_tokens(target_df, text_col, id_col, buckets)
+    rc = raw_toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    tc = tgt_toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    rtot = rc.agg(F.sum("_rc").alias("_R"))
+    ttot = tc.agg(F.sum("_tc").alias("_T"))
+    fb = float(buckets)
+    w = (
+        rc.join(tc, "_b", "full")
+        .na.fill({"_rc": 0, "_tc": 0})
+        .join(F.broadcast(rtot))
+        .join(F.broadcast(ttot))
+        .select(
+            "_b",
+            F.round(
+                (
+                    F.log(F.col("_tc") + 1.0)
+                    - F.log(F.col("_T") + fb)
+                    - F.log(F.col("_rc") + 1.0)
+                    + F.log(F.col("_R") + fb)
+                )
+                * micro
+            )
+            .cast("long")
+            .alias("_w"),
+        )
+    )
+    per_doc = raw_toks.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per_doc.join(F.broadcast(w), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("n_tokens"),
+            F.sum(F.col("_n") * F.col("_w")).alias("llr_micro"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    score = tf · (ln((N+1)/(df_t+1)) + 1), rounded to 4 decimals,
+    rank by (score desc, term asc) within each document.
+
+    Scale: one (id, term) partial-count shuffle for tf; document
+    frequencies are a vocabulary-sized aggregate (tokens dedup per doc
+    map-side via the distinct (id, term) pairs tf already built) joined
+    back on term; corpus size N is a broadcast one-row aggregate. The
+    rank window partitions by document — millions of small partitions,
+    never a global sort."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    nd = df.agg(F.count_distinct(F.col(id_col)).alias("_N"))
+    idf = F.log((F.col("_N") + 1.0) / (F.col("_df") + 1.0)) + 1.0
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(nd))
+        .withColumn("score", F.round(F.col("tf") * idf, 4))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "score", "rk")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag of query terms
+    (Robertson-Spärck Jones; the classic retrieval scorer):
+
+        score(d) = Σ_t idf_t · tf_td·(k1+1) / (tf_td + k1·(1-b+b·|d|/avgdl))
+        idf_t    = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+
+    Returns the top-``k`` documents by (round(score, 4) desc, id).
+
+    Scale: the term filter cuts the token stream to query terms BEFORE
+    any shuffle (a scan-rate ``isin``); doc lengths are one partial-agg
+    pass; N/avgdl is a broadcast one-row aggregate; per-term document
+    frequencies are |query| rows. Final top-k is sort+limit →
+    TakeOrderedAndProject, no global sort."""
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_TOT")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    avgdl = F.col("_TOT") / F.col("_N")
+    idf = F.log(
+        1.0 + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_part = (F.col("_tf") * (k1 + 1.0)) / (
+        F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / avgdl)
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(corpus))
+        .select(F.col(id_col), (idf * tf_part).alias("_s"))
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

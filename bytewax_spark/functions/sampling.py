@@ -40,6 +40,7 @@ __all__ = [
     "sample_by_hash",
     "stratified_sample",
     "split_train_test",
+    "sample_exact_n",
     "domain_mixture",
     "quantile_band",
 ]
@@ -131,6 +132,24 @@ def split_train_test(
     for name, lo, hi in reversed(ranges):
         label = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(label)
     return df.withColumn(split_col, label)
+
+
+def sample_exact_n(df: DataFrame, key_col: str, n: int, salt: str = "") -> DataFrame:
+    """EXACTLY ``n`` rows, uniformly and deterministically: the n rows
+    whose salted key hash sorts lowest (key tiebreak). Where
+    ``sample_by_hash`` gives an exact RATE but a binomial count, this
+    gives an exact count — the eval-subset / debug-slice shape.
+
+    Scale: sort + limit compiles to ``TakeOrderedAndProject`` — each
+    partition keeps its local top-n heap and only n rows per partition
+    ever leave the scan, no global sort materializes. Membership
+    depends only on (key, salt), so the sample is stable across runs
+    and cluster layouts as long as the table is; inserting new rows
+    can displace old members (rank-based, unlike the bucket filters)."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    h = hash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.orderBy(h, F.col(key_col)).limit(n)
 
 
 def quantile_band(

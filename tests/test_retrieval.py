@@ -1,0 +1,243 @@
+"""Retrieval/importance scoring (functions/retrieval.py), Bloom
+incremental dedup, SemDeDup, verified MinHash pairs, exact-n sampling,
+and token-window chunking."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytewax_spark.functions import dedup as dd
+from bytewax_spark.functions import packing, retrieval, sampling
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "web"),
+        (1, "the quick brown fox jumps over the lazy dog", "web"),  # dup of 0
+        (2, "spark shuffle partitions and the hash join", "code"),
+        (3, "window functions rank rows in the frame", "code"),
+        (4, "fox dog fox dog fox dog", "web"),
+        (5, "", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter + Bloom incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    words = dd.bloom_build(df, "k", m_bits=1 << 14, n_hashes=4)
+    probe = dd.bloom_might_contain(words, F.col("k"), 1 << 14, 4)
+    # every inserted key must hit (no false negatives)
+    hits = spark.range(0, 500).select(F.col("id").alias("k")).filter(probe).count()
+    assert hits == 500
+    # out-of-set keys mostly miss (16384 bits / 500 keys => fp well under 10%)
+    fp = spark.range(10_000, 20_000).select(F.col("id").alias("k")).filter(probe).count()
+    assert fp < 1000
+
+
+def test_bloom_incremental_matches_exact_incremental(spark):
+    docs = _docs(spark)
+    new = docs.filter(F.col("doc_id") >= 1)
+    seen = docs.filter(F.col("doc_id") < 1)
+    exact = dd.dedup_incremental(new, seen, "text", "doc_id")
+    bloom = dd.dedup_bloom_incremental(new, seen, "text", "doc_id", m_bits=1 << 10)
+    assert sorted(r["doc_id"] for r in bloom.collect()) == sorted(
+        r["doc_id"] for r in exact.collect()
+    )
+    # doc 1 duplicates seen doc 0 -> dropped by both paths
+    assert 1 not in {r["doc_id"] for r in bloom.collect()}
+
+
+def test_bloom_tiny_filter_still_correct(spark):
+    # a saturated filter degrades to all-positive (everything confirmed
+    # exactly) — never a wrong answer
+    docs = _docs(spark)
+    new = docs.filter(F.col("doc_id") >= 1)
+    seen = docs.filter(F.col("doc_id") < 1)
+    out = dd.dedup_bloom_incremental(new, seen, "text", "doc_id", m_bits=64)
+    exact = dd.dedup_incremental(new, seen, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in exact.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup / verified MinHash
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_drops_higher_id_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.999, 0.01], "a"),   # near-dup of 0 -> dropped
+        (2, [0.0, 1.0], "a"),      # orthogonal -> kept
+        (3, [1.0, 0.0], "b"),      # same vector, different cell -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, cell string")
+    out = sorted(
+        r["vec_id"] for r in dd.semdedup(df, "embedding", "vec_id", "cell", 0.95).collect()
+    )
+    assert out == [0, 2, 3]
+
+
+def test_minhash_verified_pairs_subset_with_true_jaccard(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),      # identical -> j=1.0
+        (2, "alpha beta gamma delta epsilon eta"),       # 5/7 overlap
+        (3, "totally different words here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dd.minhash_lsh_verified_pairs(
+        df, "text", "doc_id", n=1, k=32, bands=8, threshold=0.9
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    # the 5/7-overlap pair fails the 0.9 verify even if LSH proposed it
+    assert all(j >= 0.9 for j in pairs.values())
+    assert not any(3 in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# sample_exact_n
+# ---------------------------------------------------------------------------
+
+
+def test_sample_exact_n_deterministic(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    a = sorted(r["doc_id"] for r in sampling.sample_exact_n(df, "doc_id", 50).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.sample_exact_n(df.repartition(13), "doc_id", 50).collect()
+    )
+    assert len(a) == 50 and a == b
+    # a different salt draws a different subset
+    c = sorted(
+        r["doc_id"] for r in sampling.sample_exact_n(df, "doc_id", 50, salt="x").collect()
+    )
+    assert a != c
+
+
+def test_sample_exact_n_edge_counts(spark):
+    df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    assert sampling.sample_exact_n(df, "doc_id", 0).count() == 0
+    assert sampling.sample_exact_n(df, "doc_id", 99).count() == 10
+    with pytest.raises(ValueError):
+        sampling.sample_exact_n(df, "doc_id", -1)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    raw = spark.createDataFrame(
+        [(i, "common filler words here") for i in range(20)]
+        + [(100, "rare target phrase tokens"), (101, "common filler words here")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(0, "rare target phrase tokens")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["llr_micro"] for r in
+           retrieval.dsir_logratio_weights(raw, target, "text", "doc_id", buckets=64).collect()}
+    # the doc matching the target distribution scores strictly higher
+    assert out[100] > out[101]
+
+
+def test_dsir_weights_partition_invariant(spark):
+    docs = _docs(spark)
+    target = docs.filter(F.col("source") == "code")
+    a = sorted(
+        (r["doc_id"], r["llr_micro"])
+        for r in retrieval.dsir_logratio_weights(docs, target, "text", "doc_id").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["llr_micro"])
+        for r in retrieval.dsir_logratio_weights(
+            docs.repartition(17), target.repartition(3), "text", "doc_id"
+        ).collect()
+    )
+    assert a == b  # int64 micro-units: exact under any aggregation order
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / BM25
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    docs = _docs(spark)
+    out = retrieval.tfidf_top_terms(docs, "text", "doc_id", k=2)
+    rows = [(r["doc_id"], r["rk"], r["term"]) for r in out.collect()]
+    by_doc = {}
+    for d, rk, t in rows:
+        by_doc.setdefault(d, {})[rk] = t
+    # doc 4 is 'fox dog' x3: both words tie on tf=3 and equal df; term
+    # asc tie-break puts 'dog' first
+    assert by_doc[4][1] == "dog" and by_doc[4][2] == "fox"
+    # 'the' (df=4 across docs) never outranks doc-specific terms
+    assert by_doc[2][1] != "the"
+
+
+def test_bm25_scores_match_reference_formula(spark):
+    docs = _docs(spark).filter(F.col("doc_id") <= 4)
+    out = {r["doc_id"]: r["score"] for r in
+           retrieval.bm25_scores(docs, "text", "doc_id", ["spark", "fox"], k=10).collect()}
+    # python reference over the same tiny corpus
+    corpus = {
+        0: "the quick brown fox jumps over the lazy dog".split(),
+        1: "the quick brown fox jumps over the lazy dog".split(),
+        2: "spark shuffle partitions and the hash join".split(),
+        3: "window functions rank rows in the frame".split(),
+        4: "fox dog fox dog fox dog".split(),
+    }
+    N = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / N
+    k1, b = 1.2, 0.75
+    for doc_id, toks in corpus.items():
+        score = 0.0
+        for term in ("spark", "fox"):
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            df_t = sum(1 for v in corpus.values() if term in v)
+            idf = math.log(1.0 + (N - df_t + 0.5) / (df_t + 0.5))
+            score += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(toks) / avgdl))
+        if score > 0:
+            assert abs(out[doc_id] - round(score, 4)) < 1e-9
+        else:
+            assert doc_id not in out
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_disjoint_and_overlapping(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))), (1, "")],
+        "doc_id long, text string",
+    )
+    disjoint = packing.chunk_documents(df, "text", "doc_id", max_tokens=4).collect()
+    by_chunk = {(r["doc_id"], r["chunk_id"]): r for r in disjoint}
+    assert len(by_chunk) == 3  # 4+4+2, empty doc contributes nothing
+    assert by_chunk[(0, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert by_chunk[(0, 2)]["n_tokens"] == 2
+    # overlapping windows: starts 0,3,6,9
+    over = packing.chunk_documents(df, "text", "doc_id", max_tokens=4, stride=3).collect()
+    assert len(over) == 4
+    texts = {r["chunk_id"]: r["chunk_text"] for r in over}
+    assert texts[1] == "t3 t4 t5 t6"
+    assert texts[3] == "t9"
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, "text", "doc_id", max_tokens=0)
