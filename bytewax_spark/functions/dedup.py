@@ -107,6 +107,21 @@ def dedup_incremental(
 _POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
 
 
+def _bloom_positions(key: Column, m_bits: int, n_hashes: int) -> list[Column]:
+    """``n_hashes`` bit positions from as few md5 evaluations as
+    possible: each 128-bit digest yields four independent 32-bit
+    chunks (digest splitting — the standard cheap Bloom hash family),
+    so 4 hashes cost ONE md5 per row instead of four."""
+    out: list[Column] = []
+    for d in range((n_hashes + 3) // 4):
+        salt = F.lit(f"bf{d}:") if d else F.lit("")
+        digest = F.md5(F.concat(salt, key.cast("string")))
+        for c in range(min(4, n_hashes - 4 * d)):
+            chunk = F.conv(F.substring(digest, 1 + 8 * c, 8), 16, 10).cast("bigint")
+            out.append(F.pmod(chunk, F.lit(m_bits)))
+    return out
+
+
 def bloom_build(
     df: DataFrame, key: Column | str, m_bits: int, n_hashes: int = 4
 ) -> list[int]:
@@ -122,12 +137,7 @@ def bloom_build(
     confirm step, never wrong answers."""
     assert m_bits % 64 == 0, "m_bits must be a multiple of 64"
     key = F.col(key) if isinstance(key, str) else key
-    pos = F.array(
-        [
-            F.pmod(hash64(F.concat(F.lit(f"bf{s}:"), key.cast("string"))), F.lit(m_bits))
-            for s in range(n_hashes)
-        ]
-    )
+    pos = F.array(_bloom_positions(key, m_bits, n_hashes))
     pow2 = F.lit(_POW2)
     rows = (
         df.select(F.explode(pos).alias("_p"))
@@ -156,8 +166,7 @@ def bloom_might_contain(
     arr = F.lit(words)
     pow2 = F.lit(_POW2)
     cond = None
-    for s in range(n_hashes):
-        p = F.pmod(hash64(F.concat(F.lit(f"bf{s}:"), key.cast("string"))), F.lit(m_bits))
+    for p in _bloom_positions(key, m_bits, n_hashes):
         word = F.element_at(arr, (p / 64).cast("int") + 1)
         mask = F.element_at(pow2, F.pmod(p, F.lit(64)).cast("int") + 1)
         hit = word.bitwiseAND(mask) != 0
