@@ -36,10 +36,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; ``component`` is
     the minimum node id in the connected component (deterministic —
     independent of partitioning and execution order).
+
+    ``init_labels`` (columns ``node``, ``comp``) optionally seeds the
+    propagation with a better-than-identity upper bound — any labeling
+    where each node's label is the id of SOME node in its own
+    component (e.g. the min over an LSH bucket) is valid and saves the
+    rounds identity seeding would spend rediscovering it. Must cover
+    every node that appears in ``edges``.
 
     Raises after ``max_iter`` non-converged rounds rather than
     returning a partial labeling: a chain graph of diameter > max_iter
@@ -54,9 +62,14 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    )
+    if init_labels is None:
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+        )
+    else:
+        labels = init_labels.select("node", "comp")
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iter):
@@ -96,19 +109,45 @@ def neardup_clusters(
     over the banded MinHash-LSH candidate graph. Documents with no
     near-dup candidates are their own singleton cluster.
 
-    Composition: ``minhash_lsh_pairs`` (bucket equi-join, no quadratic
-    blowup) → ``connected_components`` (min-label propagation) → left
-    join back onto the full id set. The final join shuffles only ids.
+    Composition: MinHash band buckets → bucket-STAR edges →
+    ``connected_components`` (min-label propagation) → left join back
+    onto the full id set. The final join shuffles only ids.
+
+    The star contraction is the scale move: every LSH bucket is a
+    CLIQUE in the candidate-pair graph, so materializing pairs costs
+    Σ|B|²/2 edges (quadratic in bucket size — millions of edges for a
+    few thousand duplicated docs). Connecting each bucket member to
+    the bucket's minimum id instead yields a graph with IDENTICAL
+    connected components (all members reach each other through the
+    minimum) at Σ|B| edges — O(N·bands), linear. CC rounds then
+    shuffle ids proportional to the corpus, not to the square of the
+    duplicate-group sizes.
     """
+    from pyspark.sql import Window
+
     from bytewax_spark.functions import dedup
 
-    kwargs = {}
-    if k is not None:
-        kwargs["k"] = k
-    if bands is not None:
-        kwargs["bands"] = bands
-    pairs = dedup.minhash_lsh_pairs(df, text_col, id_col, n=n, **kwargs)
-    comp = connected_components(pairs, "id_a", "id_b")
+    pairs_k = k if k is not None else dedup.MINHASH_K
+    pairs_b = bands if bands is not None else dedup.MINHASH_BANDS
+    banded = dedup._banded(df, text_col, id_col, n, pairs_k, pairs_b)
+    w = Window.partitionBy("band", "bucket")
+    marked = banded.withColumn("_m", F.min(id_col).over(w))
+    # materialize the (tiny, O(N·bands)) marked table ONCE: edges and
+    # seed labels both read it, and without the pin each branch would
+    # re-run the whole MinHash signature aggregation
+    marked = marked.localCheckpoint(eager=True)
+    stars = (
+        marked.filter(F.col(id_col) != F.col("_m"))
+        .select(F.col("_m").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    # seed: each node starts at the min id over ALL its buckets (a
+    # valid same-component upper bound) — one aggregate over rows we
+    # already have, and it collapses single-blob components in round 0
+    seed = marked.groupBy(F.col(id_col).alias("node")).agg(
+        F.min("_m").alias("comp")
+    )
+    comp = connected_components(stars, "id_a", "id_b", init_labels=seed)
     ids = df.select(F.col(id_col))
     return ids.join(
         comp.withColumnRenamed("node", id_col), id_col, "left"
