@@ -1333,7 +1333,21 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.quality_score("text").alias("quality"),
     )
     kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
-    uniq = dd.dedup_exact(kept, "text", "doc_id", key=tx.fingerprint("text"))
+    # dedup via min_by instead of dedup_exact's semi-join: the output
+    # doesn't carry text, so the one-shuffle groupBy ships only (fp,
+    # id, lang, quality) rows AND evaluates the expensive scoring
+    # expressions once instead of on both sides of a semi-join.
+    # dedup_exact stays the right shape when survivors must keep
+    # full bodies without shuffling them.
+    uniq = (
+        kept.groupBy(tx.fingerprint("text").alias("_fp"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang_pred", "quality"), F.col("doc_id")
+            ).alias("_r")
+        )
+        .select("_r.doc_id", "_r.lang_pred", "_r.quality")
+    )
     sampled = sampling.sample_by_hash(uniq, "doc_id", 0.5, salt="curate")
     out = sampling.split_train_test(
         sampled, "doc_id", {"train": 0.9, "val": 0.1}, salt="curate-split"
