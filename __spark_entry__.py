@@ -1555,6 +1555,20 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-substring span dedup (functions/dedup.py
+    dedup_spans_global — the ExactSubstr step of Lee et al. 2021,
+    arXiv:2107.06499): every 8-token window that repeats anywhere in
+    the corpus survives only in its first (doc_id, position)
+    occurrence; later occurrences have the window removed and docs
+    reassemble from kept tokens. Catches copied passages at any
+    offset — the case line dedup misses."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.dedup_spans_global(docs, "text", "doc_id", span_len=8)
+
+
 def bloom_dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup with a Bloom pre-filter
     (functions/dedup.py dedup_bloom_incremental): the seen corpus
@@ -2755,6 +2769,49 @@ _ORACLES["dedup_incremental_docs"] = f"""
                     WHERE doc_id < 250)
 """
 
+# every repeated 8-token window keeps only its first (doc_id, pos)
+# occurrence; a token survives iff no duplicate-occurrence range
+# covers it (coverage by raw ranges == coverage by merged ranges, so
+# the oracle skips the interval merge the Spark side does for speed)
+_ORACLES["span_dedup_docs"] = f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, toks,
+             UNNEST(RANGE(0, GREATEST(LEN(toks) - 7, 0))) AS p
+      FROM t
+    ),
+    sh AS (
+      SELECT doc_id, p,
+             {_SQL_H64.format("ARRAY_TO_STRING(toks[p + 1:p + 8], ' ')")} AS h
+      FROM pos
+    ),
+    dups AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rk
+        FROM sh
+      ) WHERE rk > 1
+    ),
+    tokidx AS (
+      SELECT doc_id, UNNEST(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS i
+      FROM t
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p + UNNEST(RANGE(0, 8)) AS i FROM dups
+    ),
+    keptt AS (
+      SELECT k.doc_id, k.i, k.tok FROM tokidx k
+      ANTI JOIN cov c ON c.doc_id = k.doc_id AND c.i = k.i
+    ),
+    reb AS (
+      SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY i) AS txt
+      FROM keptt GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(reb.txt, '') AS text
+    FROM t LEFT JOIN reb USING (doc_id)
+"""
+
 # the Bloom pre-filter changes data movement, not the answer: the
 # oracle is dedup_incremental's SQL verbatim
 _ORACLES["bloom_dedup_incremental_docs"] = f"""
@@ -3733,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_head": corpus_shuffle_head,
         "shard_sizes_docs": shard_sizes_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
+        "span_dedup_docs": span_dedup_docs,
         "bloom_dedup_incremental_docs": bloom_dedup_incremental_docs,
         "minhash_verified_pairs_docs": minhash_verified_pairs_docs,
         "semdedup_docs": semdedup_docs,

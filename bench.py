@@ -210,6 +210,16 @@ EXTENDED_QUERIES = [
     "multimodal_image_decode",
     "avro_registry_resolve_docs",
     "space_saving_topk_users",
+    # retrieval/curation surface: Bloom incremental dedup, verified
+    # MinHash, SemDeDup, DSIR weights, TF-IDF/BM25, chunking
+    "span_dedup_docs",
+    "bloom_dedup_incremental_docs",
+    "minhash_verified_pairs_docs",
+    "semdedup_docs",
+    "dsir_weights_docs",
+    "tfidf_top_terms_docs",
+    "bm25_search_docs",
+    "chunk_docs_32",
 ]
 
 _DUCKDB_TABLES = [

@@ -40,6 +40,7 @@ __all__ = [
     "bloom_build",
     "bloom_might_contain",
     "dedup_lines_global",
+    "dedup_spans_global",
     "shingle_docs",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -780,3 +781,107 @@ def semdedup(
     pairs = embedding_cosine_pairs(df, vec_col, id_col, cell_col, threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_spans_global(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_len: int = 8,
+    out_col: str | None = None,
+) -> DataFrame:
+    """CORPUS-WIDE exact-substring span dedup (the ExactSubstr step of
+    Lee et al. 2021, arXiv:2107.06499 — public): every ``span_len``-token
+    window that occurs anywhere else in the corpus survives only in its
+    first occurrence; later occurrences have the window's token range
+    REMOVED from their document (overlapping removed ranges merge), and
+    documents reassemble from the kept tokens. Row count is preserved;
+    fully-deduplicated docs come back empty.
+
+    Occurrence order is (doc_id, position) — deterministic and
+    partition-independent. Where ``dedup_lines_global`` needs duplicate
+    LINE boundaries, this catches copied passages at any offset — the
+    boilerplate/mirror case line dedup misses.
+
+    Scale shape (all linear in token count, never quadratic):
+    1. one explode to (id, pos, span-hash) rows — the hash is computed
+       inside the row before exploding, so shuffled rows are 24 bytes
+       regardless of span text;
+    2. one shuffle on the span hash for the first-occurrence rank
+       (hot boilerplate spans are skewed keys — rank-1-of-group under
+       AQE skew splitting, same posture as line dedup);
+    3. duplicate ranges come back to their doc via one id shuffle;
+       interval merging and token filtering are per-row array folds
+       (sort ranges, single merge pass, per-token coverage test) —
+       no join against the ranges, no second pass over the corpus.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or text_col
+    toks = tokenize(text_col)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    npos = F.size("_toks") - F.lit(span_len - 1)
+    spans = base.filter(npos > 0).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), npos - 1),
+                lambda p: hash64(F.array_join(F.slice("_toks", p + 1, span_len), " ")),
+            )
+        ).alias("_pos", "_h"),
+    )
+    w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
+    dup_ranges = (
+        spans.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(
+            id_col,
+            F.struct(
+                F.col("_pos").alias("s"), (F.col("_pos") + span_len).alias("e")
+            ).alias("_rng"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_rng")).alias("_rngs"))
+    )
+    # merge overlapping/adjacent ranges with one fold over the sorted
+    # array: accumulate (merged-so-far, current) — classic interval
+    # union, per-row, no shuffle
+    merged = F.aggregate(
+        F.col("_rngs"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, r: F.when(
+            (F.size(acc) > 0) & (r.getField("s") <= F.element_at(acc, -1).getField("e")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1).getField("s").alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1).getField("e"), r.getField("e")
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(r))),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            F.col("_m"),
+            lambda r: (s.getField("i") >= r.getField("s"))
+            & (s.getField("i") < r.getField("e")),
+        ),
+    )
+    return (
+        base.join(dup_ranges, id_col, "left")
+        .withColumn(
+            "_m", F.coalesce(merged, F.array().cast("array<struct<s:int,e:int>>"))
+        )
+        .withColumn(
+            out_col,
+            F.array_join(F.transform(kept, lambda s: s.getField("t")), " "),
+        )
+        .select(id_col, out_col)
+    )

@@ -241,3 +241,43 @@ def test_chunk_documents_disjoint_and_overlapping(spark):
     assert texts[3] == "t9"
     with pytest.raises(ValueError):
         packing.chunk_documents(df, "text", "doc_id", max_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_removes_copied_passages(spark):
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "x y a b c d e f g h z"),   # embeds 0's passage
+        (2, "p q r s t u v w"),         # unique
+        (3, "a b c d e f g h i j"),     # full dup of 0
+        (4, "short doc"),               # shorter than span_len
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dd.dedup_spans_global(df, "text", "doc_id", span_len=4).collect()}
+    assert out[0] == "a b c d e f g h i j"   # first occurrence untouched
+    assert out[1] == "x y z"                 # copied passage removed
+    assert out[2] == "p q r s t u v w"
+    assert out[3] == ""                      # fully deduplicated
+    assert out[4] == "short doc"
+    assert len(out) == 5                     # row count preserved
+
+
+def test_span_dedup_partition_invariant_and_merges_overlaps(spark):
+    # overlapping duplicate windows within one doc must merge, not
+    # double-remove; and the result must not depend on partitioning
+    rows = [(0, "m n o p q r"), (1, "h1 m n o p q r h2"), (2, "m n o p q r tail1 tail2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["text"]
+         for r in dd.dedup_spans_global(df, "text", "doc_id", span_len=3).collect()}
+    b = {r["doc_id"]: r["text"]
+         for r in dd.dedup_spans_global(
+             df.repartition(7), "text", "doc_id", span_len=3).collect()}
+    assert a == b
+    assert a[0] == "m n o p q r"
+    assert a[1] == "h1 h2"
+    assert a[2] == "tail1 tail2"
