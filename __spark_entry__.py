@@ -1555,6 +1555,32 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality signal (functions/retrieval.py
+    unigram_nll, arXiv:1911.00359): NLL of every document under a
+    hashed-unigram LM trained on the src0 slice. The LM is a 4096-row
+    bucket table broadcast onto the stream; log-probs quantized to
+    int64 micro-nats so sums are exact under any aggregation order."""
+    from bytewax_spark.functions import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = docs.filter(F.col("source") == "src0")
+    return retrieval.unigram_nll(docs, lm, "text", "doc_id", buckets=4096)
+
+
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (functions/text.py
+    winnow_fingerprints, SIGMOD'03): per-doc windowed-min k-gram
+    hashes, position-aware — any shared substring of window+k-1 chars
+    is guaranteed to collide. Codegen md5 over exploded gram rows +
+    one windowed min per doc; see the function docstring for why the
+    zero-shuffle array-lambda formulation loses."""
+    from bytewax_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4)
+
+
 def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact-substring span dedup (functions/dedup.py
     dedup_spans_global — the ExactSubstr step of Lee et al. 2021,
@@ -2769,6 +2795,52 @@ _ORACLES["dedup_incremental_docs"] = f"""
                     WHERE doc_id < 250)
 """
 
+# add-one-smoothed hashed-unigram LM from the src0 slice; unseen
+# buckets cost ln(T+B) (the c=0 smoothing mass), mirrored exactly
+_ORACLES["perplexity_docs"] = f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_SQL_H64.format('t')} % 4096 AS b
+      FROM (SELECT doc_id, source, UNNEST({_SQL_TOKS}) AS t FROM documents)
+    ),
+    lm AS (SELECT b, COUNT(*) AS c FROM tok WHERE source = 'src0' GROUP BY 1),
+    tot AS (SELECT SUM(c) AS T FROM lm),
+    w AS (
+      SELECT b, CAST(ROUND((LN(T + 4096.0) - LN(c + 1.0)) * 1000000) AS BIGINT) AS nll
+      FROM lm, tot
+    ),
+    pd AS (SELECT doc_id, b, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(n * COALESCE(nll,
+                 (SELECT CAST(ROUND(LN(T + 4096.0) * 1000000) AS BIGINT) FROM tot)
+               )) AS BIGINT) AS nll_micro
+    FROM pd LEFT JOIN w USING (b) GROUP BY 1
+"""
+
+# packed (hash40 * 2^20 + pos) makes the windowed argmin a plain
+# integer min in both engines; decode on output
+_ORACLES["winnow_fingerprints_docs"] = """
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(text) >= 5 THEN
+               LIST_TRANSFORM(RANGE(1, LENGTH(text) - 3),
+                 i -> ('0x' || SUBSTR(MD5(SUBSTR(text, i, 5)), 1, 10))::BIGINT
+                      * 1048576 + (i - 1))
+             ELSE [] END AS comb
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(0, GREATEST(LEN(comb) - 4, 0) + 1),
+               j -> LIST_AGGREGATE(comb[j + 1:j + 4], 'min'))) AS fps
+      FROM g WHERE LEN(comb) > 0
+    )
+    SELECT doc_id,
+           CAST(FLOOR(f / 1048576) AS BIGINT) AS fp,
+           CAST(f % 1048576 AS BIGINT) AS pos
+    FROM (SELECT doc_id, UNNEST(fps) AS f FROM w)
+"""
+
 # every repeated 8-token window keeps only its first (doc_id, pos)
 # occurrence; a token survives iff no duplicate-occurrence range
 # covers it (coverage by raw ranges == coverage by merged ranges, so
@@ -3791,6 +3863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_sizes_docs": shard_sizes_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "span_dedup_docs": span_dedup_docs,
+        "perplexity_docs": perplexity_docs,
+        "winnow_fingerprints_docs": winnow_fingerprints_docs,
         "bloom_dedup_incremental_docs": bloom_dedup_incremental_docs,
         "minhash_verified_pairs_docs": minhash_verified_pairs_docs,
         "semdedup_docs": semdedup_docs,

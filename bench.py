@@ -213,6 +213,8 @@ EXTENDED_QUERIES = [
     # retrieval/curation surface: Bloom incremental dedup, verified
     # MinHash, SemDeDup, DSIR weights, TF-IDF/BM25, chunking
     "span_dedup_docs",
+    "perplexity_docs",
+    "winnow_fingerprints_docs",
     "bloom_dedup_incremental_docs",
     "minhash_verified_pairs_docs",
     "semdedup_docs",

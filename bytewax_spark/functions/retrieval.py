@@ -29,6 +29,7 @@ from .text import hash64, tokenize
 
 __all__ = [
     "dsir_logratio_weights",
+    "unigram_nll",
     "tfidf_top_terms",
     "bm25_scores",
 ]
@@ -105,6 +106,65 @@ def dsir_logratio_weights(
         .agg(
             F.sum("_n").alias("n_tokens"),
             F.sum(F.col("_n") * F.col("_w")).alias("llr_micro"),
+        )
+    )
+
+
+def unigram_nll(
+    df: DataFrame,
+    lm_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 4096,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-document negative log-likelihood under a hashed-unigram
+    language model trained on ``lm_df`` — the CCNet-style perplexity
+    quality signal (Wenzek et al. 2020, arXiv:1911.00359 — public; a
+    corpus is bucketed by LM perplexity and the gibberish tail
+    dropped). Columns: ``n_tokens`` and ``nll_micro`` = Σ -ln p(token)
+    in integer micro-nats (divide by ``micro * n_tokens`` for mean
+    NLL; exp of that is perplexity).
+
+    The "model" is add-one-smoothed bucket frequencies over a FIXED
+    hash space — the same scale trick as DSIR: the LM is a
+    ``buckets``-row table whatever the vocabulary, broadcast onto the
+    stream; per-token log-probs are quantized to int64 micro-units so
+    the per-doc sum is exact under any aggregation order."""
+    lm = (
+        _bucketed_tokens(lm_df, text_col, id_col, buckets)
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = lm.agg(F.sum("_c").alias("_T"))
+    fb = float(buckets)
+    w = (
+        lm.join(F.broadcast(tot))
+        .select(
+            "_b",
+            F.round((F.log(F.col("_T") + fb) - F.log(F.col("_c") + 1.0)) * micro)
+            .cast("long")
+            .alias("_nll"),
+        )
+    )
+    # tokens hashing to a bucket absent from the LM get the unseen-mass
+    # cost -ln(1/(T+B)); computed from the same one-row total
+    per_doc = _bucketed_tokens(df, text_col, id_col, buckets).groupBy(
+        id_col, "_b"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    unseen = F.round(F.log(F.col("_T") + fb) * micro).cast("long")
+    return (
+        per_doc.join(F.broadcast(w), "_b", "left")
+        .join(F.broadcast(tot))
+        .select(
+            id_col,
+            "_n",
+            F.coalesce(F.col("_nll"), unseen).alias("_w"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("n_tokens"),
+            F.sum(F.col("_n") * F.col("_w")).alias("nll_micro"),
         )
     )
 

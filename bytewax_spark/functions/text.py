@@ -24,6 +24,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "winnow_fingerprints",
     "top_word_frac",
     "distinct_word_ratio",
     "dup_ngram_frac",
@@ -157,6 +158,69 @@ def fingerprint(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     canon = F.array_join(F.array_sort(F.array_distinct(tokenize(c))), " ")
     return hash64(canon)
+
+
+def winnow_fingerprints(
+    df, text_col: str, id_col: str, k: int = 5, window: int = 4
+):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS plagiarism-detection algorithm, public): hash every
+    ``k``-char gram, slide a ``window`` over the hash sequence, keep
+    each window's minimum → a compact, position-aware fingerprint set
+    that two documents share iff they share a sufficiently long
+    substring. Guarantees: any match ≥ window+k-1 chars is caught.
+
+    Returns ``(id, fp, pos)`` rows — the distinct selected
+    fingerprints with their 0-based gram offsets. The windowed argmin
+    runs on PACKED ``hash40 * 2^20 + pos`` int64s, so ties break to
+    the leftmost position and an external SQL oracle reproduces every
+    selection bit-for-bit; documents must stay under 2^20 grams (1M
+    chars — chunk longer docs first).
+
+    Shape, deliberately ROW-based: grams explode to (id, pos, packed)
+    rows with the md5 in a plain projection (whole-stage codegen),
+    then one windowed ``min`` over the next ``window`` rows per doc
+    and a distinct. Costs one shuffle of 16-byte gram rows — the same
+    posture as the shingle pipelines. The tempting array-only
+    formulation (transform + slice/zip_with lambdas, zero shuffle)
+    loses badly: higher-order lambdas don't codegen, and any explode
+    of the result collapses the projection into the Generate where the
+    md5 transform gets inlined per window branch (23 copies measured,
+    ~60x slower) — Catalyst does no cross-lambda CSE."""
+    from pyspark.sql import Window
+
+    # gram count as a LENGTH formula, not size(char_ngrams(...)): the
+    # optimizer pushes this projection below the Generate, where a
+    # size-of-transform expression would replay the whole gram array
+    # once per exploded row — O(grams²) per doc (measured: turns a
+    # 2 s scan into minutes at sf0.01)
+    m = F.greatest(F.length(text_col) - (k - 1), F.lit(0))
+    grams = df.select(
+        F.col(id_col),
+        m.alias("_m"),
+        F.posexplode(char_ngrams(text_col, k)).alias("_pos", "_g"),
+    )
+    packed = grams.select(
+        id_col,
+        "_m",
+        "_pos",
+        (
+            F.conv(F.substring(F.md5("_g"), 1, 10), 16, 10).cast("bigint")
+            * F.lit(1 << 20)
+            + F.col("_pos")
+        ).alias("_p"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
+    return (
+        packed.withColumn("_win", F.min("_p").over(w))
+        .filter(F.col("_pos") <= F.greatest(F.col("_m") - window, F.lit(0)))
+        .select(
+            id_col,
+            F.floor(F.col("_win") / (1 << 20)).cast("long").alias("fp"),
+            F.pmod(F.col("_win"), F.lit(1 << 20)).cast("long").alias("pos"),
+        )
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -281,3 +281,44 @@ def test_span_dedup_partition_invariant_and_merges_overlaps(spark):
     assert a[0] == "m n o p q r"
     assert a[1] == "h1 h2"
     assert a[2] == "tail1 tail2"
+
+
+# ---------------------------------------------------------------------------
+# unigram perplexity + winnowing
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_nll_scores_lm_like_docs_lower(spark):
+    lm = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "zyx wvu tsr qpo nml kji")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["nll_micro"] / r["n_tokens"]
+           for r in retrieval.unigram_nll(docs, lm, "text", "doc_id", buckets=1024).collect()}
+    # in-distribution text has strictly lower mean NLL than gibberish
+    assert out[0] < out[1]
+
+
+def test_winnow_shared_substring_collides(spark):
+    from bytewax_spark.functions import text as tx
+
+    rows = [
+        (0, "the quick brown fox jumps over it"),
+        (1, "XXXX the quick brown fox jumps YY"),   # shares a long substring
+        (2, "completely unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = tx.winnow_fingerprints(df, "text", "doc_id", k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: any shared substring >= window+k-1 (8) chars shares a fingerprint
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
+    # partition invariance
+    fps2 = tx.winnow_fingerprints(df.repartition(7), "text", "doc_id", k=5, window=4)
+    assert sorted(map(tuple, fps.collect())) == sorted(map(tuple, fps2.collect()))
