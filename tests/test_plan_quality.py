@@ -210,3 +210,63 @@ def test_corpus_shuffle_head_no_global_sort(spark, sf_dir):
     the whole corpus to look at 25 rows is the wrong plan."""
     plan = _plan(spark, "corpus_shuffle_head", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, "chunk_docs_32", sf_dir)
+    assert "Exchange" not in plan      # pure per-row: scan -> generate -> project
+    assert "EvalPython" not in plan
+
+
+def test_sample_exact_n_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "sample_exact_100_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no global sort
+    assert "Sort " not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_bm25_take_ordered_and_jvm_side(spark, sf_dir):
+    plan = _plan(spark, "bm25_search_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "dsir_weights_docs", sf_dir)
+    # the B-row weight table joins by broadcast; the only hash
+    # exchanges are the (id, bucket) partial-count aggregations
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_winnow_single_hash_transform_in_plan(spark, sf_dir):
+    # regression gate for the Generate-inlining pathology: the gram
+    # md5 must appear ONCE (codegen projection after the explode),
+    # never replicated per window branch or per output row
+    plan = _plan(spark, "winnow_fingerprints_docs", sf_dir)
+    assert plan.count("md5") == 1
+    assert "EvalPython" not in plan
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    plan = _plan(spark, "span_dedup_docs", sf_dir)
+    # rank-of-first-occurrence runs over (id, pos, hash) rows; the
+    # interval merge and token filter are per-row folds, so no join
+    # against the ranges and no Python anywhere
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_incremental_probe_is_map_side_literal(spark, sf_dir):
+    plan = _plan(spark, "bloom_dedup_incremental_docs", sf_dir)
+    # the bloom probe is a filter over a plan literal — no extra join
+    # for the novel branch; exactly the dedup aggregation + one
+    # anti-join + the union of the two branches
+    assert plan.count("LeftAnti") == 1
+    assert "Union" in plan
+    assert "EvalPython" not in plan
+
+
+def test_semdedup_blocked_join_no_python(spark, sf_dir):
+    plan = _plan(spark, "semdedup_docs", sf_dir)
+    assert "CartesianProduct" not in plan  # cell-blocked equi-join, never all-pairs
+    assert "EvalPython" not in plan
