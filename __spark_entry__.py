@@ -1555,6 +1555,68 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def gapfill_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill (functions/timeseries.py):
+    one row per (user, hour) from each user's first to last event,
+    holes carrying the last hourly value forward. Grid bounded per
+    key (no global calendar cross join); fill is last(ignorenulls)
+    over a per-key window."""
+    from bytewax_spark.functions import timeseries as ts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    return ts.gapfill_ffill(ev, "user_id", "ts", "value", bucket="hour")
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregation (SURVEY §2.7 Spark-native surface):
+    revenue by priority, by status, and grand total in ONE scan —
+    rollup/cube's general form, map-side expanded by Catalyst."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+def users_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (SURVEY §2.7): users with a high-value click but
+    no high-value purchase — the complement of
+    users_click_and_purchase's INTERSECT. ``subtract`` = EXCEPT
+    DISTINCT; compiles to a distinct + anti-join shuffle pair with
+    both value filters pushed to the scan."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 95)
+    ).select("user_id")
+    buys = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 95)
+    ).select("user_id")
+    return clicks.subtract(buys)
+
+
+def pivot_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2.7): order revenue as one row per status with a
+    column per priority. Values are plan-time literals (no extra
+    distinct-values scan), so the pivot is one partial-agg shuffle."""
+    pr = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pr)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    renames = {p: f"p{p[0]}" for p in pr}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
 def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality signal (functions/retrieval.py
     unigram_nll, arXiv:1911.00359): NLL of every document under a
@@ -2795,6 +2857,52 @@ _ORACLES["dedup_incremental_docs"] = f"""
                     WHERE doc_id < 250)
 """
 
+_ORACLES["gapfill_user_hourly"] = """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, ROUND(SUM(value), 4) AS v
+      FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id,
+             UNNEST(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+      FROM b GROUP BY user_id
+    ),
+    j AS (SELECT s.user_id, s.h, b.v FROM span s LEFT JOIN b USING (user_id, h))
+    SELECT user_id, h AS hour,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value
+    FROM j
+"""
+
+_ORACLES["grouping_sets_revenue"] = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+_ORACLES["users_click_not_purchase"] = """
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'click' AND value > 95
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase' AND value > 95
+"""
+
+_ORACLES["pivot_revenue_by_priority"] = """
+    SELECT o_orderstatus,
+           ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS p1,
+           ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS p2,
+           ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS p3,
+           ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p4,
+           ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p5
+    FROM orders GROUP BY o_orderstatus
+"""
+
 # add-one-smoothed hashed-unigram LM from the src0 slice; unseen
 # buckets cost ln(T+B) (the c=0 smoothing mass), mirrored exactly
 _ORACLES["perplexity_docs"] = f"""
@@ -3863,6 +3971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_sizes_docs": shard_sizes_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "span_dedup_docs": span_dedup_docs,
+        "gapfill_user_hourly": gapfill_user_hourly,
+        "grouping_sets_revenue": grouping_sets_revenue,
+        "users_click_not_purchase": users_click_not_purchase,
+        "pivot_revenue_by_priority": pivot_revenue_by_priority,
         "perplexity_docs": perplexity_docs,
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
         "bloom_dedup_incremental_docs": bloom_dedup_incremental_docs,

@@ -322,3 +322,29 @@ def test_winnow_shared_substring_collides(spark):
     # partition invariance
     fps2 = tx.winnow_fingerprints(df.repartition(7), "text", "doc_id", k=5, window=4)
     assert sorted(map(tuple, fps.collect())) == sorted(map(tuple, fps2.collect()))
+
+
+# ---------------------------------------------------------------------------
+# time-series gap-fill
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_ffill_fills_holes_per_key(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions import timeseries as ts
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 5.0),
+        (1, datetime(2024, 1, 1, 3, 20), 7.0),   # hours 1,2 missing
+        (2, datetime(2024, 1, 1, 5, 0), 1.0),    # single point
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r["user_id"], r["hour"].hour): r["value"]
+           for r in ts.gapfill_ffill(df, "user_id", "ts", "value").collect()}
+    assert out[(1, 0)] == 5.0
+    assert out[(1, 1)] == 5.0 and out[(1, 2)] == 5.0   # forward-filled
+    assert out[(1, 3)] == 7.0
+    assert out[(2, 5)] == 1.0
+    # grid is bounded per key: no hours before first or after last
+    assert len(out) == 5
