@@ -1555,6 +1555,59 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction (SURVEY §2.7): parse the
+    events.props JSON column with get_json_object (JVM JSON path, no
+    UDF) and aggregate the extracted field per event type — the
+    schema-on-read shape every event pipeline needs."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def neardup_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL (the product of near-dup
+    detection): MinHash-LSH → star-contracted connected components →
+    keep only each cluster's representative (min doc_id). Survivors
+    come straight from the cluster table — no second pass over the
+    corpus."""
+    from bytewax_spark.functions import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = graph.neardup_clusters(docs, "text", "doc_id", n=1, k=32, bands=4)
+    return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: for 5 probe vectors, IVF top-10 (label cells,
+    nprobe=4) recall against exact cosine top-10, computed entirely in
+    Spark and emitted as per-probe booleans the oracle claims TRUE —
+    the approx_distinct pattern for search quality. Pins that the IVF
+    path keeps >= 50% recall on this corpus."""
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = [r for r in emb.filter(F.col("vec_id") < 5).collect()]
+    rows = []
+    for p in sorted(probes, key=lambda r: r["vec_id"]):
+        q = list(p["embedding"])
+        exact = {
+            r["vec_id"] for r in sim.cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()
+        }
+        ivf = {
+            r["vec_id"]
+            for r in sim.ivf_topk(emb, "embedding", "vec_id", "label", q, k=10, nprobe=4).collect()
+        }
+        recall = len(exact & ivf) / 10.0
+        rows.append((p["vec_id"], recall >= 0.5))
+    return spark.createDataFrame(rows, "probe_id long, recall_ge_50pct boolean")
+
+
 def gapfill_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill + forward-fill (functions/timeseries.py):
     one row per (user, hour) from each user's first to last event,
@@ -2857,6 +2910,23 @@ _ORACLES["dedup_incremental_docs"] = f"""
                     WHERE doc_id < 250)
 """
 
+_ORACLES["props_json_stats"] = """
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM (SELECT event_type, CAST(props::JSON->>'k' AS INT) AS k FROM events)
+    GROUP BY event_type
+"""
+
+
+# the sketch-style boolean oracle (approx_distinct pattern): the gate
+# claims every probe keeps >= 50% recall vs exact top-10
+_ORACLES["ann_recall_check"] = """
+    SELECT UNNEST(RANGE(0, 5))::BIGINT AS probe_id, TRUE AS recall_ge_50pct
+"""
+
 _ORACLES["gapfill_user_hourly"] = """
     WITH b AS (
       SELECT user_id, date_trunc('hour', ts) AS h, ROUND(SUM(value), 4) AS v
@@ -3328,6 +3398,16 @@ _ORACLES["neardup_clusters_docs"] = f"""
     SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
+
+# survivors of near-dup removal: rows whose cluster label is their own
+# id — the recursive transitive-closure oracle, filtered
+_ORACLES["neardup_dedup_docs"] = _ORACLES["neardup_clusters_docs"].replace(
+    "SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id",
+    "SELECT doc_id FROM (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id",
+).replace(
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node",
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node) WHERE doc_id = cluster_id",
+)
 
 _ORACLES["repetition_signals_docs"] = f"""
     SELECT doc_id,
@@ -3971,6 +4051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_sizes_docs": shard_sizes_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "span_dedup_docs": span_dedup_docs,
+        "props_json_stats": props_json_stats,
+        "neardup_dedup_docs": neardup_dedup_docs,
+        "ann_recall_check": ann_recall_check,
         "gapfill_user_hourly": gapfill_user_hourly,
         "grouping_sets_revenue": grouping_sets_revenue,
         "users_click_not_purchase": users_click_not_purchase,
