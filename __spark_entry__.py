@@ -3953,6 +3953,139 @@ _ORACLES["q22_idle_customers"] = """
 """
 
 
+def sample_weighted_100_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-row weighted sample without replacement
+    (functions/sampling.py sample_weighted_n): deterministic
+    Efraimidis-Spirakis A-ES with keep probability proportional to
+    n_chars — rank = ln(hash-uniform)/weight, top-100 ranks win via
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from bytewax_spark.functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_weighted_n(docs, "doc_id", "n_chars", 100, salt="wt").select(
+        "doc_id", "n_chars", "wkey"
+    )
+
+
+def hard_negatives_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hard negatives for anchor vec_id=0
+    (functions/similarity.py hard_negatives): most cosine-similar
+    vectors with a DIFFERENT label — the contrastive-training mining
+    step. Map-local label filter + codegen cosine + TakeOrdered."""
+    from pyspark.sql import functions as SF
+
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(SF.col("vec_id") == 0).first()
+    return sim.hard_negatives(
+        emb, "embedding", "vec_id", "label", list(probe["embedding"]), probe["label"], k=10
+    )
+
+
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->8 dim reduction
+    (functions/similarity.py random_projection): plan-literal ±1/√8
+    md5-seeded sign matrix, one zip_with+aggregate per output dim —
+    shuffle-free, runs at scan rate."""
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.random_projection(emb, "embedding", "vec_id", out_dim=8, dims=64)
+
+
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (functions/graph.py pagerank) over the
+    undirected supplier-customer purchase graph: an edge per distinct
+    (l_suppkey, o_custkey) pair that traded (customer ids offset by
+    1e6 into a shared node space), symmetrized, 3 power-iteration
+    rounds. Integer micro-unit arithmetic makes every rank bit-exact
+    under any aggregation order, so the unrolled-SQL oracle verifies
+    the iteration itself, not just row counts."""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graph.pagerank(sym, "src", "dst", iters=3)
+
+
+_ORACLES["sample_weighted_100_docs"] = f"""
+    SELECT doc_id, n_chars,
+           ROUND(LN((({_SQL_H64.format("CONCAT('wt', CAST(doc_id AS VARCHAR))")}) % 1000000
+                     + 0.5) / 1000000.0) / CAST(n_chars AS DOUBLE), 9) AS wkey
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+    ORDER BY wkey DESC, doc_id LIMIT 100
+"""
+
+_ORACLES["hard_negatives_vec0"] = f"""
+    WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, ROUND({_SQL_COS.format(a='e.embedding', b='qv')}, 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.label <> q.ql
+    ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def _random_projection_oracle() -> str:
+    """Unroll the plan-literal sign matrix into 8 explicit 64-term
+    sums — same left-to-right IEEE add order as the zip_with fold."""
+    from bytewax_spark.functions.similarity import _rp_signs
+
+    inv = 1.0 / (8 ** 0.5)
+    cols = []
+    for j, row in enumerate(_rp_signs(8, 64, seed=42)):
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({float(s)!r})" for i, s in enumerate(row)
+        )
+        cols.append(f"ROUND(({terms}) * {inv!r}, 6) AS rp{j}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+_ORACLES["random_projection_embeddings"] = _random_projection_oracle()
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled fixed-point power iteration: r0 uniform, each round one
+    join+sum CTE — all BIGINT div/mul, bit-identical to the Spark
+    loop."""
+    sql = f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+    params AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST((SELECT {scale} // n FROM params) AS BIGINT) AS rank FROM nodes)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    r{t} AS (
+      SELECT nd.node,
+             CAST((SELECT ({scale} * 15) // (100 * n) FROM params)
+                  + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+        FROM e JOIN r{t - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY 1
+      ) s ON nd.node = s.node
+    )"""
+    return sql + f"\n    SELECT node, rank FROM r{iters}"
+
+
+_ORACLES["pagerank_purchase_graph"] = _pagerank_oracle()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4086,6 +4219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_registry_resolve_docs": avro_registry_resolve_docs,
         "multimodal_frame_samples": multimodal_frame_samples,
         "multimodal_resize_meta": multimodal_resize_meta,
+        "sample_weighted_100_docs": sample_weighted_100_docs,
+        "hard_negatives_vec0": hard_negatives_vec0,
+        "random_projection_embeddings": random_projection_embeddings,
+        "pagerank_purchase_graph": pagerank_purchase_graph,
     }
 
 

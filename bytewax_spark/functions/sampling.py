@@ -41,6 +41,7 @@ __all__ = [
     "stratified_sample",
     "split_train_test",
     "sample_exact_n",
+    "sample_weighted_n",
     "domain_mixture",
     "quantile_band",
 ]
@@ -150,6 +151,43 @@ def sample_exact_n(df: DataFrame, key_col: str, n: int, salt: str = "") -> DataF
         raise ValueError(f"n must be >= 0, got {n}")
     h = hash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     return df.orderBy(h, F.col(key_col)).limit(n)
+
+
+def sample_weighted_n(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    n: int,
+    salt: str = "",
+    key_out: str = "wkey",
+) -> DataFrame:
+    """EXACTLY ``n`` rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` — deterministic Efraimidis-Spirakis
+    A-ES: each row draws u = hash-uniform(key, salt) in (0, 1) and is
+    ranked by ln(u)/w (the monotone transform of u^(1/w)); the top-n
+    ranks win. Length-weighted corpus subsets ("sample 1M docs
+    proportional to token count") are this shape. Rows with weight <= 0
+    or NULL are excluded.
+
+    Scale: identical to ``sample_exact_n`` — sort + limit compiles to
+    ``TakeOrderedAndProject`` (per-partition top-n heaps, n rows per
+    partition leave the scan, no global sort, no shuffle of the corpus).
+    u is the quantized ``sample_bucket`` hash (+0.5 to stay inside the
+    open interval), so membership depends only on (key, salt, weight)
+    and the oracle reproduces every rank bit-for-bit; the rank is
+    rounded to 9 decimals (same engine-portability convention as the
+    cosine oracles) with key tiebreak."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (sample_bucket(key_col, salt).cast("double") + 0.5) / BUCKETS
+    rank = F.round(F.log(u) / w.cast("double"), 9)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn(key_out, rank)
+        .orderBy(F.col(key_out).desc(), F.col(key_col))
+        .limit(n)
+    )
 
 
 def quantile_band(

@@ -27,11 +27,13 @@ __all__ = [
     "as_double",
     "cosine",
     "cosine_topk",
+    "hard_negatives",
     "ivf_topk",
     "lsh_bucket_col",
     "lsh_buckets",
     "lsh_probe_buckets",
     "quantize_embeddings",
+    "random_projection",
 ]
 
 
@@ -108,6 +110,97 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    query_vec: list[float],
+    query_label,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k HARD NEGATIVES for an anchor: the most cosine-similar
+    vectors whose label differs from the anchor's — the contrastive-
+    training mining step (similar-but-wrong examples teach the sharpest
+    decision boundaries; random negatives are too easy to move the
+    loss).
+
+    Same scale shape as :func:`cosine_topk`: the label test is a
+    map-local filter fused into the scan, scoring is codegen'd
+    ``zip_with``/``aggregate``, and sort+limit compiles to
+    TakeOrderedAndProject — per-partition k-heaps, no global sort, the
+    corpus never shuffles. Mining negatives for a BATCH of anchors is
+    this expression per anchor over one shared scan (or IVF-probed via
+    ``ivf_topk``'s cell filter when the anchor count is large)."""
+    q = _qvec(query_vec)
+    v = as_double(vec_col)
+    scored = df.filter(F.col(label_col) != F.lit(query_label)).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.round(cosine(v, q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _rp_signs(out_dim: int, dims: int, seed: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for random projection, derived from
+    the engine-portable md5 convention (``text.hash64``) so a SQL
+    oracle regenerates the identical matrix: sign[j][i] = +1 iff
+    md5('rp{seed}:{j}:{i}')'s 60-bit prefix is even."""
+    import hashlib
+
+    signs = []
+    for j in range(out_dim):
+        row = []
+        for i in range(dims):
+            h = int(
+                hashlib.md5(f"rp{seed}:{j}:{i}".encode()).hexdigest()[:15], 16
+            )
+            row.append(1 if h % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 8,
+    dims: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, rp0..rp{out_dim-1}) — Johnson-Lindenstrauss dimensionality
+    reduction with a dense ±1/√d' sign matrix (Achlioptas 2003: the
+    ±1 database-friendly projection preserves pairwise distances within
+    (1±ε) like the Gaussian one). The embedding shrink step before
+    clustering / dedup / visualization at corpus scale.
+
+    The matrix is a PLAN-TIME literal (seeded md5 signs — no driver
+    action, no broadcast join, reproducible in a SQL oracle), so each
+    output dim is one ``zip_with``+``aggregate`` over the row's vector:
+    entirely map-local inside whole-stage codegen, zero shuffle — at
+    100 TB this runs at scan rate and writes out_dim/dims of the bytes.
+    ``dims`` is required, like :func:`lsh_bucket_col` (inferring it
+    would need a driver-side action at plan time). Values are rounded
+    to 6 decimals (engine-portability convention)."""
+    if dims is None:
+        raise ValueError(
+            "random_projection needs dims= (embedding dimensionality); inferring "
+            "it would require a driver-side .first() action during plan construction"
+        )
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    v = as_double(vec_col)
+    cols = []
+    for j, row in enumerate(_rp_signs(out_dim, dims, seed)):
+        s = F.array([F.lit(float(x)) for x in row])
+        cols.append(F.round(_dot(v, s) * F.lit(inv), 6).alias(f"rp{j}"))
+    return df.select(F.col(id_col), *cols)
 
 
 def quantize_embeddings(

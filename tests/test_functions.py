@@ -623,3 +623,57 @@ def test_minhash_signature_cache_is_bounded(spark, sf_dir):
     assert n_cached() <= base + 1
     dedup.release_signature_caches()
     assert n_cached() <= base
+
+
+def test_hard_negatives_excludes_anchor_label(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).first()
+    neg = similarity.hard_negatives(
+        emb, "embedding", "vec_id", "label", list(probe["embedding"]), probe["label"], k=7
+    ).collect()
+    assert len(neg) == 7
+    assert all(r["label"] != probe["label"] for r in neg)
+    cosines = [r["cosine"] for r in neg]
+    assert cosines == sorted(cosines, reverse=True)
+    # the top hard negative is the best cross-label match: no other-label
+    # vector may score above it
+    brute = similarity.cosine_topk(emb, "embedding", "vec_id", list(probe["embedding"]), k=50)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    best_cross = next(
+        r["cosine"] for r in brute.collect() if labels[r["vec_id"]] != probe["label"]
+    )
+    assert math.isclose(neg[0]["cosine"], best_cross, abs_tol=1e-9)
+
+
+def test_random_projection_shape_and_determinism(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    rp = similarity.random_projection(emb, "embedding", "vec_id", out_dim=8, dims=64)
+    assert rp.columns == ["vec_id"] + [f"rp{j}" for j in range(8)]
+    a = sorted(map(tuple, rp.collect()))
+    b = sorted(map(tuple, similarity.random_projection(
+        emb.repartition(7), "embedding", "vec_id", out_dim=8, dims=64
+    ).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="dims"):
+        similarity.random_projection(emb, "embedding", "vec_id")
+
+
+def test_random_projection_preserves_similarity_rank(spark, sf_dir):
+    """JL sanity: the nearest neighbor of a vector in the original
+    space stays among the projected space's closer vectors (weak rank
+    check, not a distance bound — 8 dims from 64 is lossy)."""
+    emb = load(spark, sf_dir, "embeddings").limit(100)
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    top = similarity.cosine_topk(emb, "embedding", "vec_id", q, k=2).collect()
+    nn = next(r["vec_id"] for r in top if r["vec_id"] != 0)
+    rows = {r["vec_id"]: [r[f"rp{j}"] for j in range(8)] for r in similarity.random_projection(
+        emb, "embedding", "vec_id", out_dim=8, dims=64
+    ).collect()}
+    import numpy as np
+
+    qv = np.array(rows[0])
+    dists = {
+        vid: float(np.linalg.norm(np.array(v) - qv)) for vid, v in rows.items() if vid != 0
+    }
+    rank = sorted(dists, key=dists.get).index(nn)
+    assert rank < len(dists) // 2  # true NN lands in the closer half after projection

@@ -85,3 +85,50 @@ def test_pii_counts_and_redact(spark):
     assert "<PHONE>" in rows[0]["red"]
     assert "<IPV4>" in rows[1]["red"] and "<SSN>" in rows[1]["red"]
     assert rows[2]["red"] == "nothing sensitive here"
+
+
+# ---------------------------------------------------------------------------
+# pagerank (fixed-point power iteration)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_symmetric_pair_fixed_point(spark):
+    """On the 2-cycle the uniform distribution is the exact fixed
+    point; the integer iteration must hold it bit-for-bit."""
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(edges, iters=4).collect()}
+    assert ranks == {1: 500_000_000_000, 2: 500_000_000_000}
+
+
+def test_pagerank_mass_and_ordering(spark):
+    """Hub (everyone links to node 0) must out-rank the spokes, and
+    total mass stays within truncation slack of the scale."""
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 9)] + [(0, i) for i in range(1, 9)],
+        "src long, dst long",
+    )
+    rows = graph.pagerank(edges, iters=5).collect()
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert all(ranks[0] > ranks[i] for i in range(1, 9))
+    total = sum(ranks.values())
+    # each round truncates < (deg + 1) micro-units per node
+    assert 10**12 - 1000 <= total <= 10**12
+
+
+def test_pagerank_partition_invariance_bit_exact(spark):
+    edges_rows = [(i, (i * 7) % 20) for i in range(20) if i != (i * 7) % 20]
+    e1 = spark.createDataFrame(edges_rows, "src long, dst long")
+    e2 = e1.repartition(13)
+    a = sorted(map(tuple, graph.pagerank(e1, iters=3).collect()))
+    b = sorted(map(tuple, graph.pagerank(e2, iters=3).collect()))
+    assert a == b  # integer arithmetic: identical, not just close
+
+
+def test_pagerank_empty_and_zero_iters(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(empty, iters=3).count() == 0
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    r0 = {r["node"]: r["rank"] for r in graph.pagerank(edges, iters=0).collect()}
+    assert r0 == {1: 500_000_000_000, 2: 500_000_000_000}
+    with pytest.raises(ValueError):
+        graph.pagerank(edges, iters=-1)

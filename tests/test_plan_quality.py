@@ -270,3 +270,32 @@ def test_semdedup_blocked_join_no_python(spark, sf_dir):
     plan = _plan(spark, "semdedup_docs", sf_dir)
     assert "CartesianProduct" not in plan  # cell-blocked equi-join, never all-pairs
     assert "EvalPython" not in plan
+
+
+def test_sample_weighted_n_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "sample_weighted_100_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # per-partition top-n heaps
+    assert "EvalPython" not in plan
+
+
+def test_hard_negatives_take_ordered_no_join(spark, sf_dir):
+    plan = _plan(spark, "hard_negatives_vec0", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # the label test is a filter fused into the scan side, not a join
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_random_projection_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, "random_projection_embeddings", sf_dir)
+    # plan-literal sign matrix: pure projection, zero exchanges
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pagerank_shuffles_ids_not_payloads(spark, sf_dir):
+    plan = _plan(spark, "pagerank_purchase_graph", sf_dir)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

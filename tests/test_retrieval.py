@@ -348,3 +348,47 @@ def test_gapfill_ffill_fills_holes_per_key(spark):
     assert out[(2, 5)] == 1.0
     # grid is bounded per key: no hours before first or after last
     assert len(out) == 5
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_n (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_weighted_n_deterministic_and_exact(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10 + 1).alias("w")
+    )
+    a = sorted(r["doc_id"] for r in sampling.sample_weighted_n(df, "doc_id", "w", 100).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.sample_weighted_n(df.repartition(13), "doc_id", "w", 100).collect()
+    )
+    assert len(a) == 100 and a == b
+    c = sorted(
+        r["doc_id"]
+        for r in sampling.sample_weighted_n(df, "doc_id", "w", 100, salt="x").collect()
+    )
+    assert a != c
+
+
+def test_sample_weighted_n_favors_heavy_rows(spark):
+    """Rows with weight 50 must be drawn far more often than weight-1
+    rows (deterministic draw, statistical property over 2000 rows)."""
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit(1)).otherwise(F.lit(50)).alias("w"),
+    )
+    picked = [r["doc_id"] for r in sampling.sample_weighted_n(df, "doc_id", "w", 200).collect()]
+    heavy = sum(1 for d in picked if d >= 1000)
+    assert heavy > 150  # expectation ~196 of 200
+
+
+def test_sample_weighted_n_drops_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)], "doc_id long, w double"
+    )
+    picked = {r["doc_id"] for r in sampling.sample_weighted_n(df, "doc_id", "w", 10).collect()}
+    assert picked == {1, 5}
+    with pytest.raises(ValueError):
+        sampling.sample_weighted_n(df, "doc_id", "w", -1)
