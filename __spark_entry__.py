@@ -4086,6 +4086,68 @@ def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
 _ORACLES["pagerank_purchase_graph"] = _pagerank_oracle()
 
 
+def triangle_counts_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts (functions/graph.py triangle_counts)
+    over the part co-occurrence graph: parts are linked when they
+    appear in the same order. Degree-ordered orientation bounds wedge
+    fan-out at O(√|E|) per node; the co-occurrence self-join is bounded
+    by order size, never corpus size."""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "_ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return graph.triangle_counts(edges)
+
+
+def pct_nchars_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile normalization of document length
+    (functions/sampling.py percentile_normalize): the cross-source
+    calibration step before a global quality cut. Computed over
+    per-(source, distinct score) counts, NOT a corpus-wide window — a
+    handful of sources never collapses a 100 TB scan into a handful of
+    tasks."""
+    from bytewax_spark.functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.percentile_normalize(docs, "n_chars", "source").select(
+        "doc_id", "source", "n_chars", "pct"
+    )
+
+
+# orientation is a perf strategy, not semantics: the oracle counts the
+# same triangles via canonical id-ordered 3-way join
+_ORACLES["triangle_counts_copart"] = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node
+"""
+
+_ORACLES["pct_nchars_by_source_docs"] = """
+    SELECT doc_id, source, n_chars,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars), 9) AS pct
+    FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4223,6 +4285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_vec0": hard_negatives_vec0,
         "random_projection_embeddings": random_projection_embeddings,
         "pagerank_purchase_graph": pagerank_purchase_graph,
+        "triangle_counts_copart": triangle_counts_copart,
+        "pct_nchars_by_source_docs": pct_nchars_by_source_docs,
     }
 
 

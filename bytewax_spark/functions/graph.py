@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "neardup_clusters", "pagerank"]
+__all__ = ["connected_components", "neardup_clusters", "pagerank", "triangle_counts"]
 
 
 def connected_components(
@@ -167,6 +167,71 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """(node, triangles) — per-node triangle membership counts over an
+    undirected edge list (direction and duplicates ignored; self-loops
+    dropped). Triangle density separates organic similarity
+    neighborhoods from spam link-farms / template blobs in near-dup
+    graphs — the classic graph-quality signal.
+
+    Degree-ordered edge orientation (Cohen's MapReduce triangle
+    counting): orient every edge from its lower-(degree, id) endpoint
+    to the higher one, enumerate wedges only at each node's OUT-edges,
+    and close them against the oriented edge set. Each triangle is
+    found exactly once, at its lowest-rank apex — and the wedge count
+    is Σ outdeg², where orientation bounds outdeg by O(√|E|) even for
+    scale-free hubs (a celebrity node of degree 10⁶ generates wedges
+    at its FOLLOWERS, not 10¹² pairs at itself). Three equi-joins and
+    one aggregation — no cartesian, payloads never ship, |E|-id
+    shuffles only."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    ).localCheckpoint(eager=True)  # read 3× below: wedge both sides + closure
+    x = oriented.select(
+        F.col("s"), F.col("d").alias("a"), F.col("dd").alias("da")
+    )
+    y = oriented.select(
+        F.col("s"), F.col("d").alias("b"), F.col("dd").alias("db")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    wedges = x.join(y, "s").filter(a_first).select("s", "a", "b")
+    closer = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    tris = wedges.join(closer, ["a", "b"]).select("s", "a", "b")
+    return (
+        tris.select(
+            F.explode(F.array(F.col("s"), F.col("a"), F.col("b"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
 
 
 def neardup_clusters(

@@ -43,6 +43,7 @@ __all__ = [
     "sample_exact_n",
     "sample_weighted_n",
     "domain_mixture",
+    "percentile_normalize",
     "quantile_band",
 ]
 
@@ -223,6 +224,54 @@ def quantile_band(
         )
         .drop("_qb_t")
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Add ``out_col`` = the row's percentile rank of ``score_col``
+    WITHIN its ``group_col`` (0.0 = group minimum, 1.0 = group maximum,
+    ties share a rank — SQL ``percent_rank`` semantics). The
+    cross-source calibration step before a global quality threshold:
+    raw quality scores aren't comparable across domains (boilerplate
+    norms differ), per-source percentiles are.
+
+    NOT implemented as ``percent_rank().over(partitionBy(group))`` on
+    the corpus: that sorts every row of a group inside one task, and a
+    100 TB corpus with a handful of sources means a handful of tasks.
+    Instead the corpus reduces to per-(group, DISTINCT score) counts —
+    bounded by score cardinality, not row count — the rank arithmetic
+    runs as a window over that small table, and the mapping joins back
+    on (group, score). The corpus-side cost is one aggregation and one
+    equi-join; with quantized scores (the practical case) the mapping
+    table is broadcast-sized and AQE plans it as a broadcast join.
+    Rounded to 9 decimals (ratio of exact int64 counts — the rounding
+    only pins cross-engine repr)."""
+    from pyspark.sql import Window
+
+    gs = df.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("_c"))
+    below_w = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp_w = Window.partitionBy(group_col)
+    mapping = gs.select(
+        group_col,
+        score_col,
+        F.coalesce(F.sum("_c").over(below_w), F.lit(0)).alias("_below"),
+        F.sum("_c").over(grp_w).alias("_n"),
+    ).select(
+        group_col,
+        score_col,
+        F.when(F.col("_n") > 1, F.round(F.col("_below") / (F.col("_n") - 1), 9))
+        .otherwise(F.lit(0.0))
+        .alias(out_col),
+    )
+    return df.join(mapping, [group_col, score_col])
 
 
 def _domain_counts(

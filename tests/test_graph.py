@@ -132,3 +132,34 @@ def test_pagerank_empty_and_zero_iters(spark):
     assert r0 == {1: 500_000_000_000, 2: 500_000_000_000}
     with pytest.raises(ValueError):
         graph.pagerank(edges, iters=-1)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: nodes of the shared edge sit in 2 triangles,
+    the others in 1."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["triangles"] for r in graph.triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_ignores_direction_dups_loops(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["triangles"] for r in graph.triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_triangle_free(spark):
+    # a star has wedges but no closures; nodes without triangles are absent
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    assert graph.triangle_counts(edges).count() == 0

@@ -299,3 +299,19 @@ def test_pagerank_shuffles_ids_not_payloads(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_counts_no_cartesian_no_python(spark, sf_dir):
+    plan = _plan(spark, "triangle_counts_copart", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_percentile_normalize_windows_distinct_scores_only(spark, sf_dir):
+    """The rank window must run over the per-(source, score) aggregate,
+    never the corpus: a partial aggregation precedes the window sort."""
+    plan = _plan(spark, "pct_nchars_by_source_docs", sf_dir)
+    assert "partial_count" in plan  # corpus reduces before the window
+    assert "Window" in plan
+    assert "EvalPython" not in plan

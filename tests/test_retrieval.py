@@ -392,3 +392,25 @@ def test_sample_weighted_n_drops_nonpositive_weights(spark):
     assert picked == {1, 5}
     with pytest.raises(ValueError):
         sampling.sample_weighted_n(df, "doc_id", "w", -1)
+
+
+def test_percentile_normalize_matches_percent_rank(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 20), ("a", 30), ("b", 5), ("b", 7), ("c", 99)],
+        "g string, s int",
+    ).withColumn("rid", F.monotonically_increasing_id())
+    got = {
+        (r["g"], r["rid"]): r["pct"]
+        for r in sampling.percentile_normalize(df, "s", "g").collect()
+    }
+    ref = {
+        (r["g"], r["rid"]): round(r["ref"], 9)
+        for r in df.withColumn(
+            "ref", F.percent_rank().over(Window.partitionBy("g").orderBy("s"))
+        ).collect()
+    }
+    assert got == ref
+    # singleton group pins to 0.0, ties share a rank
+    assert got[("c", [k for (g, k) in got if g == "c"][0])] == 0.0
