@@ -4148,6 +4148,63 @@ _ORACLES["pct_nchars_by_source_docs"] = """
 """
 
 
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing
+    (functions/sampling.py temperature_mixture, the mT5 alpha-sampling
+    scheme, alpha=0.5, target 300 rows): α-weights every source with
+    NO driver collect — counts, weight sum, and per-domain thresholds
+    all stay distributed, so it survives web-corpus domain
+    cardinality where domain_mixture's named-domain collect would
+    not."""
+    from bytewax_spark.functions import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_mixture(
+        docs, "source", "doc_id", alpha=0.5, n_target=300, salt="tm"
+    ).select("doc_id", "source")
+
+
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary induction with cumulative coverage
+    (functions/retrieval.py vocab_coverage): token counts reduce
+    map-side, top-V is TakeOrdered, the cumulative window runs over V
+    rows only; 1 - coverage at rank V is the OOV rate."""
+    from bytewax_spark.functions import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.vocab_coverage(docs, "text", vocab_size=50)
+
+
+_ORACLES["temperature_mixture_docs"] = f"""
+    WITH c AS (SELECT source AS dom, COUNT(*) AS c FROM documents GROUP BY 1),
+    w AS (SELECT dom, c,
+                 CAST(ROUND(POWER(CAST(c AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS w
+          FROM c),
+    ws AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM w),
+    thr AS (
+      SELECT dom,
+             LEAST(1000000, CAST(FLOOR((1000000.0 * 300.0 * CAST(w AS DOUBLE))
+                    / (CAST(wsum AS DOUBLE) * CAST(c AS DOUBLE))) AS BIGINT)) AS thr
+      FROM w, ws
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON d.source = thr.dom
+    WHERE ({_SQL_H64.format("CONCAT('tm', CAST(doc_id AS VARCHAR))")}) % 1000000 < thr
+"""
+
+_ORACLES["vocab_coverage_docs"] = f"""
+    WITH tok AS (SELECT UNNEST({_SQL_TOKS}) AS token FROM documents),
+    cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnt),
+    top AS (SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 50)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+           token, cnt,
+           ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token) AS DOUBLE)
+                 / CAST((SELECT t FROM tot) AS DOUBLE), 9) AS coverage
+    FROM top
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4287,6 +4344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_purchase_graph": pagerank_purchase_graph,
         "triangle_counts_copart": triangle_counts_copart,
         "pct_nchars_by_source_docs": pct_nchars_by_source_docs,
+        "temperature_mixture_docs": temperature_mixture_docs,
+        "vocab_coverage_docs": vocab_coverage_docs,
     }
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "unigram_nll",
     "tfidf_top_terms",
     "bm25_scores",
+    "vocab_coverage",
 ]
 
 
@@ -257,4 +258,52 @@ def bm25_scores(
         .agg(F.round(F.sum("_s"), 4).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, vocab_size: int
+) -> DataFrame:
+    """(rank, token, cnt, coverage) — the ``vocab_size`` most frequent
+    tokens (count desc, token asc tiebreak) with the CUMULATIVE share
+    of all token occurrences they cover. The tokenizer-vocabulary
+    induction step: pick V, read off coverage, and 1 - coverage at
+    rank V is the corpus OOV rate.
+
+    Scale: the corpus reduces to (token, count) with map-side partial
+    aggregation — one shuffle keyed by token; top-V is
+    TakeOrderedAndProject (per-partition heaps); only then does a
+    cumulative window run, over exactly V rows (bounded by the
+    parameter, not the corpus — the single-partition window is over
+    the vocab, which by definition fits). The occurrence total is a
+    one-row broadcast. Coverage is an exact int64 cumsum divided once
+    in IEEE double — engine-portable without rounding tricks, rounded
+    to 9 anyway for repr stability."""
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("_tot"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(vocab_size)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("token")))
+            .cast("long")
+            .alias("rank"),
+            "token",
+            "cnt",
+            F.round(
+                F.sum("cnt").over(w).cast("double") / F.col("_tot").cast("double"), 9
+            ).alias("coverage"),
+        )
     )

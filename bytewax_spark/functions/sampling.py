@@ -45,6 +45,7 @@ __all__ = [
     "domain_mixture",
     "percentile_normalize",
     "quantile_band",
+    "temperature_mixture",
 ]
 
 # Bucket space for rate quantization. 1e6 buckets give rate resolution
@@ -272,6 +273,76 @@ def percentile_normalize(
         .alias(out_col),
     )
     return df.join(mapping, [group_col, score_col])
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float,
+    n_target: int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based domain rebalancing: downsample so the output
+    mixture is proportional to count^alpha — the multilingual/
+    multi-domain sampling scheme from mBERT/mT5 (alpha=1 keeps the
+    natural mixture, alpha=0 forces uniform, alpha≈0.3-0.7 boosts
+    low-resource domains without drowning the head). ``n_target`` is
+    the requested output size; a domain whose α-share exceeds its
+    actual count is kept whole (the usual low-resource case — such
+    domains end up UNDER their α-share rather than oversampled, since
+    this operator only drops rows).
+
+    Unlike :func:`domain_mixture` (explicit shares for a NAMED domain
+    list, one bounded driver collect), this weighs EVERY domain, so it
+    must scale to web-corpus domain cardinality (~10⁸): nothing ever
+    reaches the driver. Per-domain counts aggregate distributedly;
+    α-weights are quantized to integer micro-units (``round(c^α·10⁶)``
+    — pins cross-engine pow() ulps); their sum is a one-row aggregate
+    joined back by broadcast; per-domain keep thresholds are then pure
+    int64 arithmetic, and membership is the usual map-local hash
+    filter. Corpus-side cost: one groupBy(domain) count + one equi-join
+    of the corpus with the |domains| count table (broadcast when small,
+    hash join at 10⁸ — AQE decides)."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if n_target <= 0:
+        raise ValueError(f"n_target must be positive, got {n_target}")
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    weights = counts.withColumn(
+        "_w",
+        F.round(F.pow(F.col("_c").cast("double"), F.lit(float(alpha))) * 1e6)
+        .cast("bigint"),
+    )
+    wsum = weights.agg(F.sum("_w").alias("_wsum"))
+    # keep_d = min(c_d, n_target * w_d / Σw)  →  threshold in buckets =
+    # floor(BUCKETS * n_target * w_d / (Σw * c_d)), capped at BUCKETS.
+    # Evaluated in DOUBLE with a fixed op order: int64 would overflow
+    # (BUCKETS·n_target·w ≈ 10²⁶ at web scale) and IEEE mul/div are
+    # exactly specified, so any engine reproduces the floor — only
+    # transcendentals (the pow above) need quantization.
+    thresholds = weights.join(F.broadcast(wsum)).select(
+        "_dom",
+        F.least(
+            F.lit(BUCKETS).cast("bigint"),
+            F.floor(
+                (
+                    F.lit(float(BUCKETS))
+                    * F.lit(float(n_target))
+                    * F.col("_w").cast("double")
+                )
+                / (F.col("_wsum").cast("double") * F.col("_c").cast("double"))
+            ),
+        ).alias("_thr"),
+    )
+    joined = df.join(
+        thresholds, df[domain_col] == thresholds["_dom"], "inner"
+    )
+    return joined.filter(sample_bucket(key_col, salt) < F.col("_thr")).drop(
+        "_dom", "_thr"
+    )
 
 
 def _domain_counts(

@@ -64,3 +64,46 @@ def test_select_token_budget_partition_invariance(spark):
     a = sorted(selection.select_token_budget(df, "id", "n", "q", 500, num_partitions=3).collect())
     b = sorted(selection.select_token_budget(df, "id", "n", "q", 500, num_partitions=17).collect())
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture (alpha-sampling, fully distributed)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_alpha_shapes(spark):
+    from bytewax_spark.functions import sampling
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    # alpha=1: natural mixture — keep ratio equal across domains
+    nat = sampling.temperature_mixture(df, "dom", "doc_id", alpha=1.0, n_target=500)
+    by_dom = {r["dom"]: r["n"] for r in nat.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert abs(by_dom["big"] / 900 - by_dom["small"] / 100) < 0.15
+    # alpha=0: uniform target — both domains aim at 250; small (100 rows)
+    # is kept whole, big is cut toward 250
+    uni = sampling.temperature_mixture(df, "dom", "doc_id", alpha=0.0, n_target=500)
+    by_dom0 = {r["dom"]: r["n"] for r in uni.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert by_dom0["small"] == 100
+    assert 180 < by_dom0["big"] < 320
+    # alpha=0.5 sits between: small keeps more than its natural share
+    mid = sampling.temperature_mixture(df, "dom", "doc_id", alpha=0.5, n_target=500)
+    by_domm = {r["dom"]: r["n"] for r in mid.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert by_domm["small"] / 100 > by_domm["big"] / 900
+
+
+def test_temperature_mixture_deterministic_and_validates(spark):
+    from bytewax_spark.functions import sampling
+
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    a = sorted(r["doc_id"] for r in sampling.temperature_mixture(df, "dom", "doc_id", 0.5, 150).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.temperature_mixture(df.repartition(17), "dom", "doc_id", 0.5, 150).collect()
+    )
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError):
+        sampling.temperature_mixture(df, "dom", "doc_id", -0.1, 100)
+    with pytest.raises(ValueError):
+        sampling.temperature_mixture(df, "dom", "doc_id", 0.5, 0)

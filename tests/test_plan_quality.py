@@ -315,3 +315,20 @@ def test_percentile_normalize_windows_distinct_scores_only(spark, sf_dir):
     assert "partial_count" in plan  # corpus reduces before the window
     assert "Window" in plan
     assert "EvalPython" not in plan
+
+
+def test_temperature_mixture_no_collect_shape(spark, sf_dir):
+    """Thresholds join back distributedly: one-row weight sum
+    broadcasts, the corpus-side decision is a hash filter — no Python,
+    no cartesian."""
+    plan = _plan(spark, "temperature_mixture_docs", sf_dir)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # domain counts combine map-side
+
+
+def test_vocab_coverage_topv_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "vocab_coverage_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # top-V never global-sorts
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan

@@ -414,3 +414,19 @@ def test_percentile_normalize_matches_percent_rank(spark):
     assert got == ref
     # singleton group pins to 0.0, ties share a rank
     assert got[("c", [k for (g, k) in got if g == "c"][0])] == 0.0
+
+
+def test_vocab_coverage_known_corpus(spark):
+    from bytewax_spark.functions import retrieval
+
+    df = spark.createDataFrame([("a a a b",), ("b c",)], "text string")
+    rows = retrieval.vocab_coverage(df, "text", 10).collect()
+    assert [(r["rank"], r["token"], r["cnt"]) for r in rows] == [
+        (1, "a", 3), (2, "b", 2), (3, "c", 1)
+    ]
+    assert [r["coverage"] for r in rows] == [0.5, round(5 / 6, 9), 1.0]
+    # vocab_size truncates; coverage of the truncated vocab < 1
+    top1 = retrieval.vocab_coverage(df, "text", 1).collect()
+    assert len(top1) == 1 and top1[0]["coverage"] == 0.5
+    with pytest.raises(ValueError):
+        retrieval.vocab_coverage(df, "text", 0)
