@@ -222,6 +222,15 @@ EXTENDED_QUERIES = [
     "tfidf_top_terms_docs",
     "bm25_search_docs",
     "chunk_docs_32",
+    # graph analytics + sampling/calibration additions: fixed-point
+    # PageRank, degree-ordered triangles, A-ES weighted sampling,
+    # alpha-mixture, per-source percentile calibration, vocab coverage
+    "pagerank_purchase_graph",
+    "triangle_counts_copart",
+    "sample_weighted_100_docs",
+    "temperature_mixture_docs",
+    "pct_nchars_by_source_docs",
+    "vocab_coverage_docs",
 ]
 
 _DUCKDB_TABLES = [

@@ -430,3 +430,67 @@ def collect_stream(
     vtype = up.df.schema[value_col].dataType.simpleString()
     schema = f"{up.key_col} {up.df.schema[up.key_col].dataType.simpleString()}, values array<{vtype}>"
     return stateful_batch(step_id, up, _Collect, schema=schema, timers="processing")
+
+
+def interval_join_stream(
+    step_id: str,
+    left: KeyedStream,
+    right: KeyedStream,
+    left_ts: str,
+    right_ts: str,
+    lower: timedelta,
+    upper: timedelta,
+    watermark: timedelta,
+) -> KeyedStream:
+    """Watermarked STREAM-STREAM interval join: emit (left, right) for
+    same-key rows with ``left_ts + lower <= right_ts <= left_ts +
+    upper`` — the unbounded-stream form of ``op.interval_join``
+    (clicks joined to purchases within the following hour, as both
+    arrive live). The reference can only express this as a running
+    join that retains state forever; the Spark-native form is
+    bounded by construction.
+
+    Both sides get an event-time watermark and the range condition is
+    part of the join predicate — exactly the shape Structured
+    Streaming requires to PRUNE join state: each side buffers only
+    rows younger than watermark + the range width, so state is
+    O(arrival rate × horizon) regardless of stream length. Without
+    the time bound a stream-stream join must keep every row forever
+    (Spark refuses it in append mode for good reason).
+
+    Late rows beyond ``watermark`` are dropped by the engine. Output
+    columns: key + both sides' value columns (names must be disjoint
+    apart from the key, like ``op.interval_join``)."""
+    left = _require_keyed(step_id, left)
+    right = _require_keyed(step_id, right)
+    key = left.key_col
+    if right.key_col != key:
+        raise ValueError("interval_join_stream sides must share the key column name")
+    if upper < lower:
+        raise ValueError(f"need lower <= upper, got {lower} > {upper}")
+    if not (left.df.isStreaming and right.df.isStreaming):
+        raise ValueError(
+            "interval_join_stream requires two streaming inputs; "
+            "use op.interval_join in batch"
+        )
+    overlap = (set(left.df.columns) & set(right.df.columns)) - {key}
+    if overlap:
+        raise ValueError(f"interval_join_stream value columns overlap: {sorted(overlap)}")
+    flow = left.flow
+    fq = flow.register(step_id, "interval_join_stream", (left.step_id, right.step_id))
+
+    wm = f"{int(watermark.total_seconds())} seconds"
+    lw = left.df.withWatermark(left_ts, wm)
+    rw = right.df.withWatermark(right_ts, wm).withColumnRenamed(key, "_rk")
+    # raw event-time comparisons with INTERVAL literals: the streaming
+    # planner derives its state-eviction bounds by analyzing exactly
+    # this shape (wrapping the columns in conversions would defeat it)
+    lo = f"INTERVAL {int(lower.total_seconds() * 1_000_000)} MICROSECOND"
+    hi = f"INTERVAL {int(upper.total_seconds() * 1_000_000)} MICROSECOND"
+    cond = (
+        (F.col(key) == F.col("_rk"))
+        & (F.col(right_ts) >= F.expr(f"{left_ts} + {lo}"))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + {hi}"))
+    )
+    out = lw.join(rw, cond).drop("_rk")
+    return KeyedStream(flow, fq, out, key)

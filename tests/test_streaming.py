@@ -634,3 +634,68 @@ def test_heavy_hitters_capacity_validation(spark):
 
     with _pytest.raises(ValueError, match="capacity"):
         heavy_hitters_stream("hh", ks, "item", k=8, capacity=4)
+
+
+def test_interval_join_stream_watermarked(spark):
+    """Stream-stream interval join: purchases match clicks in the
+    preceding 30 minutes, state bounded by watermark + range width."""
+    from bytewax_spark.streaming import interval_join_stream
+
+    ts = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    flow = Dataflow("s_ij")
+    clicks = op.key_on(
+        "kc",
+        op.input(
+            "clicks",
+            flow,
+            TestingSource(
+                [(1, ts(0), "c0"), (1, ts(20), "c20"), (2, ts(5), "c5")],
+                schema="cuid long, cts timestamp, click string",
+                streaming=True,
+            ),
+        ),
+        "cuid",
+    )
+    buys = op.key_on(
+        "kb",
+        op.input(
+            "buys",
+            flow,
+            TestingSource(
+                [(1, ts(25), "b25"), (2, ts(50), "b50")],
+                schema="buid long, bts timestamp, buy string",
+                streaming=True,
+            ),
+        ),
+        "buid",
+    )
+    joined = interval_join_stream(
+        "ij",
+        buys,
+        clicks,
+        left_ts="bts",
+        right_ts="cts",
+        lower=timedelta(minutes=-30),
+        upper=timedelta(minutes=0),
+        watermark=timedelta(minutes=10),
+    )
+    sink = MemorySink("s_ij_out")
+    op.output("out", joined, sink)
+    rows = drain(spark, flow, "s_ij_out")
+    got = sorted((r["key"], r["buy"], r["click"]) for r in rows)
+    # user 1 buy@25 matches clicks at 0 and 20 (within 30 min before);
+    # user 2 buy@50 has no click in [20, 50]
+    assert got == [(1, "b25", "c0"), (1, "b25", "c20")]
+
+
+def test_interval_join_stream_validates(spark):
+    from bytewax_spark.streaming import interval_join_stream
+
+    flow = Dataflow("s_ij_val")
+    a = op.key_on("ka", op.input("a", flow, TestingSource([(1, datetime(2024, 1, 1), 1.0)], schema="k long, ts timestamp, v double", streaming=True)), "k")
+    b = op.key_on("kb", op.input("b", flow, TestingSource([(1, datetime(2024, 1, 1), 2.0)], schema="k long, ts2 timestamp, v double", streaming=True)), "k")
+    with pytest.raises(ValueError, match="overlap"):
+        interval_join_stream("ij1", a, b, "ts", "ts2", timedelta(0), timedelta(minutes=1), timedelta(minutes=1))
+    with pytest.raises(ValueError, match="lower <= upper"):
+        c = op.key_on("kc", op.input("c", flow, TestingSource([(1, datetime(2024, 1, 1), "x")], schema="k long, ts3 timestamp, w string", streaming=True)), "k")
+        interval_join_stream("ij2", a, c, "ts", "ts3", timedelta(minutes=2), timedelta(minutes=1), timedelta(minutes=1))
