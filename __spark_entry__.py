@@ -4192,6 +4192,78 @@ _ORACLES["temperature_mixture_docs"] = f"""
     WHERE ({_SQL_H64.format("CONCAT('tm', CAST(doc_id AS VARCHAR))")}) % 1000000 < thr
 """
 
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over part co-purchases
+    (functions/itemsets.py association_rules, min_support=3): pair
+    generation joins on the basket key (work bounded by basket size),
+    support prunes before rule scoring, per-item counts attach to the
+    already-tiny frequent-pair table."""
+    from bytewax_spark.functions import itemsets
+
+    li = _t(spark, sf_dir, "lineitem")
+    return itemsets.association_rules(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+def perplexity_bigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-BIGRAM LM perplexity (functions/retrieval.py ngram_nll,
+    n=2, trained on source='src0'): catches word-salad that unigram
+    stats miss; the hash space keeps the LM a 4096-row broadcast no
+    matter how combinatorial the bigram vocabulary."""
+    from bytewax_spark.functions import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = docs.filter(F.col("source") == "src0")
+    return retrieval.ngram_nll(docs, lm, "text", "doc_id", n=2, buckets=4096)
+
+
+_ORACLES["assoc_rules_parts"] = """
+    WITH p AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    itemn AS (SELECT it, COUNT(*) AS n FROM p GROUP BY 1),
+    nb AS (SELECT COUNT(DISTINCT bk) AS nb FROM p),
+    pairs AS (
+      SELECT a.it AS item_a, b.it AS item_b, CAST(COUNT(*) AS BIGINT) AS support
+      FROM p a JOIN p b ON a.bk = b.bk AND a.it < b.it
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    bi AS (
+      SELECT item_a AS antecedent, item_b AS consequent, support FROM pairs
+      UNION ALL
+      SELECT item_b AS antecedent, item_a AS consequent, support FROM pairs
+    )
+    SELECT antecedent, consequent, support,
+           ROUND(CAST(support AS DOUBLE) / CAST(na.n AS DOUBLE), 9) AS confidence,
+           ROUND((CAST(support AS DOUBLE) / CAST(na.n AS DOUBLE))
+                 / (CAST(nc.n AS DOUBLE) / CAST(nb.nb AS DOUBLE)), 9) AS lift
+    FROM bi
+    JOIN itemn na ON bi.antecedent = na.it
+    JOIN itemn nc ON bi.consequent = nc.it, nb
+"""
+
+_ORACLES["perplexity_bigram_docs"] = f"""
+    WITH tk AS (SELECT doc_id, source, {_SQL_TOKS} AS tk FROM documents),
+    tok AS (
+      SELECT doc_id, source, {_SQL_H64.format('g')} % 4096 AS b
+      FROM (SELECT doc_id, source, UNNEST(
+              CASE WHEN LEN(tk) >= 2
+                   THEN LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                                       i -> ARRAY_TO_STRING(tk[i:i+1], ' '))
+                   ELSE []::VARCHAR[] END) AS g
+            FROM tk)
+    ),
+    lm AS (SELECT b, COUNT(*) AS c FROM tok WHERE source = 'src0' GROUP BY 1),
+    tot AS (SELECT SUM(c) AS T FROM lm),
+    w AS (
+      SELECT b, CAST(ROUND((LN(T + 4096.0) - LN(c + 1.0)) * 1000000) AS BIGINT) AS nll
+      FROM lm, tot
+    ),
+    pd AS (SELECT doc_id, b, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(n * COALESCE(nll,
+                 (SELECT CAST(ROUND(LN(T + 4096.0) * 1000000) AS BIGINT) FROM tot)
+               )) AS BIGINT) AS nll_micro
+    FROM pd LEFT JOIN w USING (b) GROUP BY 1
+"""
+
 _ORACLES["vocab_coverage_docs"] = f"""
     WITH tok AS (SELECT UNNEST({_SQL_TOKS}) AS token FROM documents),
     cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
@@ -4346,6 +4418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_nchars_by_source_docs": pct_nchars_by_source_docs,
         "temperature_mixture_docs": temperature_mixture_docs,
         "vocab_coverage_docs": vocab_coverage_docs,
+        "assoc_rules_parts": assoc_rules_parts,
+        "perplexity_bigram_docs": perplexity_bigram_docs,
     }
 
 

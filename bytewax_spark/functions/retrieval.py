@@ -30,6 +30,7 @@ from .text import hash64, tokenize
 __all__ = [
     "dsir_logratio_weights",
     "unigram_nll",
+    "ngram_nll",
     "tfidf_top_terms",
     "bm25_scores",
     "vocab_coverage",
@@ -111,6 +112,29 @@ def dsir_logratio_weights(
     )
 
 
+def _bucketed_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int, buckets: int
+) -> DataFrame:
+    """(id, bucket) — one row per n-gram occurrence, hashed into the
+    fixed feature space (n=1 reduces to ``_bucketed_tokens``). The
+    n-grams are built inside the row (``transform`` over window
+    starts), so nothing wider than (id, int) ever leaves the scan."""
+    if n == 1:
+        return _bucketed_tokens(df, text_col, id_col, buckets)
+    toks = tokenize(text_col)
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias("_t")).select(
+        id_col, F.pmod(hash64(F.col("_t")), F.lit(buckets)).alias("_b")
+    )
+
+
 def unigram_nll(
     df: DataFrame,
     lm_df: DataFrame,
@@ -119,21 +143,40 @@ def unigram_nll(
     buckets: int = 4096,
     micro: int = 1_000_000,
 ) -> DataFrame:
-    """Per-document negative log-likelihood under a hashed-unigram
+    """Hashed-UNIGRAM LM scoring — ``ngram_nll`` at n=1 (kept as the
+    named entry point the queries cite)."""
+    return ngram_nll(df, lm_df, text_col, id_col, 1, buckets, micro)
+
+
+def ngram_nll(
+    df: DataFrame,
+    lm_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    buckets: int = 4096,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-document negative log-likelihood under a hashed-n-gram
     language model trained on ``lm_df`` — the CCNet-style perplexity
     quality signal (Wenzek et al. 2020, arXiv:1911.00359 — public; a
     corpus is bucketed by LM perplexity and the gibberish tail
-    dropped). Columns: ``n_tokens`` and ``nll_micro`` = Σ -ln p(token)
-    in integer micro-nats (divide by ``micro * n_tokens`` for mean
-    NLL; exp of that is perplexity).
+    dropped; their KenLM is a 5-gram — higher ``n`` here moves toward
+    it, catching word-salad that unigram stats miss). Columns:
+    ``n_tokens`` (n-gram occurrences) and ``nll_micro`` = Σ -ln
+    p(gram) in integer micro-nats (divide by ``micro * n_tokens`` for
+    mean NLL; exp of that is perplexity).
 
     The "model" is add-one-smoothed bucket frequencies over a FIXED
     hash space — the same scale trick as DSIR: the LM is a
-    ``buckets``-row table whatever the vocabulary, broadcast onto the
-    stream; per-token log-probs are quantized to int64 micro-units so
+    ``buckets``-row table whatever the n-gram vocabulary (which at
+    n≥2 would otherwise explode combinatorially), broadcast onto the
+    stream; per-gram log-probs are quantized to int64 micro-units so
     the per-doc sum is exact under any aggregation order."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     lm = (
-        _bucketed_tokens(lm_df, text_col, id_col, buckets)
+        _bucketed_ngrams(lm_df, text_col, id_col, n, buckets)
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -148,9 +191,9 @@ def unigram_nll(
             .alias("_nll"),
         )
     )
-    # tokens hashing to a bucket absent from the LM get the unseen-mass
+    # grams hashing to a bucket absent from the LM get the unseen-mass
     # cost -ln(1/(T+B)); computed from the same one-row total
-    per_doc = _bucketed_tokens(df, text_col, id_col, buckets).groupBy(
+    per_doc = _bucketed_ngrams(df, text_col, id_col, n, buckets).groupBy(
         id_col, "_b"
     ).agg(F.count(F.lit(1)).alias("_n"))
     unseen = F.round(F.log(F.col("_T") + fb) * micro).cast("long")

@@ -332,3 +332,18 @@ def test_vocab_coverage_topv_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # top-V never global-sorts
     assert "partial_count" in plan
     assert "EvalPython" not in plan
+
+
+def test_assoc_rules_basket_equi_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "assoc_rules_parts", sf_dir)
+    assert "CartesianProduct" not in plan  # pair gen joins on the basket key
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan  # support counts combine map-side
+
+
+def test_perplexity_bigram_lm_broadcasts(spark, sf_dir):
+    """The 4096-bucket bigram LM must reach the corpus as a broadcast,
+    never a corpus-side shuffle join."""
+    plan = _plan(spark, "perplexity_bigram_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

@@ -430,3 +430,77 @@ def test_vocab_coverage_known_corpus(spark):
     assert len(top1) == 1 and top1[0]["coverage"] == 0.5
     with pytest.raises(ValueError):
         retrieval.vocab_coverage(df, "text", 0)
+
+
+# ---------------------------------------------------------------------------
+# itemsets: frequent pairs + association rules
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_pairs_and_rules_known_baskets(spark):
+    from bytewax_spark.functions import itemsets
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "bread"),
+        (4, "eggs"),
+        (5, "milk"), (5, "milk"),  # duplicate presence counts once
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    pairs = {(r["item_a"], r["item_b"]): r["support"]
+             for r in itemsets.frequent_pairs(df, "bk", "it", 2).collect()}
+    assert pairs == {("bread", "milk"): 3}
+    rules = {(r["antecedent"], r["consequent"]): (r["support"], r["confidence"], r["lift"])
+             for r in itemsets.association_rules(df, "bk", "it", 2).collect()}
+    # bread->milk: 3/3 = 1.0 conf; milk appears in 4 of 5 baskets -> lift 1.25
+    assert rules[("bread", "milk")] == (3, 1.0, 1.25)
+    # milk->bread: 3/4 conf; bread in 3/5 -> lift = 0.75/0.6 = 1.25
+    assert rules[("milk", "bread")] == (3, 0.75, 1.25)
+    with pytest.raises(ValueError):
+        itemsets.frequent_pairs(df, "bk", "it", 0)
+    with pytest.raises(ValueError):
+        itemsets.association_rules(df, "bk", "it", 2, min_confidence=1.5)
+
+
+def test_association_rules_min_confidence_filters(spark):
+    from bytewax_spark.functions import itemsets
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    rules = itemsets.association_rules(df, "bk", "it", 2, min_confidence=0.9).collect()
+    # b->a has conf 1.0 (kept); a->b has conf 2/3 (dropped)
+    assert [(r["antecedent"], r["consequent"]) for r in rules] == [("b", "a")]
+
+
+# ---------------------------------------------------------------------------
+# ngram_nll (bigram LM)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_nll_bigram_prefers_fluent_text(spark):
+    from bytewax_spark.functions import retrieval
+
+    lm_rows = [(i, "the cat sat on the mat") for i in range(20)]
+    lm = spark.createDataFrame(lm_rows, "doc_id long, text string")
+    score_rows = [(100, "the cat sat on the mat"), (101, "mat the on sat cat the")]
+    df = spark.createDataFrame(score_rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in retrieval.ngram_nll(df, lm, "text", "doc_id", n=2).collect()}
+    # both have 5 bigrams; the in-LM word order must score strictly lower NLL
+    assert out[100]["n_tokens"] == 5 and out[101]["n_tokens"] == 5
+    assert out[100]["nll_micro"] < out[101]["nll_micro"]
+    # unigram model cannot tell them apart (same bag of words)
+    uni = {r["doc_id"]: r["nll_micro"] for r in retrieval.unigram_nll(df, lm, "text", "doc_id").collect()}
+    assert uni[100] == uni[101]
+    with pytest.raises(ValueError):
+        retrieval.ngram_nll(df, lm, "text", "doc_id", n=0)
+
+
+def test_ngram_nll_short_docs_no_grams(spark):
+    from bytewax_spark.functions import retrieval
+
+    lm = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    df = spark.createDataFrame([(2, "solo"), (3, "x y")], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_tokens"] for r in retrieval.ngram_nll(df, lm, "text", "doc_id", n=2).collect()}
+    # 1-token doc yields no bigrams (absent); 2-token doc yields one
+    assert out == {3: 1}
