@@ -4204,6 +4204,35 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return itemsets.association_rules(li, "l_orderkey", "l_partkey", min_support=3)
 
 
+def cosine_topk_batch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact ANN (functions/similarity.py cosine_topk_batch):
+    top-5 neighbors for the 4 probe vectors vec_id<4 in ONE corpus
+    pass — broadcast probes, map-local Q-way scoring projected to
+    skinny rows, skew-proof two-phase per-probe rank."""
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    return sim.cosine_topk_batch(emb, "embedding", "vec_id", probes, "pid", "pvec", k=5)
+
+
+_ORACLES["cosine_topk_batch_embeddings"] = f"""
+    WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             ROUND({_SQL_COS.format(a='e.embedding', b='pv')}, 6) AS cosine
+      FROM embeddings e CROSS JOIN p
+    )
+    SELECT probe_id, vec_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+"""
+
+
 def perplexity_bigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-BIGRAM LM perplexity (functions/retrieval.py ngram_nll,
     n=2, trained on source='src0'): catches word-salad that unigram
@@ -4420,6 +4449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_docs": vocab_coverage_docs,
         "assoc_rules_parts": assoc_rules_parts,
         "perplexity_bigram_docs": perplexity_bigram_docs,
+        "cosine_topk_batch_embeddings": cosine_topk_batch_embeddings,
     }
 
 

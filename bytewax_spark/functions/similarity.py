@@ -27,6 +27,7 @@ __all__ = [
     "as_double",
     "cosine",
     "cosine_topk",
+    "cosine_topk_batch",
     "hard_negatives",
     "ivf_topk",
     "lsh_bucket_col",
@@ -109,6 +110,50 @@ def ivf_topk(
         in_cells.select(F.col(id_col), F.col(cell_col), F.round(cosine(v, q), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probes: DataFrame,
+    probe_id_col: str,
+    probe_vec_col: str,
+    k: int = 10,
+    fanout: int = 16,
+) -> DataFrame:
+    """(probe_id, id, cosine) — exact top-k neighbors for EVERY probe
+    in one corpus pass. ``cosine_topk`` launches one TakeOrdered job
+    per query; a retrieval batch (dozens-thousands of probes) wants
+    the corpus scanned ONCE with all probes scored per row.
+
+    Scale shape: the probe table broadcasts (it is the small side by
+    definition — a query batch, not a corpus) and expands each corpus
+    row Q ways via a broadcast nested-loop — deliberate and map-local,
+    the one join shape where BroadcastNestedLoopJoin is the right
+    plan. The expansion projects straight down to skinny (probe_id,
+    id, cosine) rows before anything shuffles, and per-probe top-k is
+    ``topk.top_k_per_group`` — the two-phase skew-proof rank, so even
+    with Q=1 (one giant 'group') no single task sorts Q×N rows.
+    Result is EXACTLY per-probe top-k under (cosine desc, id asc)."""
+    from .topk import top_k_per_group
+
+    q = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        as_double(probe_vec_col).alias("_pv"),
+    )
+    v = as_double(vec_col)
+    scored = (
+        df.join(F.broadcast(q))
+        .select(
+            "probe_id",
+            F.col(id_col),
+            F.round(cosine(v, F.col("_pv")), 6).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored, "probe_id", [F.col("cosine").desc()], id_col, k, fanout
     )
 
 

@@ -677,3 +677,22 @@ def test_random_projection_preserves_similarity_rank(spark, sf_dir):
     }
     rank = sorted(dists, key=dists.get).index(nn)
     assert rank < len(dists) // 2  # true NN lands in the closer half after projection
+
+
+def test_cosine_topk_batch_matches_per_probe(spark, sf_dir):
+    """The one-pass batch must agree exactly with per-probe TakeOrdered."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    batch = similarity.cosine_topk_batch(
+        emb, "embedding", "vec_id", probes, "pid", "pvec", k=4
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["probe_id"], []).append((r["vec_id"], r["cosine"]))
+    for pid in (0, 1, 2):
+        q = list(emb.filter(F.col("vec_id") == pid).first()["embedding"])
+        solo = [(r["vec_id"], r["cosine"])
+                for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=4).collect()]
+        assert sorted(got[pid], key=lambda t: (-t[1], t[0])) == solo

@@ -347,3 +347,18 @@ def test_perplexity_bigram_lm_broadcasts(spark, sf_dir):
     plan = _plan(spark, "perplexity_bigram_docs", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_cosine_topk_batch_broadcast_probes_skinny_shuffle(spark, sf_dir):
+    """Probes broadcast (the one legitimate BroadcastNestedLoopJoin);
+    the rank shuffle carries only (probe_id, id, cosine)."""
+    plan = _plan(spark, "cosine_topk_batch_embeddings", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+    # map-side per-group limits run BEFORE each exchange (Spark fuses
+    # row_number()<=k into partial WindowGroupLimit), so at most k rows
+    # per (probe, subbucket) per partition ever shuffle
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    # scoring is projected to skinny rows pre-shuffle: the exchange
+    # partitions on probe_id, not on any vector column
+    assert "Exchange hashpartitioning(probe_id" in plan
