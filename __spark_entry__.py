@@ -4233,6 +4233,29 @@ _ORACLES["cosine_topk_batch_embeddings"] = f"""
 """
 
 
+def trailing_24h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 24h value sum per user
+    (functions/timeseries.py trailing_agg): RANGE-frame window over
+    event-time micros partitioned by user — per-key sliding buffers,
+    never a global sort."""
+    from datetime import timedelta
+
+    from bytewax_spark.functions import timeseries
+
+    ev = _t(spark, sf_dir, "events")
+    return timeseries.trailing_agg(
+        ev, "user_id", "ts", "value", timedelta(hours=24), out_col="trailing"
+    ).select("event_id", "user_id", "trailing")
+
+
+_ORACLES["trailing_24h_user_value"] = """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW), 6) AS trailing
+    FROM events
+"""
+
+
 def perplexity_bigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-BIGRAM LM perplexity (functions/retrieval.py ngram_nll,
     n=2, trained on source='src0'): catches word-salad that unigram
@@ -4450,6 +4473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules_parts": assoc_rules_parts,
         "perplexity_bigram_docs": perplexity_bigram_docs,
         "cosine_topk_batch_embeddings": cosine_topk_batch_embeddings,
+        "trailing_24h_user_value": trailing_24h_user_value,
     }
 
 

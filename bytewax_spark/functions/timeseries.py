@@ -19,7 +19,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_ffill"]
+__all__ = ["gapfill_ffill", "trailing_agg"]
+
+
+def trailing_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col,
+    span,
+    out_col: str = "trailing",
+    agg: str = "sum",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-row trailing event-time aggregate: for every row, ``agg`` of
+    the key's values in the window ``[ts - span, ts]`` (inclusive both
+    ends, RANGE semantics — simultaneous events all count). The rolling
+    feature shape: '7-day trailing spend per user', 'requests in the
+    last hour per client'.
+
+    ``span`` is a ``datetime.timedelta``. Implemented as a RANGE-frame
+    window over ``unix_micros(ts)`` partitioned by key — per-key
+    partitions (millions of small sorts, never a global one), and the
+    range frame means Spark keeps a sliding buffer of just the span's
+    rows per key. ``agg``: ``sum`` | ``count`` | ``min`` | ``max``
+    (``sum`` rounds to ``decimals`` — trailing double sums are frame
+    evaluations whose internal order differs across engines; min/max/
+    count are exact)."""
+    from datetime import timedelta
+
+    if not isinstance(span, timedelta) or span <= timedelta(0):
+        raise ValueError(f"span must be a positive timedelta, got {span!r}")
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
+    span_us = int(span.total_seconds() * 1_000_000)
+    base = df.withColumn("_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_us")
+        .rangeBetween(-span_us, 0)
+    )
+    aggs = {
+        "sum": lambda: F.round(F.sum(val).over(w), decimals),
+        "count": lambda: F.count(F.lit(1)).over(w),
+        "min": lambda: F.min(val).over(w),
+        "max": lambda: F.max(val).over(w),
+    }
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg!r}")
+    return base.withColumn(out_col, aggs[agg]()).drop("_us")
 
 
 def gapfill_ffill(

@@ -362,3 +362,12 @@ def test_cosine_topk_batch_broadcast_probes_skinny_shuffle(spark, sf_dir):
     # scoring is projected to skinny rows pre-shuffle: the exchange
     # partitions on probe_id, not on any vector column
     assert "Exchange hashpartitioning(probe_id" in plan
+
+
+def test_trailing_agg_partitions_by_key(spark, sf_dir):
+    """The RANGE window must partition by the key — never a
+    single-partition global window."""
+    plan = _plan(spark, "trailing_24h_user_value", sf_dir)
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "RangeFrame" in plan
+    assert "EvalPython" not in plan

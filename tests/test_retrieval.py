@@ -504,3 +504,33 @@ def test_ngram_nll_short_docs_no_grams(spark):
     out = {r["doc_id"]: r["n_tokens"] for r in retrieval.ngram_nll(df, lm, "text", "doc_id", n=2).collect()}
     # 1-token doc yields no bigrams (absent); 2-token doc yields one
     assert out == {3: 1}
+
+
+def test_trailing_agg_sum_and_count(spark):
+    from datetime import datetime, timedelta
+
+    from bytewax_spark.functions import timeseries
+
+    ts = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        (1, ts(0), 10.0), (1, ts(1), 20.0), (1, ts(3), 40.0),
+        (2, ts(0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    out = {
+        (r["uid"], r["ts"].hour): r["trailing"]
+        for r in timeseries.trailing_agg(df, "uid", "ts", "v", timedelta(hours=2)).collect()
+    }
+    # 2h inclusive window: t=3 sees t=1 and t=3 (t=0 is 3h back)
+    assert out == {(1, 0): 10.0, (1, 1): 30.0, (1, 3): 60.0, (2, 0): 5.0}
+    cnt = {
+        (r["uid"], r["ts"].hour): r["trailing"]
+        for r in timeseries.trailing_agg(
+            df, "uid", "ts", "v", timedelta(hours=2), agg="count"
+        ).collect()
+    }
+    assert cnt == {(1, 0): 1, (1, 1): 2, (1, 3): 2, (2, 0): 1}
+    with pytest.raises(ValueError):
+        timeseries.trailing_agg(df, "uid", "ts", "v", timedelta(0))
+    with pytest.raises(ValueError):
+        timeseries.trailing_agg(df, "uid", "ts", "v", timedelta(hours=1), agg="median")
