@@ -4329,6 +4329,116 @@ _ORACLES["vocab_coverage_docs"] = f"""
 """
 
 
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent word pairs by pointwise mutual information
+    (functions/text.py pmi_collocations — Church & Hanks collocation
+    mining). Bigrams from ONE arrays_zip(slice,slice) explode; two
+    map-side-combined count aggregations; the corpus total joins in
+    by broadcast; the top-k is TakeOrdered. PMI is quantized to int64
+    micro-units so the DuckDB oracle hash-matches bit-for-bit."""
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("pmi")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    return tx.pmi_collocations(docs, "text", min_count=5, k=100)
+
+
+def countmin_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of user_id frequencies over events
+    (functions/sketches.py countmin_build): depth=4 rows x width=512
+    counters from ONE md5 per input row (digest splitting). The
+    shuffle is bounded by depth*width rows per map partition and the
+    result is <= 2048 rows no matter the input scale — the sketch
+    shape that replaces an unbounded groupBy(key) at 100 TB. Every
+    counter is deterministic, so the oracle rebuilds it exactly."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("cms")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return sk.countmin_build(ev, "user_id", width=512, depth=4)
+
+
+def countmin_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates vs exact counts for user_id < 20:
+    (user_id, exact, est) with est >= exact always (the one-sided CMS
+    guarantee, visible in the data). The 2048-row sketch is broadcast,
+    so probing is map-side; the exact side is a keyed count on the
+    filtered probe subset only."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("cmse")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    sketch = sk.countmin_build(ev, "user_id", width=512, depth=4)
+    probes = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    est = sk.countmin_estimate(sketch, probes, "user_id", width=512, depth=4)
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return exact.join(est, "user_id").select("user_id", "exact", "est")
+
+
+_ORACLES["pmi_collocations_docs"] = f"""
+    WITH toks AS (SELECT {_SQL_TOKS} AS t FROM documents),
+    bi AS (
+      SELECT UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+      FROM toks WHERE len(t) >= 2
+    ),
+    c12 AS (
+      SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12
+      FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM uni)
+    SELECT w1, w2, c12,
+           CAST(ROUND(LN(CAST(c12 * N AS DOUBLE)
+                         / (CAST(u1.c AS DOUBLE) * u2.c)) * 1000000) AS BIGINT)
+             AS pmi_micro
+    FROM c12
+    JOIN uni u1 ON u1.w = w1
+    JOIN uni u2 ON u2.w = w2, tot
+    ORDER BY pmi_micro DESC, w1, w2 LIMIT 100
+"""
+
+_SQL_CMS = """
+    SELECT d.d AS depth,
+           CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1 + 8 * d.d, 8))::BIGINT
+                % 512 AS INTEGER) AS bucket
+    FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS d) AS d
+"""
+
+_ORACLES["countmin_sketch_users"] = f"""
+    SELECT CAST(depth AS INTEGER) AS depth, bucket, COUNT(*) AS cnt
+    FROM ({_SQL_CMS}) GROUP BY 1, 2
+"""
+
+_ORACLES["countmin_estimate_users"] = f"""
+    WITH sketch AS (
+      SELECT depth, bucket, COUNT(*) AS cnt FROM ({_SQL_CMS}) GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+    pos AS (
+      SELECT p.user_id, d.d AS depth,
+             ('0x' || SUBSTR(MD5(CAST(p.user_id AS VARCHAR)), 1 + 8 * d.d, 8))::BIGINT
+               % 512 AS bucket
+      FROM probes p, (SELECT UNNEST([0, 1, 2, 3]) AS d) AS d
+    ),
+    est AS (
+      SELECT pos.user_id, MIN(COALESCE(s.cnt, 0)) AS est
+      FROM pos LEFT JOIN sketch s ON s.depth = pos.depth AND s.bucket = pos.bucket
+      GROUP BY 1
+    )
+    SELECT e.user_id, e.exact, est.est
+    FROM (SELECT user_id, COUNT(*) AS exact FROM events
+          WHERE user_id < 20 GROUP BY 1) e
+    JOIN est USING (user_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4474,6 +4584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bigram_docs": perplexity_bigram_docs,
         "cosine_topk_batch_embeddings": cosine_topk_batch_embeddings,
         "trailing_24h_user_value": trailing_24h_user_value,
+        "pmi_collocations_docs": pmi_collocations_docs,
+        "countmin_sketch_users": countmin_sketch_users,
+        "countmin_estimate_users": countmin_estimate_users,
     }
 
 

@@ -1,0 +1,119 @@
+"""Mergeable frequency sketches as fixed-size aggregation tables.
+
+A count-min sketch is ``depth`` hash rows of ``width`` counters; its
+update is a counter increment and its merge is element-wise addition —
+exactly the shape of a Spark ``groupBy().count()`` with map-side
+partial aggregation. Building one over 100 TB therefore shuffles at
+most ``depth * width`` rows PER MAP PARTITION (the partial aggregate),
+and the final sketch is ``depth * width`` rows total no matter how
+many input rows or distinct keys there are. That bounded-output shape
+is the whole point: the exact alternatives (``groupBy(key).count()``)
+shuffle one row per distinct key, which for a 100 TB web corpus with
+10^9 distinct keys is a real shuffle, while the sketch never moves
+more than a few thousand counters.
+
+Hashing is md5 digest splitting (one md5 yields four independent
+32-bit row hashes — the same cheap hash family as
+:func:`bytewax_spark.functions.dedup.bloom_build`), so a SQL oracle
+can reproduce every counter bit-for-bit.
+
+Estimates carry the classic one-sided guarantee: ``est >= true`` and
+``est <= true + e*N`` with probability ``1 - (1/2)^depth`` for
+``width = ceil(2/e)``. Size the width from the tolerated absolute
+error, not from the key cardinality.
+
+Parity note: the reference has no sketch operators (SURVEY.md §2.7);
+this module is part of the beyond-reference LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["countmin_build", "countmin_estimate", "countmin_positions"]
+
+
+def countmin_positions(key: Column, width: int, depth: int) -> list[Column]:
+    """``depth`` bucket positions for ``key`` — md5 digest splitting:
+    each 128-bit digest provides four independent 32-bit chunks, so 4
+    rows of the sketch cost ONE md5 evaluation per input row."""
+    out: list[Column] = []
+    for d in range((depth + 3) // 4):
+        salt = F.lit(f"cm{d}:") if d else F.lit("")
+        digest = F.md5(F.concat(salt, key.cast("string")))
+        for c in range(min(4, depth - 4 * d)):
+            chunk = F.conv(F.substring(digest, 1 + 8 * c, 8), 16, 10).cast("bigint")
+            out.append(F.pmod(chunk, F.lit(width)))
+    return out
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str | Column,
+    width: int = 512,
+    depth: int = 4,
+    weight_col: str | Column | None = None,
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col`` → ``(depth, bucket,
+    cnt)``, one row per NON-EMPTY counter (absent counters are zero).
+
+    One pass, one shuffle bounded by ``depth * width`` rows per map
+    partition regardless of input size. ``weight_col`` switches from
+    occurrence counting to weighted sums (e.g. bytes per key)."""
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width/depth must be positive, got {width}/{depth}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    pos = countmin_positions(key, width, depth)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(d).cast("int").alias("depth"), p.cast("int").alias("bucket"))
+            for d, p in enumerate(pos)
+        ]
+    )
+    w = (
+        F.lit(1).cast("bigint")
+        if weight_col is None
+        else (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+            "bigint"
+        )
+    )
+    return (
+        df.select(F.explode(pairs).alias("pb"), w.alias("_w"))
+        .groupBy(F.col("pb.depth").alias("depth"), F.col("pb.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    width: int,
+    depth: int,
+) -> DataFrame:
+    """Point-estimate each probe key against a built sketch →
+    ``(key_col, est)`` with ``est = min over rows of the key's
+    counter`` (the count-min estimator; ``est >= true`` always).
+
+    The sketch is at most ``depth * width`` rows — broadcast it, so
+    probing N keys is a map-side lookup with NO shuffle of the probe
+    side. ``width``/``depth`` must match the build call (the hash
+    positions are recomputed here)."""
+    key = F.col(key_col)
+    pos = countmin_positions(key, width, depth)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(d).cast("int").alias("depth"), p.cast("int").alias("bucket"))
+            for d, p in enumerate(pos)
+        ]
+    )
+    exploded = probes.select(key.alias(key_col), F.explode(pairs).alias("pb")).select(
+        key_col, F.col("pb.depth").alias("depth"), F.col("pb.bucket").alias("bucket")
+    )
+    # a key hashing to an absent counter means that counter is 0 —
+    # coalesce, never drop (the min over rows must see it)
+    joined = exploded.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "dup_ngram_frac",
     "pii_counts",
     "pii_redact",
+    "pmi_collocations",
     "STOPWORDS",
     "PII_PATTERNS",
 ]
@@ -320,3 +321,70 @@ def pii_redact(c: Column | str, kinds: list[str] | None = None) -> Column:
     for name in kinds if kinds is not None else list(PII_PATTERNS):
         c = F.regexp_replace(c, PII_PATTERNS[name], f"<{name.upper()}>")
     return c
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (PMI)
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(
+    df, text_col: str, min_count: int = 5, k: int = 100
+):
+    """Top-``k`` adjacent word pairs by pointwise mutual information —
+    ``PMI(w1,w2) = ln(c12 * N / (c1 * c2))`` over whitespace tokens.
+    The classic collocation detector (Church & Hanks, 1990): high-PMI
+    pairs are multi-word expressions ("los angeles"), low-PMI pairs
+    are chance neighbors. ``min_count`` suppresses the low-frequency
+    pairs whose PMI is pure noise.
+
+    Returns ``(w1, w2, c12, pmi_micro)`` with PMI quantized to int64
+    micro-units (hash-stable; same trick as the DSIR weights).
+
+    Scale shape: bigrams come from one ``arrays_zip(slice, slice)``
+    explode (no self-join of token positions); bigram and unigram
+    counts are two map-side-combined aggregations shuffling one row
+    per distinct pair/word per partition; the corpus-total ``N`` is a
+    1-row aggregate attached by broadcast equi-join (never a driver
+    collect); the final top-k is a global ``orderBy().limit(k)`` —
+    TakeOrdered, per-partition heaps, no full sort."""
+    toks = tokenize(text_col)
+    bigram = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    pairs = df.select(F.explode(bigram).alias("b")).select(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("N")).withColumn("_k", F.lit(1))
+    # operand order mirrors the SQL oracle exactly: ln((c12*N)/(c1*c2))
+    scored = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") * F.col("N")).cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)

@@ -371,3 +371,31 @@ def test_trailing_agg_partitions_by_key(spark, sf_dir):
     assert "Exchange hashpartitioning(user_id" in plan
     assert "RangeFrame" in plan
     assert "EvalPython" not in plan
+
+
+def test_countmin_single_bounded_shuffle_no_python(spark, sf_dir):
+    """The sketch build is one map-side-combined aggregation: exactly
+    one hash exchange (carrying <= depth*width rows per partition) and
+    zero Python."""
+    plan = _plan(spark, "countmin_sketch_users", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
+
+
+def test_countmin_estimate_broadcasts_sketch(spark, sf_dir):
+    """Probing never shuffles the probe side against the sketch: the
+    2048-row sketch arrives by broadcast."""
+    plan = _plan(spark, "countmin_estimate_users", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_pmi_topk_is_take_ordered_no_python(spark, sf_dir):
+    """PMI's global top-100 must be a TakeOrdered (per-partition
+    heaps), not a full sort, and the counts must partial-aggregate
+    map-side."""
+    plan = _plan(spark, "pmi_collocations_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan

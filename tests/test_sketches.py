@@ -1,0 +1,124 @@
+"""Count-min sketch (functions/sketches.py) and PMI collocations
+(functions/text.py pmi_collocations)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bytewax_spark.functions import sketches as sk
+from bytewax_spark.functions import text as tx
+
+
+def load(spark, sf_dir: str, table: str):
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def test_countmin_overestimates_never_under(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    sketch = sk.countmin_build(ev, "user_id", width=128, depth=4)
+    probes = ev.select("user_id").distinct()
+    est = sk.countmin_estimate(sketch, probes, "user_id", width=128, depth=4)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    both = exact.join(est, "user_id").collect()
+    assert both, "no keys"
+    assert all(r["est"] >= r["exact"] for r in both)
+
+
+def test_countmin_output_bounded_by_depth_width(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    sketch = sk.countmin_build(ev, "user_id", width=32, depth=4)
+    rows = sketch.collect()
+    assert len(rows) <= 4 * 32
+    assert {r["depth"] for r in rows} <= {0, 1, 2, 3}
+    assert all(0 <= r["bucket"] < 32 for r in rows)
+    # total mass per depth row == total input rows (each row increments
+    # exactly one counter per depth)
+    n = ev.count()
+    per_depth = {}
+    for r in rows:
+        per_depth[r["depth"]] = per_depth.get(r["depth"], 0) + r["cnt"]
+    assert all(v == n for v in per_depth.values())
+
+
+def test_countmin_exact_when_no_collisions(spark):
+    # 8 distinct keys in a 4096-wide sketch: collisions are possible
+    # but md5 on this fixed key set happens to be collision-free; the
+    # estimate must then be exactly the true count
+    df = spark.createDataFrame(
+        [(i % 8,) for i in range(800)], "user_id int"
+    )
+    sketch = sk.countmin_build(df, "user_id", width=4096, depth=4)
+    probes = df.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["est"]
+        for r in sk.countmin_estimate(
+            sketch, probes, "user_id", width=4096, depth=4
+        ).collect()
+    }
+    assert est == {i: 100 for i in range(8)}
+
+
+def test_countmin_weighted_sums(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "k string, w int"
+    )
+    sketch = sk.countmin_build(df, "k", width=1024, depth=2, weight_col="w")
+    total = sum(r["cnt"] for r in sketch.collect())
+    assert total == 2 * (5 + 7 + 1)
+
+
+def test_countmin_absent_key_estimates_low(spark):
+    df = spark.createDataFrame([("x",)] * 10, "k string")
+    sketch = sk.countmin_build(df, "k", width=1024, depth=4)
+    probes = spark.createDataFrame([("never-seen",)], "k string")
+    est = sk.countmin_estimate(sketch, probes, "k", width=1024, depth=4).collect()
+    # with 1 distinct stored key and 4 independent rows, at least one
+    # of the probe's 4 counters is empty -> est == 0
+    assert est[0]["est"] == 0
+
+
+def test_pmi_matches_reference_computation(spark):
+    texts = [
+        "new york " * 6,
+        "the cat the dog the cow new york " * 3,
+    ] * 3
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = tx.pmi_collocations(docs, "text", min_count=5, k=5).collect()
+
+    # reference computation in plain Python
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    for t in texts:
+        toks = t.split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n = sum(uni.values())
+    want = sorted(
+        (
+            (
+                round(math.log((c12 * n) / (uni[a] * uni[b])) * 1_000_000),
+                a,
+                b,
+                c12,
+            )
+            for (a, b), c12 in bi.items()
+            if c12 >= 5
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:5]
+    got = [(r["pmi_micro"], r["w1"], r["w2"], r["c12"]) for r in out]
+    assert got == want
+
+
+def test_pmi_min_count_filters_rare_pairs(spark):
+    docs = spark.createDataFrame(
+        [("alpha beta " * 10,), ("rare pair",)], "text string"
+    )
+    out = tx.pmi_collocations(docs, "text", min_count=5, k=100).collect()
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("rare", "pair") not in pairs
+    assert ("alpha", "beta") in pairs
