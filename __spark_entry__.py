@@ -4439,6 +4439,72 @@ _ORACLES["countmin_estimate_users"] = f"""
 """
 
 
+def hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table for distinct user_id over events
+    (functions/sketches.py hll_build, p=10): <= 1024 (idx, maxrank)
+    rows from one map-side-combined groupBy(idx).max() — the
+    mergeable-sketch shape for storing per-shard distinct-count state
+    and folding shards together later. 60-bit md5 hash, so every
+    register is oracle-reproducible."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("hllr")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return sk.hll_build(ev, "user_id", p=10)
+
+
+def hll_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-corrected HLL cardinality estimate vs the exact distinct
+    count -> one row (est, exact). The harmonic sum runs on exact
+    scaled integers (no float-summation-order drift), so the rounded
+    estimate matches the SQL oracle bit-for-bit; the ~2% relative
+    error of p=10 is visible in the data."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("hlle")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    est = sk.hll_estimate(sk.hll_build(ev, "user_id", p=10), p=10)
+    exact = ev.agg(F.count_distinct(F.col("user_id")).alias("exact"))
+    return est.withColumn("_k", F.lit(1)).join(
+        exact.withColumn("_k", F.lit(1)), "_k"
+    ).select("est", "exact")
+
+
+_SQL_HLL_REG = f"""
+    SELECT CAST(h >> 50 AS INTEGER) AS idx,
+           CAST(MAX(CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                         ELSE 50 - CAST(FLOOR(LOG2(CAST(h & 1125899906842623 AS DOUBLE))) AS INTEGER)
+                    END) AS INTEGER) AS maxrank
+    FROM (SELECT {_SQL_H64.format("CAST(user_id AS VARCHAR)")} AS h FROM events)
+    GROUP BY 1
+"""
+
+_ORACLES["hll_registers_users"] = _SQL_HLL_REG
+
+_HLL_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024)
+
+_ORACLES["hll_estimate_users"] = f"""
+    WITH reg AS ({_SQL_HLL_REG}),
+    agg AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << (51 - maxrank)) AS BIGINT) AS ssum,
+             COUNT(*) AS nz
+      FROM reg
+    ),
+    e AS (
+      SELECT CASE
+               WHEN {_HLL_ALPHA_M2} / ((CAST(1024 - nz AS DOUBLE) * 2251799813685248.0 + ssum) / 2251799813685248.0)
+                    <= 2560.0 AND (1024 - nz) > 0
+               THEN 1024.0 * LN(1024.0 / (1024 - nz))
+               ELSE {_HLL_ALPHA_M2} / ((CAST(1024 - nz AS DOUBLE) * 2251799813685248.0 + ssum) / 2251799813685248.0)
+             END AS raw
+      FROM agg
+    )
+    SELECT CAST(ROUND(raw) AS BIGINT) AS est,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact
+    FROM e
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4587,6 +4653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_docs": pmi_collocations_docs,
         "countmin_sketch_users": countmin_sketch_users,
         "countmin_estimate_users": countmin_estimate_users,
+        "hll_registers_users": hll_registers_users,
+        "hll_estimate_users": hll_estimate_users,
     }
 
 

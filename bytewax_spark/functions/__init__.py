@@ -18,6 +18,13 @@ vector math forces a Pandas UDF; all hashing is md5-derived so DuckDB
 oracles can reproduce results bit-for-bit.
 """
 
-from bytewax_spark.functions import dedup, multimodal, sampling, similarity, text
+from bytewax_spark.functions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    sketches,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "sampling"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "sampling", "sketches"]

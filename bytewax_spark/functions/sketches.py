@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["countmin_build", "countmin_estimate", "countmin_positions"]
+__all__ = [
+    "countmin_build",
+    "countmin_estimate",
+    "countmin_positions",
+    "hll_build",
+    "hll_estimate",
+]
 
 
 def countmin_positions(key: Column, width: int, depth: int) -> list[Column]:
@@ -117,3 +123,74 @@ def countmin_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+def hll_build(df: DataFrame, key_col: str | Column, p: int = 10) -> DataFrame:
+    """Build HyperLogLog registers for the distinct count of
+    ``key_col`` → ``(idx, maxrank)``, one row per NON-EMPTY register
+    (at most ``m = 2**p`` rows).
+
+    The register update is ``max`` — mergeable exactly like the
+    count-min counters, so the build is one map-side-combined
+    ``groupBy(idx).max()`` whose shuffle is bounded by ``m`` rows per
+    map partition regardless of input size. Spark's own
+    ``approx_count_distinct`` is the right call inside a single
+    aggregation; this materialized-register form is for the pipelines
+    that need to STORE per-shard sketches and merge them later
+    (daily distincts rolled into monthly, per-shard corpus stats).
+
+    Hashing: the 60-bit md5-derived :func:`hash64 <bytewax_spark.
+    functions.text.hash64>` — top ``p`` bits pick the register, the
+    remaining ``60 - p`` bits feed the rank (position of the highest
+    set bit), so a SQL oracle reproduces every register exactly."""
+    from .text import hash64
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    wbits = 60 - p
+    h = hash64(key.cast("string"))
+    idx = F.shiftright(h, wbits).cast("int")
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    # rank = leading zeros in the wbits-wide suffix + 1
+    #      = wbits - floor(log2(w)), with the all-zeros suffix -> wbits + 1
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.floor(F.log2(w.cast("double"))).cast("int")
+    )
+    return (
+        df.select(idx.alias("idx"), rank.cast("int").alias("rank"))
+        .groupBy("idx")
+        .agg(F.max("rank").alias("maxrank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """Flajolet et al. bias-corrected cardinality estimate from a
+    register table → one row ``(est,)`` (int64).
+
+    The harmonic-mean sum is computed on EXACT integers — each
+    register contributes ``2**(S - maxrank)`` with a fixed scale
+    ``S``, summed as int64 — so the one floating division and log
+    happen on identical rationals in any engine and the rounded
+    estimate is oracle-reproducible (no float-summation-order drift).
+    Small-range (linear-counting) correction included; the 60-bit
+    hash space makes the large-range correction irrelevant."""
+    m = 1 << p
+    wbits = 60 - p
+    scale = 1 << (wbits + 1)  # 2**S with S = max possible rank
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # shiftleft()'s python wrapper takes only a literal shift — use the
+    # SQL form, where the shift may be an expression
+    agg = registers.agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {wbits + 1} - maxrank)")).alias(
+            "ssum"
+        ),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    v = F.lit(m) - F.col("nz")
+    z = (v.cast("double") * scale + F.col("ssum")) / F.lit(float(scale))
+    raw = F.lit(alpha * m * m) / z
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(F.round(est).cast("bigint").alias("est"))

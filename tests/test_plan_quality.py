@@ -399,3 +399,12 @@ def test_pmi_topk_is_take_ordered_no_python(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
     assert "EvalPython" not in plan
+
+
+def test_hll_registers_single_bounded_shuffle(spark, sf_dir):
+    """HLL build is one map-side-combined max aggregation: one hash
+    exchange carrying <= 2**p rows per partition, zero Python."""
+    plan = _plan(spark, "hll_registers_users", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan
+    assert "EvalPython" not in plan

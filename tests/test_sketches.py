@@ -122,3 +122,41 @@ def test_pmi_min_count_filters_rare_pairs(spark):
     pairs = {(r["w1"], r["w2"]) for r in out}
     assert ("rare", "pair") not in pairs
     assert ("alpha", "beta") in pairs
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # 20_000 distinct keys; p=10 -> expected relative error ~1.04/sqrt(1024) ≈ 3.3%
+    df = spark.range(20_000).select(F.col("id").alias("k"))
+    est = sk.hll_estimate(sk.hll_build(df, "k", p=10), p=10).collect()[0]["est"]
+    assert abs(est - 20_000) / 20_000 < 0.10
+
+
+def test_hll_small_range_linear_counting(spark):
+    # far fewer keys than registers -> linear-counting branch, which is
+    # very accurate at this occupancy
+    df = spark.range(50).select(F.col("id").alias("k"))
+    est = sk.hll_estimate(sk.hll_build(df, "k", p=10), p=10).collect()[0]["est"]
+    assert abs(est - 50) <= 3
+
+
+def test_hll_registers_bounded_and_mergeable(spark):
+    a = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    b = spark.range(2_500, 9_000).select(F.col("id").alias("k"))
+    ra, rb = sk.hll_build(a, "k", p=8), sk.hll_build(b, "k", p=8)
+    assert ra.count() <= 256 and rb.count() <= 256
+    # merging register tables (max per idx) == building over the union
+    merged = (
+        ra.unionByName(rb).groupBy("idx").agg(F.max("maxrank").alias("maxrank"))
+    )
+    direct = sk.hll_build(a.unionByName(b), "k", p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    once = spark.range(1_000).select(F.col("id").alias("k"))
+    many = once.unionByName(once).unionByName(once)
+    e1 = sk.hll_estimate(sk.hll_build(once, "k"), p=10).collect()[0]["est"]
+    e3 = sk.hll_estimate(sk.hll_build(many, "k"), p=10).collect()[0]["est"]
+    assert e1 == e3
