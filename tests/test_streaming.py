@@ -699,3 +699,56 @@ def test_interval_join_stream_validates(spark):
     with pytest.raises(ValueError, match="lower <= upper"):
         c = op.key_on("kc", op.input("c", flow, TestingSource([(1, datetime(2024, 1, 1), "x")], schema="k long, ts3 timestamp, w string", streaming=True)), "k")
         interval_join_stream("ij2", a, c, "ts", "ts3", timedelta(minutes=2), timedelta(minutes=1), timedelta(minutes=1))
+
+
+def test_distinct_count_stream_matches_batch_sketch(spark):
+    """Streaming HLL over micro-batches converges to exactly the batch
+    hll_build/hll_estimate over the same rows (same hash, same
+    estimator), and the running estimates are monotone non-decreasing
+    in distincts seen."""
+    from bytewax_spark.functions import sketches as sk
+    from bytewax_spark.streaming import distinct_count_stream
+
+    items = [f"u{i}" for i in range(300)] + [f"u{i}" for i in range(100)]
+    flow = Dataflow("s_hll")
+    src = TestingSource(
+        [("p0", it) for it in items], schema="part string, item string",
+        streaming=True, files=4,
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "part")
+    out = distinct_count_stream("dc", ks, "item", p=10)
+    sink = MemorySink("s_hll_out")
+    op.output("out", out, sink)
+    rows = drain(spark, flow, "s_hll_out")
+    assert rows, "expected running emissions"
+    batch_df = spark.createDataFrame([(it,) for it in items], "item string")
+    want = sk.hll_estimate(sk.hll_build(batch_df, "item", p=10), p=10).collect()[0][
+        "est"
+    ]
+    assert rows[-1]["est"] == want
+    # ~300 true distincts at p=10 -> well within 10%
+    assert abs(rows[-1]["est"] - 300) / 300 < 0.10
+
+
+def test_distinct_count_batch_mode_single_emit(spark):
+    from bytewax_spark.streaming import distinct_count_stream
+
+    items = ["a", "b", "c", "a", "b", "a"]
+    flow = Dataflow("b_hll")
+    src = TestingSource([("p0", it) for it in items], schema="part string, item string")
+    ks = op.key_on("key", op.input("in", flow, src), "part")
+    out = distinct_count_stream("dc", ks, "item", p=10)
+    got = out.df.collect()
+    assert len(got) == 1
+    # linear-counting regime: tiny cardinalities are exact
+    assert got[0]["est"] == 3
+
+
+def test_distinct_count_stream_p_validation(spark):
+    from bytewax_spark.streaming import distinct_count_stream
+
+    flow = Dataflow("v_hll")
+    src = TestingSource([("p", "x")], schema="part string, item string")
+    ks = op.key_on("key", op.input("in", flow, src), "part")
+    with pytest.raises(ValueError, match="p must be"):
+        distinct_count_stream("dc", ks, "item", p=2)
