@@ -4505,6 +4505,101 @@ _ORACLES["hll_estimate_users"] = f"""
 """
 
 
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (functions/text.py char_entropy) in int64 micro-bits — the
+    degenerate-text quality signal. Pure codegen array expressions
+    (no explode, no shuffle beyond the scan); per-character
+    contributions quantize to ints BEFORE summation, so the value is
+    engine- and order-exact."""
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("chent")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    return docs.select("doc_id", tx.char_entropy("text").alias("ent_micro"))
+
+
+def hll_merge_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-sketch merge path, driver-checked end to end: build
+    an HLL register table PER SOURCE over document fingerprints (the
+    per-shard sketches a pipeline would persist), fold the shard
+    tables with groupBy(idx).max() — register merge is max — and
+    estimate the GLOBAL distinct count from the merged table. Output:
+    one row (est, exact). The merged estimate must equal a direct
+    global build's (associativity of max), which the oracle verifies
+    by building globally."""
+    from bytewax_spark.functions import sketches as sk
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("hllm")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    keyed = docs.select("source", tx.fingerprint("text").alias("fp"))
+    shards = sk.hll_build(keyed, "fp", p=10, group_cols=["source"])
+    merged = shards.groupBy("idx").agg(F.max("maxrank").alias("maxrank"))
+    est = sk.hll_estimate(merged, p=10)
+    exact = docs.select(tx.fingerprint("text").alias("fp")).agg(
+        F.count_distinct("fp").alias("exact")
+    )
+    return est.withColumn("_k", F.lit(1)).join(
+        exact.withColumn("_k", F.lit(1)), "_k"
+    ).select("est", "exact")
+
+
+_ORACLES["char_entropy_docs"] = """
+    WITH c AS (
+      SELECT doc_id,
+             string_split(text, '') AS cs,
+             list_sort(list_distinct(string_split(text, ''))) AS ds,
+             CAST(LENGTH(text) AS DOUBLE) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN n > 0 THEN COALESCE(list_sum(list_transform(ds,
+             ch -> CAST(ROUND(-(LEN(list_filter(cs, x -> x = ch)) / n)
+                        * LOG2(LEN(list_filter(cs, x -> x = ch)) / n)
+                        * 1000000) AS BIGINT))), 0)
+                ELSE 0 END AS BIGINT) AS ent_micro
+    FROM c
+"""
+
+# the merge is associative, so the oracle builds ONE global register
+# table over the same 60-bit fingerprint hash and runs the same
+# integer-scaled estimator (hll_estimate_users's SQL, fingerprint key)
+_ORACLES["hll_merge_sources_docs"] = f"""
+    WITH fp AS (
+      SELECT {_SQL_H64.format(
+          "CAST(" + _SQL_H64.format(_SQL_CANON) + " AS VARCHAR)"
+      )} AS h
+      FROM documents
+    ),
+    reg AS (
+      SELECT CAST(h >> 50 AS INTEGER) AS idx,
+             MAX(CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                      ELSE 50 - CAST(FLOOR(LOG2(CAST(h & 1125899906842623 AS DOUBLE))) AS INTEGER)
+                 END) AS maxrank
+      FROM fp GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << (51 - maxrank)) AS BIGINT) AS ssum,
+             COUNT(*) AS nz
+      FROM reg
+    ),
+    e AS (
+      SELECT CASE
+               WHEN {_HLL_ALPHA_M2} / ((CAST(1024 - nz AS DOUBLE) * 2251799813685248.0 + ssum) / 2251799813685248.0)
+                    <= 2560.0 AND (1024 - nz) > 0
+               THEN 1024.0 * LN(1024.0 / (1024 - nz))
+               ELSE {_HLL_ALPHA_M2} / ((CAST(1024 - nz AS DOUBLE) * 2251799813685248.0 + ssum) / 2251799813685248.0)
+             END AS raw
+      FROM agg
+    )
+    SELECT CAST(ROUND(raw) AS BIGINT) AS est,
+           (SELECT COUNT(DISTINCT {_SQL_H64.format(_SQL_CANON)})
+            FROM documents) AS exact
+    FROM e
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4655,6 +4750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_estimate_users": countmin_estimate_users,
         "hll_registers_users": hll_registers_users,
         "hll_estimate_users": hll_estimate_users,
+        "char_entropy_docs": char_entropy_docs,
+        "hll_merge_sources_docs": hll_merge_sources_docs,
     }
 
 

@@ -125,7 +125,12 @@ def countmin_estimate(
     )
 
 
-def hll_build(df: DataFrame, key_col: str | Column, p: int = 10) -> DataFrame:
+def hll_build(
+    df: DataFrame,
+    key_col: str | Column,
+    p: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Build HyperLogLog registers for the distinct count of
     ``key_col`` → ``(idx, maxrank)``, one row per NON-EMPTY register
     (at most ``m = 2**p`` rows).
@@ -157,9 +162,13 @@ def hll_build(df: DataFrame, key_col: str | Column, p: int = 10) -> DataFrame:
     rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits) - F.floor(F.log2(w.cast("double"))).cast("int")
     )
+    # group_cols yields one register table PER GROUP (a per-shard /
+    # per-day sketch to store); merging shard tables later is
+    # groupBy("idx").max("maxrank") — tested equal to a direct build
+    gcols = [F.col(g) for g in (group_cols or [])]
     return (
-        df.select(idx.alias("idx"), rank.cast("int").alias("rank"))
-        .groupBy("idx")
+        df.select(*gcols, idx.alias("idx"), rank.cast("int").alias("rank"))
+        .groupBy(*(group_cols or []), "idx")
         .agg(F.max("rank").alias("maxrank"))
     )
 

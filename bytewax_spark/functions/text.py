@@ -31,6 +31,7 @@ __all__ = [
     "pii_counts",
     "pii_redact",
     "pmi_collocations",
+    "char_entropy",
     "STOPWORDS",
     "PII_PATTERNS",
 ]
@@ -388,3 +389,31 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi_micro").desc(), F.col("w1"), F.col("w2")
     ).limit(k)
+
+
+def char_entropy(c: Column | str) -> Column:
+    """Shannon entropy of the character distribution, in int64
+    micro-bits (entropy_bits * 1e6). Low entropy flags degenerate text
+    (repeated chars, padding, binary junk) — a Gopher-style quality
+    signal complementing the word-level repetition ratios.
+
+    Per-term integer quantization: each character's contribution
+    ``-p*log2(p)`` is rounded to micro-bits BEFORE the sum, so the
+    total is an exact integer sum — identical in any engine and under
+    any evaluation order (no float-summation-order drift). Cost is
+    O(alphabet * len) per row in pure codegen expressions; empty text
+    → 0."""
+    c = F.col(c) if isinstance(c, str) else c
+    chars = F.split(c, "")
+    n = F.length(c).cast("double")
+    counts = F.transform(
+        F.array_sort(F.array_distinct(chars)),
+        lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+    )
+    ent = F.aggregate(
+        counts,
+        F.lit(0).cast("bigint"),
+        lambda acc, cnt: acc
+        + F.round(-(cnt / n) * F.log2(cnt / n) * 1_000_000).cast("bigint"),
+    )
+    return F.when(F.length(c) > 0, ent).otherwise(F.lit(0).cast("bigint"))

@@ -160,3 +160,29 @@ def test_hll_duplicates_do_not_move_estimate(spark):
     e1 = sk.hll_estimate(sk.hll_build(once, "k"), p=10).collect()[0]["est"]
     e3 = sk.hll_estimate(sk.hll_build(many, "k"), p=10).collect()[0]["est"]
     assert e1 == e3
+
+
+def test_hll_grouped_build_merges_to_global(spark):
+    df = spark.createDataFrame(
+        [("s1", i) for i in range(400)] + [("s2", i) for i in range(200, 600)],
+        "src string, k int",
+    )
+    shards = sk.hll_build(df, "k", p=8, group_cols=["src"])
+    assert shards.select("src").distinct().count() == 2
+    merged = shards.groupBy("idx").agg(F.max("maxrank").alias("maxrank"))
+    direct = sk.hll_build(df, "k", p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [("aaaa",), ("ab",), ("",), ("abcd",)], "text string"
+    )
+    got = [
+        r["e"]
+        for r in df.select(tx.char_entropy("text").alias("e")).collect()
+    ]
+    # 'aaaa' -> 0 bits; 'ab' -> 1 bit; '' -> 0; 'abcd' -> 2 bits
+    assert got == [0, 1_000_000, 0, 2_000_000]
