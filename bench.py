@@ -231,6 +231,13 @@ EXTENDED_QUERIES = [
     "temperature_mixture_docs",
     "pct_nchars_by_source_docs",
     "vocab_coverage_docs",
+    # sketch + text-analysis additions: count-min, HLL (direct and
+    # shard-merged), PMI collocations, char-entropy quality signal
+    "countmin_sketch_users",
+    "hll_estimate_users",
+    "hll_merge_sources_docs",
+    "pmi_collocations_docs",
+    "char_entropy_docs",
 ]
 
 _DUCKDB_TABLES = [
