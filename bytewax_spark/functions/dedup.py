@@ -495,12 +495,16 @@ def minhash_lsh_verified_pairs(
     candidate pair via each side's distinct-shingle array —
     ``array_intersect`` inside a projection, no extra shuffle beyond
     the two id equi-joins that re-attach the (id, shingle-array) table.
-    The shingle arrays never self-join."""
+    The shingle arrays never self-join, and they are built IN-ROW
+    (``array_distinct`` over the shingle transform) — the exploded
+    (id, shingle) form would pay an explode + groupBy/collect shuffle
+    just to reassemble what each row already had."""
     cand = minhash_lsh_pairs(df, text_col, id_col, n, k, bands)
-    sets = (
-        shingle_docs(df, text_col, id_col, n)
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("shingle")).alias("_toks"))
+    sets = df.select(
+        F.col(id_col),
+        F.array_sort(
+            F.array_distinct(F.transform(word_shingles(text_col, n), hash64))
+        ).alias("_toks"),
     )
     da = sets.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
     db = sets.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
