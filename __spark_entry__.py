@@ -4600,6 +4600,81 @@ _ORACLES["hll_merge_sources_docs"] = f"""
 """
 
 
+def hll_stream_batch_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING distinct-count operator
+    (streaming/distinct_count_stream) run in batch mode: per
+    event_type approximate distinct users, one emission per key at
+    EOF. Exercises the applyInPandas stateful path the streaming
+    engine uses, with the same md5 hash + integer-scaled estimator as
+    the batch sketch — so the per-key estimates are SQL-oracle exact."""
+    from bytewax_spark.streaming import distinct_count_stream
+
+    flow = _flow("hllsb")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    proj = op.map("proj", ev, {"event_type": "event_type", "user_id": "user_id"})
+    ks = op.key_on("key", proj, "event_type")
+    return distinct_count_stream("dc", ks, "user_id", p=10).df
+
+
+_ORACLES["hll_stream_batch_event_types"] = f"""
+    WITH reg AS (
+      SELECT event_type,
+             CAST(h >> 50 AS INTEGER) AS idx,
+             MAX(CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                      ELSE 50 - CAST(FLOOR(LOG2(CAST(h & 1125899906842623 AS DOUBLE))) AS INTEGER)
+                 END) AS maxrank
+      FROM (SELECT event_type,
+                   {_SQL_H64.format("CAST(user_id AS VARCHAR)")} AS h
+            FROM events)
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - maxrank)) AS BIGINT) AS ssum,
+             COUNT(*) AS nz
+      FROM reg GROUP BY 1
+    )
+    SELECT CAST(event_type AS VARCHAR) AS key,
+           CAST(ROUND(CASE
+             WHEN {_HLL_ALPHA_M2} / ((CAST(1024 - nz AS DOUBLE) * 2251799813685248.0 + ssum) / 2251799813685248.0)
+                  <= 2560.0 AND (1024 - nz) > 0
+             THEN 1024.0 * LN(1024.0 / (1024 - nz))
+             ELSE {_HLL_ALPHA_M2} / ((CAST(1024 - nz AS DOUBLE) * 2251799813685248.0 + ssum) / 2251799813685248.0)
+           END) AS BIGINT) AS est
+    FROM agg
+"""
+
+
+def skipgram_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 skip-gram co-occurrence pairs within a ±2 token window
+    (functions/text.py skipgram_pairs) — word2vec/GloVe co-occurrence
+    prep. In-row pair generation (zip of slices per offset), single
+    explode, one map-side-combined count, TakeOrdered top-k."""
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("sgp")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    return tx.skipgram_pairs(docs, "text", window=2, min_count=5, k=100)
+
+
+_ORACLES["skipgram_pairs_docs"] = f"""
+    WITH toks AS (SELECT {_SQL_TOKS} AS t FROM documents),
+    pr AS (
+      SELECT UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+      FROM toks WHERE len(t) >= 2
+      UNION ALL
+      SELECT UNNEST(list_zip(t[1:len(t)-2], t[3:len(t)])) AS p
+      FROM toks WHERE len(t) >= 3
+    ),
+    c AS (
+      SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS cnt
+      FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT w1, w2, cnt FROM c
+    ORDER BY cnt DESC, w1, w2 LIMIT 100
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4752,6 +4827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_estimate_users": hll_estimate_users,
         "char_entropy_docs": char_entropy_docs,
         "hll_merge_sources_docs": hll_merge_sources_docs,
+        "hll_stream_batch_event_types": hll_stream_batch_event_types,
+        "skipgram_pairs_docs": skipgram_pairs_docs,
     }
 
 

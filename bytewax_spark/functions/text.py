@@ -32,6 +32,7 @@ __all__ = [
     "pii_redact",
     "pmi_collocations",
     "char_entropy",
+    "skipgram_pairs",
     "STOPWORDS",
     "PII_PATTERNS",
 ]
@@ -417,3 +418,37 @@ def char_entropy(c: Column | str) -> Column:
         + F.round(-(cnt / n) * F.log2(cnt / n) * 1_000_000).cast("bigint"),
     )
     return F.when(F.length(c) > 0, ent).otherwise(F.lit(0).cast("bigint"))
+
+
+def skipgram_pairs(
+    df, text_col: str, window: int = 2, min_count: int = 5, k: int = 100
+):
+    """Top-``k`` ordered skip-gram co-occurrence pairs: (w1, w2, cnt)
+    where w2 follows w1 within ``window`` tokens — the co-occurrence
+    statistic embedding trainers (word2vec/GloVe) consume. Unlike
+    :func:`pmi_collocations` (adjacent pairs, PMI-scored), this counts
+    wider windows raw.
+
+    All pair generation is IN-ROW: one ``arrays_zip(slice, slice)``
+    per offset, concatenated, then a single explode feeding one
+    map-side-combined count — never a positions self-join. Top-k is
+    ``orderBy().limit()`` = TakeOrdered."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = tokenize(text_col)
+    zips = [
+        F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - d, F.lit(0))).alias("w1"),
+            F.slice(toks, 1 + d, F.greatest(F.size(toks) - d, F.lit(0))).alias("w2"),
+        )
+        for d in range(1, window + 1)
+    ]
+    pairs = df.select(
+        F.explode(F.concat(*zips).alias("ps")).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    return counts.orderBy(F.col("cnt").desc(), F.col("w1"), F.col("w2")).limit(k)

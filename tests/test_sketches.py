@@ -186,3 +186,18 @@ def test_char_entropy_known_values(spark):
     ]
     # 'aaaa' -> 0 bits; 'ab' -> 1 bit; '' -> 0; 'abcd' -> 2 bits
     assert got == [0, 1_000_000, 0, 2_000_000]
+
+
+def test_skipgram_pairs_window2_reference(spark):
+    texts = ["a b c a b c a b c a b c a b c"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["w1"], r["w2"]): r["cnt"]
+        for r in tx.skipgram_pairs(docs, "text", window=2, min_count=1, k=100).collect()
+    }
+    want: dict[tuple[str, str], int] = {}
+    toks = texts[0].split()
+    for d in (1, 2):
+        for a, b in zip(toks, toks[d:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
