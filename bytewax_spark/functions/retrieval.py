@@ -76,7 +76,12 @@ def dsir_logratio_weights(
     drift with partitioning)."""
     raw_toks = _bucketed_tokens(raw_df, text_col, id_col, buckets)
     tgt_toks = _bucketed_tokens(target_df, text_col, id_col, buckets)
-    rc = raw_toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    # per-doc counts are computed anyway for the final score — the raw
+    # pool's bucket distribution rolls up from THEM (256-row second
+    # aggregation) instead of re-tokenizing the whole corpus; the
+    # shared (id, bucket) exchange is reused by Catalyst
+    per_doc = raw_toks.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    rc = per_doc.groupBy("_b").agg(F.sum("_n").alias("_rc"))
     tc = tgt_toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
     rtot = rc.agg(F.sum("_rc").alias("_R"))
     ttot = tc.agg(F.sum("_tc").alias("_T"))
@@ -101,7 +106,6 @@ def dsir_logratio_weights(
             .alias("_w"),
         )
     )
-    per_doc = raw_toks.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
     return (
         per_doc.join(F.broadcast(w), "_b")
         .groupBy(id_col)
