@@ -47,6 +47,7 @@ __all__ = [
     "stateful",
     "collect_stream",
     "distinct_count_stream",
+    "frequency_cap_stream",
     "heavy_hitters_stream",
     "stateful_map_stream",
     "stateful_flat_map_stream",
@@ -565,3 +566,78 @@ def distinct_count_stream(
         f"{up.key_col} {up.df.schema[up.key_col].dataType.simpleString()}, est bigint"
     )
     return stateful_batch(step_id, up, _HLL, schema=schema)
+
+
+def frequency_cap_stream(
+    step_id: str,
+    up: KeyedStream,
+    item_col: str,
+    cap: int,
+    width: int = 1024,
+    depth: int = 4,
+    order_by: str | None = None,
+) -> KeyedStream:
+    """Streaming frequency cap: pass each row through only while its
+    item's RUNNING count (per key) is <= ``cap``, tracked in a
+    count-min sketch — ``depth * width`` counters of state per key
+    FOREVER, however many distinct items flow past. The bounded-state
+    version of "at most N occurrences of any item" (repeat-capping a
+    training stream, ad frequency capping): an exact counter map grows
+    with the distinct-item count; the sketch never does.
+
+    One-sided error, the safe direction for capping: the CMS estimate
+    only over-counts, so a kept row is GUARANTEED under the cap; a
+    rare over-estimate may drop an item early (tune ``width`` to the
+    tolerated over-count rate). Hashing matches
+    :func:`bytewax_spark.functions.sketches.countmin_build` (md5
+    digest splitting).
+
+    ``order_by`` sorts each delivered micro-batch per key before
+    counting — arrival order within a batch is not deterministic
+    after the shuffle to the stateful operator, so reproducible runs
+    need an explicit order column (same contract as
+    ``collect_stream``)."""
+    import hashlib
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width/depth must be positive, got {width}/{depth}")
+
+    def _positions(item) -> list[int]:
+        out = []
+        for d in range((depth + 3) // 4):
+            salt = f"cm{d}:" if d else ""
+            digest = hashlib.md5((salt + str(item)).encode()).hexdigest()
+            for c in range(min(4, depth - 4 * d)):
+                out.append(int(digest[8 * c : 8 * c + 8], 16) % width)
+        return out
+
+    class _FreqCap(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.counters: dict = dict(snap) if snap else {}
+
+        def on_batch(self, pdf):
+            if order_by is not None:
+                pdf = pdf.sort_values(order_by)
+            keep = []
+            for i, it in enumerate(pdf[item_col]):
+                pos = _positions(it)
+                est = min(self.counters.get((d, b), 0) for d, b in enumerate(pos))
+                if est < cap:
+                    keep.append(i)
+                    for d, b in enumerate(pos):
+                        self.counters[(d, b)] = self.counters.get((d, b), 0) + 1
+            return (pdf.iloc[keep] if keep else None), self.RETAIN
+
+        def on_eof(self):
+            return None, self.DISCARD
+
+        def snapshot(self):
+            return self.counters
+
+    up = _require_keyed(step_id, up)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in up.df.schema.fields
+    )
+    return stateful_batch(step_id, up, _FreqCap, schema=schema)

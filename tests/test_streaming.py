@@ -752,3 +752,49 @@ def test_distinct_count_stream_p_validation(spark):
     ks = op.key_on("key", op.input("in", flow, src), "part")
     with pytest.raises(ValueError, match="p must be"):
         distinct_count_stream("dc", ks, "item", p=2)
+
+
+def test_frequency_cap_stream_caps_repeats(spark):
+    """Items pass until their running per-key count reaches the cap;
+    state persists across micro-batches (12 'hot' in 4 files still
+    yields exactly cap)."""
+    from bytewax_spark.streaming import frequency_cap_stream
+
+    items = ["hot"] * 12 + ["cold"] * 2
+    flow = Dataflow("s_fc")
+    src = TestingSource(
+        [("p0", it, i) for i, it in enumerate(items)],
+        schema="part string, item string, seq long",
+        streaming=True, files=4,
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "part")
+    out = frequency_cap_stream("fc", ks, "item", cap=3, order_by="seq")
+    sink = MemorySink("s_fc_out")
+    op.output("out", out, sink)
+    rows = drain(spark, flow, "s_fc_out")
+    got = [r["item"] for r in rows]
+    assert got.count("hot") == 3
+    assert got.count("cold") == 2
+
+
+def test_frequency_cap_batch_deterministic_order(spark):
+    from bytewax_spark.streaming import frequency_cap_stream
+
+    rows = [("p0", "a", i) for i in range(10)] + [("p0", "b", 100)]
+    flow = Dataflow("b_fc")
+    src = TestingSource(rows, schema="part string, item string, seq long")
+    ks = op.key_on("key", op.input("in", flow, src), "part")
+    out = frequency_cap_stream("fc", ks, "item", cap=2, order_by="seq")
+    got = sorted((r["item"], r["seq"]) for r in out.df.collect())
+    # first two 'a' by seq survive, 'b' under cap
+    assert got == [("a", 0), ("a", 1), ("b", 100)]
+
+
+def test_frequency_cap_validation(spark):
+    from bytewax_spark.streaming import frequency_cap_stream
+
+    flow = Dataflow("v_fc")
+    src = TestingSource([("p", "x", 0)], schema="part string, item string, seq long")
+    ks = op.key_on("key", op.input("in", flow, src), "part")
+    with pytest.raises(ValueError, match="cap"):
+        frequency_cap_stream("fc", ks, "item", cap=0)
