@@ -1,0 +1,86 @@
+"""Property-based invariants for the sketch family
+(functions/sketches.py, streaming frequency cap): the guarantees the
+docstrings sell, exercised on hypothesis-generated data instead of
+fixtures."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bytewax_spark.functions import sketches as sk
+
+_keys = st.lists(
+    st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=8),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_keys, st.integers(min_value=1, max_value=3))
+def test_countmin_never_underestimates(spark, keys, depth):
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    true = Counter(keys)
+    sketch = sk.countmin_build(df, "k", width=16, depth=depth)
+    probes = df.select("k").distinct()
+    est = sk.countmin_estimate(sketch, probes, "k", width=16, depth=depth)
+    for r in est.collect():
+        assert r["est"] >= true[r["k"]], (r, true)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_keys)
+def test_countmin_total_mass_per_depth(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    rows = sk.countmin_build(df, "k", width=8, depth=4).collect()
+    per_depth = Counter()
+    for r in rows:
+        per_depth[r["depth"]] += r["cnt"]
+    assert all(v == len(keys) for v in per_depth.values())
+
+
+@settings(max_examples=6, deadline=None)
+@given(_keys, _keys)
+def test_hll_merge_associative(spark, ka, kb):
+    a = spark.createDataFrame([(k,) for k in ka], "k string")
+    b = spark.createDataFrame([(k,) for k in kb], "k string")
+    merged = (
+        sk.hll_build(a, "k", p=6)
+        .unionByName(sk.hll_build(b, "k", p=6))
+        .groupBy("idx")
+        .agg(F.max("maxrank").alias("maxrank"))
+    )
+    direct = sk.hll_build(a.unionByName(b), "k", p=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # and the merged estimate is the direct estimate (same registers)
+    em = sk.hll_estimate(merged, p=6).collect()[0]["est"]
+    ed = sk.hll_estimate(direct, p=6).collect()[0]["est"]
+    assert em == ed
+
+
+@settings(max_examples=4, deadline=None)
+@given(_keys, st.integers(min_value=1, max_value=4))
+def test_frequency_cap_never_exceeds_cap(spark, keys, cap):
+    from bytewax_spark.dataflow import Dataflow
+    from bytewax_spark.sources import TestingSource
+    from bytewax_spark.streaming import frequency_cap_stream
+    import bytewax_spark.operators as op
+
+    rows = [("p0", k, i) for i, k in enumerate(keys)]
+    flow = Dataflow("fc_prop")
+    src = TestingSource(rows, schema="part string, item string, seq long")
+    ks = op.key_on("key", op.input("in", flow, src), "part")
+    out = frequency_cap_stream("fc", ks, "item", cap=cap, order_by="seq")
+    got = Counter(r["item"] for r in out.df.collect())
+    true = Counter(keys)
+    for k, c in got.items():
+        # kept count never exceeds cap, never exceeds truth; CMS
+        # collisions may only DROP extra occurrences, not add
+        assert c <= cap
+        assert c <= true[k]
