@@ -181,6 +181,11 @@ SF1_QUERIES = [
     "join_last_order_lineitem",
     "hourly_event_counts",
     "daily_value_by_type",
+    # LLM-pipeline shapes at 10x: show the sf0.1 stage floor
+    # amortizing on the ops that matter most at corpus scale
+    "dedup_fingerprint_docs",
+    "minhash_lsh_pairs_docs",
+    "curate_corpus",
 ]
 
 EXTENDED_QUERIES = [

@@ -34,9 +34,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "countmin_build",
     "countmin_estimate",
+    "countmin_merge",
     "countmin_positions",
     "hll_build",
     "hll_estimate",
+    "hll_merge",
 ]
 
 
@@ -203,3 +205,28 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
         (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(raw)
     return agg.select(F.round(est).cast("bigint").alias("est"))
+
+
+def countmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketch tables built with the SAME width/depth:
+    element-wise counter addition. Use for per-shard / per-day
+    sketches persisted by ``countmin_build`` — the merged table
+    estimates the union stream exactly as if built in one pass."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge HLL register tables built with the SAME ``p``: per-index
+    max. The merged estimate equals a direct build over the union of
+    the inputs (tested associativity)."""
+    if not registers:
+        raise ValueError("need at least one register table")
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("idx").agg(F.max("maxrank").alias("maxrank"))

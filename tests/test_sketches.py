@@ -201,3 +201,24 @@ def test_skipgram_pairs_window2_reference(spark):
         for a, b in zip(toks, toks[d:]):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+def test_countmin_merge_equals_single_build(spark):
+    a = spark.createDataFrame([("x",)] * 7 + [("y",)] * 2, "k string")
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 5, "k string")
+    merged = sk.countmin_merge(
+        sk.countmin_build(a, "k", width=64, depth=4),
+        sk.countmin_build(b, "k", width=64, depth=4),
+    )
+    direct = sk.countmin_build(a.unionByName(b), "k", width=64, depth=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hll_merge_helper_matches_manual(spark):
+    a = spark.range(100).select(F.col("id").alias("k"))
+    b = spark.range(50, 180).select(F.col("id").alias("k"))
+    m = sk.hll_merge(sk.hll_build(a, "k", p=8), sk.hll_build(b, "k", p=8))
+    d = sk.hll_build(a.unionByName(b), "k", p=8)
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, d.collect()))
