@@ -1,5 +1,6 @@
-"""Count-min sketch (functions/sketches.py) and PMI collocations
-(functions/text.py pmi_collocations)."""
+"""Sketch family (functions/sketches.py: count-min, HyperLogLog,
+merge helpers) and text-statistics operators (functions/text.py: PMI
+collocations, skip-grams, char entropy)."""
 
 from __future__ import annotations
 
