@@ -30,6 +30,8 @@ __all__ = [
     "cosine_topk_batch",
     "hard_negatives",
     "ivf_topk",
+    "ivf_search_index",
+    "ivf_write_index",
     "lsh_bucket_col",
     "lsh_buckets",
     "lsh_probe_buckets",
@@ -382,4 +384,80 @@ def lsh_buckets(
     hamming distance 1 (flip each bit)."""
     return df.select(
         F.col(id_col), lsh_bucket_col(vec_col, n_planes, dims, seed).alias("bucket")
+    )
+
+
+def ivf_write_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_dir: str,
+    cells: int = 16,
+    max_iter: int = 4,
+) -> list[list[float]]:
+    """Build and PERSIST an IVF index: k-means centroids
+    (``<index_dir>/centroids``, cells x dims — tiny) plus the corpus
+    with vectors, hive-partitioned by cell
+    (``<index_dir>/assignments/_cell=N/``). Returns the centroids.
+
+    This is the index *lifecycle* the one-shot :func:`ivf_topk`
+    skips: build once, then every later search reads ONLY the probed
+    cells' directories — partition pruning turns search cost into
+    ``nprobe / cells`` of the corpus, the on-disk analogue of an IVF
+    inverted list. At 100 TB the assignment write is one map-side
+    pass (cell = plan-literal nearest-centroid expression) plus the
+    partitioned write's shuffle; no further index maintenance."""
+    from .clustering import assign_cells, kmeans_fit
+
+    centroids = kmeans_fit(df, vec_col, id_col, k=cells, max_iter=max_iter)
+    assigned = assign_cells(df, vec_col, centroids, cell_col="_cell")
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(
+        f"{index_dir}/assignments"
+    )
+    cdf = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "_cell int, _centroid array<double>"
+    )
+    cdf.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    return centroids
+
+
+def ivf_search_index(
+    spark,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a persisted IVF index: rank the stored centroids against
+    the query (a cells-row read — driver-bounded by construction, the
+    same bounded fan-in as k-means itself), then scan ONLY the
+    ``nprobe`` nearest cells via a partition-pruning ``isin`` filter
+    and take the exact cosine top-k inside them.
+
+    The pruned read is the point: ``.explain`` shows
+    ``PartitionFilters: [_cell IN (...)]`` and untouched cell
+    directories are never opened."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    q = _qvec(query_vec)
+    cdf = spark.read.parquet(f"{index_dir}/centroids")
+    best = (
+        cdf.select("_cell", F.round(cosine(F.col("_centroid"), q), 6).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_cell"))
+        .limit(nprobe)
+        .collect()
+    )
+    probe_cells = [r["_cell"] for r in best]
+    scan = spark.read.parquet(f"{index_dir}/assignments").filter(
+        F.col("_cell").isin(probe_cells)
+    )
+    v = as_double(vec_col)
+    return (
+        scan.select(
+            F.col(id_col), F.col("_cell"), F.round(cosine(v, q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
     )

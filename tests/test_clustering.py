@@ -75,3 +75,33 @@ def test_kmeans_validation(spark):
         clustering.kmeans_fit(df.limit(2), "embedding", "vec_id", k=5)
     with pytest.raises(ValueError, match="non-empty"):
         clustering.assign_cells(df, "embedding", [])
+
+
+def test_ivf_index_lifecycle_prunes_partitions(spark, sf_dir):
+    """Build-once/search-many: the persisted index's search reads only
+    the probed cell directories (PartitionFilters on _cell) and agrees
+    with brute-force cosine top-k when probing every cell."""
+    import tempfile
+
+    from bytewax_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    with tempfile.TemporaryDirectory() as d:
+        cents = sim.ivf_write_index(emb, "embedding", "vec_id", d, cells=4, max_iter=3)
+        assert len(cents) == 4
+        out = sim.ivf_search_index(
+            spark, d, "embedding", "vec_id", qv, k=5, nprobe=2
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters")[1][:120], plan
+        rows = out.collect()
+        assert len(rows) == 5
+        # probing ALL cells must reproduce exact brute-force top-k
+        full = sim.ivf_search_index(
+            spark, d, "embedding", "vec_id", qv, k=5, nprobe=4
+        ).select("vec_id", "cosine")
+        brute = sim.cosine_topk(emb, "embedding", "vec_id", qv, k=5)
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, brute.collect())
+        )
