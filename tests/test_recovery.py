@@ -82,3 +82,41 @@ def test_checkpoint_resume_continues_state(spark, tmp_path):
     _write_batch(spark, str(src), [("a", 9), ("c", 1)], "b1")
     got2 = _run_once(spark, str(src), ckpt, out)
     assert got2 == [("a", 2), ("a", 3), ("b", 1), ("c", 1)]
+
+
+def test_frequency_cap_state_survives_restart(spark, tmp_path):
+    """The count-min counters of frequency_cap_stream ride the same
+    checkpoint path: items capped before the crash STAY capped after
+    resume (no double-admission), new items still pass."""
+    from bytewax_spark.streaming import frequency_cap_stream
+
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "fckpt")
+    out_dir = str(tmp_path / "fout")
+
+    def run_once():
+        flow = Dataflow("fc_recov")
+        df = spark.readStream.schema("key string, v long").parquet(str(src))
+        ks = op.key_on("k", Stream(flow, "in", df), "key")
+        capped = frequency_cap_stream("fc", ks, "v", cap=2, order_by="v")
+        q = (
+            capped.df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        back = spark.read.schema("key string, v long").parquet(out_dir)
+        return sorted((r["key"], r["v"]) for r in back.collect())
+
+    # item value 7 appears twice pre-crash -> hits the cap
+    _write_batch(spark, str(src), [("a", 7), ("a", 7), ("a", 1)], "f0")
+    got1 = run_once()
+    assert got1 == [("a", 1), ("a", 7), ("a", 7)]
+
+    # post-restart: 7 must stay capped; 1 has one admission left; 9 new
+    _write_batch(spark, str(src), [("a", 7), ("a", 1), ("a", 1), ("a", 9)], "f1")
+    got2 = run_once()
+    assert got2 == [("a", 1), ("a", 1), ("a", 7), ("a", 7), ("a", 9)]
