@@ -798,3 +798,67 @@ def test_frequency_cap_validation(spark):
     ks = op.key_on("key", op.input("in", flow, src), "part")
     with pytest.raises(ValueError, match="cap"):
         frequency_cap_stream("fc", ks, "item", cap=0)
+
+
+def test_stateful_batch_event_time_timer(spark):
+    """timers='event': notify_at returning a DATETIME arms an
+    event-time timeout that fires when the WATERMARK (set by the
+    caller upstream) passes it — late-data-safe flushing keyed to the
+    data's clock, not the wall clock. A later micro-batch's events
+    advance the watermark past the armed timestamp and on_notify
+    flushes."""
+    import time
+
+    from bytewax_spark.dataflow import Stream
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+
+    class FlushAtEventTime(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.n, self.armed = snap or (0, None)
+
+        def on_batch(self, pdf):
+            self.n += len(pdf)
+            if self.armed is None:
+                # flush when the event clock passes base + 30s
+                self.armed = base + timedelta(seconds=30)
+            return None, self.RETAIN
+
+        def on_notify(self):
+            return pd.DataFrame({"n": [self.n]}), self.DISCARD
+
+        def notify_at(self):
+            return self.armed
+
+        def snapshot(self):
+            return (self.n, self.armed)
+
+    flow = Dataflow("s_evt")
+    rows = [("a", base + timedelta(seconds=s)) for s in (0, 5, 120, 130)]
+    src = TestingSource(rows, schema="k string, ts timestamp", streaming=True, files=2)
+    s = op.input("in", flow, src)
+    wm = Stream(flow, "wm", s.df.withWatermark("ts", "10 seconds"))
+    ks = op.key_on("key", wm, "k")
+    out = stateful_batch(
+        "flush", ks, FlushAtEventTime, schema="key string, n long", timers="event"
+    )
+    q = (
+        out.df.writeStream.format("memory")
+        .queryName("s_evt_out")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bw_ckpt_"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            got = [tuple(r) for r in spark.sql("select * from s_evt_out").collect()]
+            if got:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # all 4 rows were buffered before the watermark passed base+30s
+    assert got == [("a", 4)]
