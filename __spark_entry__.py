@@ -4675,6 +4675,63 @@ _ORACLES["skipgram_pairs_docs"] = f"""
 """
 
 
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF video metadata end to end
+    (functions/multimodal.py encode_mp4/parse_mp4_meta): every doc
+    becomes a spec-shaped MP4 (ftyp+moov(mvhd+trak(tkhd))) with
+    geometry/duration derived from its columns, then the
+    ``video_metadata`` kernel parses the boxes back. The oracle
+    computes the same values in closed form — so encoder, box walker,
+    16.16 fixed-point geometry, and timescale math are all checked on
+    real container bytes. Bytes never shuffle; only scalars emerge."""
+    from pyspark.sql import types as T
+
+    from bytewax_spark.functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        mm.encode_mp4(
+                            16 + int(d) % 624,
+                            16 + int(d) % 344,
+                            (int(n) % 4000) + 1000,
+                        )
+                        for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+            yield out
+
+    media = docs.mapInPandas(encode, schema=schema)
+    out = mm.video_metadata(media, "content")
+    return out.select("media_id", "brand", "duration_ms", "n_tracks", "width", "height")
+
+
+_ORACLES["multimodal_video_meta"] = """
+    SELECT doc_id AS media_id,
+           'isom' AS brand,
+           CAST((n_chars % 4000) + 1000 AS BIGINT) AS duration_ms,
+           CAST(1 AS INTEGER) AS n_tracks,
+           CAST(16 + doc_id % 624 AS INTEGER) AS width,
+           CAST(16 + doc_id % 344 AS INTEGER) AS height
+    FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4829,6 +4886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_sources_docs": hll_merge_sources_docs,
         "hll_stream_batch_event_types": hll_stream_batch_event_types,
         "skipgram_pairs_docs": skipgram_pairs_docs,
+        "multimodal_video_meta": multimodal_video_meta,
     }
 
 

@@ -41,6 +41,9 @@ from pyspark.sql import types as T
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "encode_mp4",
+    "parse_mp4_meta",
+    "video_metadata",
     "media_table",
     "media_header_meta",
     "encode_png",
@@ -553,5 +556,156 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     tag = _struct.pack(">qq", int(row["media_id"]), ts)
                     out_rows.append((int(row["media_id"]), ts, tag))
             yield pd.DataFrame(out_rows, columns=["media_id", "frame_ts_ms", "frame"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+# --- tier 4: real MP4 (ISO-BMFF) container metadata ----------------------
+
+
+def encode_mp4(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Minimal REAL ISO-BMFF file: ftyp + moov(mvhd + trak(tkhd)) +
+    free, every box spec-shaped (big-endian size + fourcc), geometry
+    in tkhd 16.16 fixed point, duration in mvhd units of
+    ``timescale``. No media samples — the metadata container a
+    frame-extraction pipeline reads before touching mdat."""
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return _struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    matrix = _struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + _struct.pack(">II", 0, 0)  # ctime, mtime
+        + _struct.pack(">II", timescale, dur)
+        + _struct.pack(">i", 0x00010000)  # rate 1.0
+        + _struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + matrix
+        + b"\x00" * 24
+        + _struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # v0, enabled|in-movie|in-preview
+        + _struct.pack(">II", 0, 0)
+        + _struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + _struct.pack(">I", dur)
+        + b"\x00" * 8
+        + _struct.pack(">hhh", 0, 0, 0)
+        + b"\x00" * 2
+        + matrix
+        + _struct.pack(">II", width << 16, height << 16),
+    )
+    ftyp = box(b"ftyp", b"isom" + _struct.pack(">I", 0x200) + b"isomiso2mp41")
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd)) + box(b"free", b"")
+
+
+def parse_mp4_meta(b: bytes) -> dict | None:
+    """Walk a real ISO-BMFF box tree → ``{brand, timescale,
+    duration_ms, n_tracks, width, height}`` or None for non-MP4 /
+    corrupt bytes (never raises — fuzz-tested like the other
+    decoders). Handles mvhd/tkhd version 0 and 1 and 64-bit box
+    sizes; geometry comes from the FIRST track's tkhd (16.16 → int)."""
+    try:
+        return _parse_mp4_inner(bytes(b or b""))
+    except Exception:
+        return None
+
+
+def _boxes(b: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield tag, pos + hdr, pos + size
+        pos += size
+
+
+def _parse_mp4_inner(b: bytes) -> dict | None:
+    brand = None
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    found_moov = False
+    for tag, s, e in _boxes(b, 0, len(b)):
+        if tag == b"ftyp" and e - s >= 4:
+            brand = b[s : s + 4].decode("latin1")
+        elif tag == b"moov":
+            found_moov = True
+            for t2, s2, e2 in _boxes(b, s, e):
+                if t2 == b"mvhd" and e2 - s2 >= 20:
+                    ver = b[s2]
+                    if ver == 1:
+                        timescale = int.from_bytes(b[s2 + 20 : s2 + 24], "big")
+                        duration = int.from_bytes(b[s2 + 24 : s2 + 32], "big")
+                    else:
+                        timescale = int.from_bytes(b[s2 + 12 : s2 + 16], "big")
+                        duration = int.from_bytes(b[s2 + 16 : s2 + 20], "big")
+                elif t2 == b"trak":
+                    n_tracks += 1
+                    if width is None:
+                        for t3, s3, e3 in _boxes(b, s2, e2):
+                            if t3 == b"tkhd" and e3 - s3 >= 8:
+                                width = int.from_bytes(b[e3 - 8 : e3 - 4], "big") >> 16
+                                height = int.from_bytes(b[e3 - 4 : e3], "big") >> 16
+    if not found_moov or brand is None or not timescale:
+        return None
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+def video_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """MP4 content → (brand, duration_ms, n_tracks, width, height)
+    columns via ``mapInPandas`` — REAL container parsing on real
+    bytes; non-MP4 content yields nulls. Same posture as the other
+    media kernels: bytes never shuffle, only scalars emerge."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("brand", T.StringType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("n_tracks", T.IntegerType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf[content_col]:
+                m = parse_mp4_meta(raw)
+                if m is None:
+                    rows.append((None, None, None, None, None))
+                else:
+                    rows.append(
+                        (m["brand"], m["duration_ms"], m["n_tracks"], m["width"], m["height"])
+                    )
+            cols = ["brand", "duration_ms", "n_tracks", "width", "height"]
+            yield pdf.assign(**dict(zip(cols, map(list, zip(*rows)))))
 
     return df.mapInPandas(run, schema=out_schema)

@@ -54,3 +54,41 @@ def test_image_roundtrip_property(w, h, v):
         assert got is not None
         assert (got[1], got[2]) == (w, h)
         assert all(p == float(v) for p in got[3])
+
+
+# --- MP4 (ISO-BMFF) container ------------------------------------------
+
+
+def test_mp4_roundtrip_exact():
+    from bytewax_spark.functions import multimodal as mm
+
+    for w, h, d in ((16, 16, 1000), (640, 360, 5500), (4095, 2159, 123456)):
+        m = mm.parse_mp4_meta(mm.encode_mp4(w, h, d))
+        assert m == {
+            "brand": "isom",
+            "timescale": 1000,
+            "duration_ms": d,
+            "n_tracks": 1,
+            "width": w,
+            "height": h,
+        }
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_mp4_parser_never_raises_on_fuzz(junk):
+    from bytewax_spark.functions import multimodal as mm
+
+    assert mm.parse_mp4_meta(junk) is None or isinstance(
+        mm.parse_mp4_meta(junk), dict
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=200), st.binary(min_size=0, max_size=40))
+def test_mp4_truncation_and_splice_never_raise(cut, splice):
+    from bytewax_spark.functions import multimodal as mm
+
+    b = mm.encode_mp4(320, 240, 2000)
+    mm.parse_mp4_meta(b[:cut])
+    mm.parse_mp4_meta(b[:cut] + splice + b[cut:])
