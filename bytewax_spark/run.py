@@ -101,6 +101,11 @@ def cli_main(argv: list[str] | None = None) -> None:
                    help="streaming trigger (= snapshot/commit) interval, seconds; "
                         "default: one availableNow drain")
     p.add_argument("--mermaid", action="store_true", help="print the step DAG and exit")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print each sink's optimized physical plan and exit (no execution)",
+    )
     args = p.parse_args(argv)
     sys.path.insert(0, "")
 
@@ -116,6 +121,13 @@ def cli_main(argv: list[str] | None = None) -> None:
     flow = _locate_flow(args.import_str)
     if args.mermaid:
         print(flow.to_mermaid())
+        return
+    if args.explain:
+        if not flow.sinks:
+            raise SystemExit("flow has no sinks to explain")
+        for sid, stream, _sink in flow.sinks:
+            print(f"== sink {sid} ==")
+            stream.df.explain("formatted")
         return
     trigger: dict[str, Any] = {}
     if args.snapshot_interval is not None:

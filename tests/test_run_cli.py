@@ -113,3 +113,39 @@ def test_locate_flow_module_callbacks_ship_by_value(tmp_path, monkeypatch, spark
     finally:
         sys.modules.pop("cbflow", None)
     assert sorted((r["seq"], r["total"]) for r in rows) == [(1, 1), (2, 3)]
+
+
+def test_cli_explain_prints_plan_without_executing(tmp_path, monkeypatch, capsys, spark):
+    from bytewax_spark.run import cli_main
+
+    mod = tmp_path / "explflow.py"
+    mod.write_text(
+        "import bytewax_spark.operators as op\n"
+        "from bytewax_spark.dataflow import Dataflow\n"
+        "from bytewax_spark.sinks import StdOutSink\n"
+        "from bytewax_spark.sources import ParquetSource\n"
+        "flow = Dataflow('expl')\n"
+        "s = op.input('in', flow, ParquetSource('/root/testdata/sf0.001/lineitem.parquet'))\n"
+        "op.output('out', op.count_final('cnt', s, key='l_returnflag'), StdOutSink())\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    cli_main(["explflow:flow", "--explain"])
+    out = capsys.readouterr().out
+    assert "== sink out ==" in out
+    assert "Physical Plan" in out
+    # plan printed, nothing executed: no result rows in stdout
+    assert "l_returnflag" not in out.split("Physical Plan")[0]
+    sys.modules.pop("explflow", None)
+
+
+def test_cli_explain_requires_sinks(tmp_path, monkeypatch, spark):
+    from bytewax_spark.run import cli_main
+
+    mod = tmp_path / "nosinkflow.py"
+    mod.write_text(
+        "from bytewax_spark.dataflow import Dataflow\nflow = Dataflow('ns')\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    with pytest.raises(SystemExit, match="no sinks"):
+        cli_main(["nosinkflow:flow", "--explain"])
+    sys.modules.pop("nosinkflow", None)
