@@ -4732,6 +4732,54 @@ _ORACLES["multimodal_video_meta"] = """
 """
 
 
+def histogram_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram sketch of event values over [0, 1000), 128
+    bins (functions/sketches.py histogram_build): <= 128 (bin, cnt)
+    rows from one bounded map-side-combined aggregation — the
+    mergeable stored-quantile state (add per-shard histograms, read
+    quantiles later). Deterministic integer counts, oracle-exact."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("histo")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return sk.histogram_build(ev, "value", lo=0.0, hi=1000.0, bins=128)
+
+
+def histogram_p95_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 of event value read from the 128-bin histogram sketch
+    (functions/sketches.py histogram_quantile): linear interpolation
+    inside the target bin, micro-quantized; error bounded by the
+    7.8125-unit bin width. One row (est_micro)."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("histoq")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    hist = sk.histogram_build(ev, "value", lo=0.0, hi=1000.0, bins=128)
+    return sk.histogram_quantile(hist, 0.95, lo=0.0, hi=1000.0, bins=128)
+
+
+_SQL_HISTO = """
+    SELECT CAST(LEAST(GREATEST(CAST(FLOOR(CAST(value AS DOUBLE) / 7.8125) AS INTEGER), 0), 127) AS INTEGER) AS bin,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1
+"""
+
+_ORACLES["histogram_value_events"] = _SQL_HISTO
+
+_ORACLES["histogram_p95_value_events"] = f"""
+    WITH h AS ({_SQL_HISTO}),
+    c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+    n AS (SELECT SUM(cnt) AS n FROM h),
+    hit AS (
+      SELECT bin, cnt, cum FROM c, n WHERE cum >= 0.95 * n
+      ORDER BY bin LIMIT 1
+    )
+    SELECT CAST(ROUND((0.0 + (bin + (0.95 * (SELECT n FROM n) - (cum - cnt)) / cnt) * 7.8125)
+                * 1000000) AS BIGINT) AS est_micro
+    FROM hit
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4887,6 +4935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_stream_batch_event_types": hll_stream_batch_event_types,
         "skipgram_pairs_docs": skipgram_pairs_docs,
         "multimodal_video_meta": multimodal_video_meta,
+        "histogram_value_events": histogram_value_events,
+        "histogram_p95_value_events": histogram_p95_value_events,
     }
 
 

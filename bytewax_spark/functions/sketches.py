@@ -28,7 +28,7 @@ this module is part of the beyond-reference LLM-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -39,6 +39,8 @@ __all__ = [
     "hll_build",
     "hll_estimate",
     "hll_merge",
+    "histogram_build",
+    "histogram_quantile",
 ]
 
 
@@ -230,3 +232,70 @@ def hll_merge(*registers: DataFrame) -> DataFrame:
     for r in registers[1:]:
         out = out.unionByName(r)
     return out.groupBy("idx").agg(F.max("maxrank").alias("maxrank"))
+
+
+def histogram_build(
+    df: DataFrame,
+    value_col: str | Column,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram sketch of ``value_col`` over [lo, hi) →
+    ``(bin, cnt)`` (+ group columns), at most ``bins`` rows per group.
+    Values outside the range clamp into the edge bins, so total mass
+    is conserved and the merge (counter addition, same as
+    :func:`countmin_merge`) is lossless.
+
+    This is the mergeable quantile-state complement to Spark's
+    ``percentile_approx``: store per-shard histograms, add them, and
+    read any quantile later — the classic fixed-bin trade
+    (deterministic integer counts, error bounded by bin width) that a
+    SQL oracle reproduces exactly, where a t-digest's centroid
+    positions depend on merge order."""
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit((hi - lo) / bins)).cast("int")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    gcols = list(group_cols or [])
+    return (
+        df.select(*gcols, bin_.alias("bin"))
+        .groupBy(*gcols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame, q: float, lo: float, hi: float, bins: int = 256
+) -> DataFrame:
+    """Estimate the ``q``-quantile from a built histogram → one row
+    ``(est,)``, linearly interpolated inside the target bin and
+    quantized to micro-units (int64) so the value is engine-exact.
+    ``lo``/``hi``/``bins`` must match the build call."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    w = (hi - lo) / bins
+    # cumulative count up to each bin, then the first bin reaching q*N
+    cum = hist.select(
+        "bin",
+        "cnt",
+        # a window over <= bins rows (bounded by construction): the
+        # single-partition sort is over the SKETCH, never the data
+        F.sum("cnt").over(Window.orderBy("bin")).alias("_cum"),
+    )
+    total = hist.agg(F.sum("cnt").alias("_n")).withColumn("_k", F.lit(1))
+    target = cum.withColumn("_k", F.lit(1)).join(F.broadcast(total), "_k")
+    hit = (
+        target.filter(F.col("_cum") >= F.lit(q) * F.col("_n"))
+        .orderBy("bin")
+        .limit(1)
+    )
+    frac = (F.lit(q) * F.col("_n") - (F.col("_cum") - F.col("cnt"))) / F.col("cnt")
+    est = F.lit(float(lo)) + (F.col("bin") + frac) * F.lit(w)
+    return hit.select(
+        F.round(est * 1_000_000).cast("bigint").alias("est_micro")
+    )

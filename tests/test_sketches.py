@@ -223,3 +223,47 @@ def test_hll_merge_helper_matches_manual(spark):
     m = sk.hll_merge(sk.hll_build(a, "k", p=8), sk.hll_build(b, "k", p=8))
     d = sk.hll_build(a.unionByName(b), "k", p=8)
     assert sorted(map(tuple, m.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_histogram_conserves_mass_and_merges(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    h = sk.histogram_build(ev, "value", lo=0.0, hi=1000.0, bins=32)
+    rows = h.collect()
+    assert len(rows) <= 32
+    assert sum(r["cnt"] for r in rows) == ev.count()
+    # shard merge == direct build (counter addition via countmin_merge
+    # shape: same (bin, cnt) schema, groupBy-sum)
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        sk.histogram_build(a, "value", 0.0, 1000.0, 32)
+        .unionByName(sk.histogram_build(b, "value", 0.0, 1000.0, 32))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rows))
+
+
+def test_histogram_quantile_within_bin_width(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    hist = sk.histogram_build(ev, "value", lo=0.0, hi=1000.0, bins=128)
+    est = (
+        sk.histogram_quantile(hist, 0.5, lo=0.0, hi=1000.0, bins=128).collect()[0][
+            "est_micro"
+        ]
+        / 1e6
+    )
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p")
+    ).collect()[0]["p"]
+    assert abs(est - exact) <= 1000.0 / 128 + 1e-9
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5.0,), (0.0,), (999.0,), (2000.0,)], "value double")
+    rows = {
+        r["bin"]: r["cnt"]
+        for r in sk.histogram_build(df, "value", 0.0, 1000.0, 10).collect()
+    }
+    assert rows[0] == 2  # -5 clamps down into bin 0
+    assert rows[9] == 2  # 999 and 2000 in the top bin
