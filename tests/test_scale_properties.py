@@ -122,3 +122,42 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_overwrite_backfill(spark):
+    """Backfill semantics: overwriting in DYNAMIC partition mode
+    replaces only the partitions present in the new data — the other
+    partitions' files stay untouched. This is the idempotent-backfill
+    contract every partitioned export pipeline leans on (re-run one
+    day, keep the rest)."""
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/docs"
+            full = spark.createDataFrame(
+                [(i, ["en", "de", "fr"][i % 3], 1) for i in range(90)],
+                "doc_id long, lang string, ver int",
+            )
+            full.write.partitionBy("lang").parquet(path)
+            # backfill ONLY en with new content (ver=2, fewer rows)
+            fix = spark.createDataFrame(
+                [(1000 + i, "en", 2) for i in range(5)],
+                "doc_id long, lang string, ver int",
+            )
+            fix.write.mode("overwrite").partitionBy("lang").parquet(path)
+            back = spark.read.parquet(path)
+            by_lang = {
+                r["lang"]: (r["n"], r["vmax"])
+                for r in back.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("ver").alias("vmax"))
+                .collect()
+            }
+            assert by_lang["en"] == (5, 2)  # replaced
+            assert by_lang["de"] == (30, 1)  # untouched
+            assert by_lang["fr"] == (30, 1)  # untouched
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
