@@ -4780,6 +4780,26 @@ _ORACLES["histogram_p95_value_events"] = f"""
 """
 
 
+def hll_grouped_type_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimates read from GROUPED stored
+    registers (functions/sketches.py hll_build(group_cols) +
+    hll_estimate_grouped): the batch "distinct per segment from
+    per-segment sketches" path, numerically identical to the streaming
+    operator's per-key estimates over the same rows."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("hllg")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    regs = sk.hll_build(ev, "user_id", p=10, group_cols=["event_type"])
+    return sk.hll_estimate_grouped(regs, ["event_type"], p=10)
+
+
+# numerically the streaming query's oracle with its own column names
+_ORACLES["hll_grouped_type_users"] = _ORACLES[
+    "hll_stream_batch_event_types"
+].replace("AS key,", "AS event_type,")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4937,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_meta": multimodal_video_meta,
         "histogram_value_events": histogram_value_events,
         "histogram_p95_value_events": histogram_p95_value_events,
+        "hll_grouped_type_users": hll_grouped_type_users,
     }
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "countmin_positions",
     "hll_build",
     "hll_estimate",
+    "hll_estimate_grouped",
     "hll_merge",
     "histogram_build",
     "histogram_quantile",
@@ -299,3 +300,31 @@ def histogram_quantile(
     return hit.select(
         F.round(est * 1_000_000).cast("bigint").alias("est_micro")
     )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group estimates from a ``group_cols`` register build →
+    one row per group ``(*group_cols, est)``. Same integer-scaled
+    estimator as :func:`hll_estimate`, aggregated per group — the
+    "distinct users per segment per day" read over stored sketches."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use hll_estimate)")
+    m = 1 << p
+    wbits = 60 - p
+    scale = 1 << (wbits + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {wbits + 1} - maxrank)")).alias(
+            "ssum"
+        ),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    v = F.lit(m) - F.col("nz")
+    z = (v.cast("double") * scale + F.col("ssum")) / F.lit(float(scale))
+    raw = F.lit(alpha * m * m) / z
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est).cast("bigint").alias("est"))

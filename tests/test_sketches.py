@@ -267,3 +267,19 @@ def test_histogram_clamps_out_of_range(spark):
     }
     assert rows[0] == 2  # -5 clamps down into bin 0
     assert rows[9] == 2  # 999 and 2000 in the top bin
+
+
+def test_hll_estimate_grouped_matches_per_group_direct(spark):
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(500)] + [("g2", i) for i in range(80)],
+        "g string, k int",
+    )
+    regs = sk.hll_build(df, "k", p=9, group_cols=["g"])
+    grouped = {
+        r["g"]: r["est"]
+        for r in sk.hll_estimate_grouped(regs, ["g"], p=9).collect()
+    }
+    for g in ("g1", "g2"):
+        sub = df.filter(F.col("g") == g)
+        direct = sk.hll_estimate(sk.hll_build(sub, "k", p=9), p=9).collect()[0]["est"]
+        assert grouped[g] == direct
