@@ -4800,6 +4800,65 @@ _ORACLES["hll_grouped_type_users"] = _ORACLES[
 ].replace("AS key,", "AS event_type,")
 
 
+def label_prop_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation rounds over the part
+    co-occurrence graph (functions/graph.py label_propagation —
+    deterministic LPA: most frequent neighbor label, ties to the
+    smallest). The fixed round count and total tie order make the
+    iteration SQL-unrollable, so the oracle replays both rounds
+    exactly."""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "_ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return graph.label_propagation(edges, iters=2)
+
+
+_ORACLES["label_prop_copart"] = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    bo AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    nodes AS (SELECT DISTINCT u AS node FROM bo),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    c1 AS (
+      SELECT b.u AS node, l.label, COUNT(*) AS cnt
+      FROM bo b JOIN l0 l ON l.node = b.v GROUP BY 1, 2
+    ),
+    b1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM c1) WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT n.node, COALESCE(b1.label, n.node) AS label
+      FROM nodes n LEFT JOIN b1 ON b1.node = n.node
+    ),
+    c2 AS (
+      SELECT b.u AS node, l.label, COUNT(*) AS cnt
+      FROM bo b JOIN l1 l ON l.node = b.v GROUP BY 1, 2
+    ),
+    b2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM c2) WHERE rn = 1
+    )
+    SELECT n.node, COALESCE(b2.label, n.node) AS label
+    FROM nodes n LEFT JOIN b2 ON b2.node = n.node
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4958,6 +5017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_value_events": histogram_value_events,
         "histogram_p95_value_events": histogram_p95_value_events,
         "hll_grouped_type_users": hll_grouped_type_users,
+        "label_prop_copart": label_prop_copart,
     }
 
 

@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "neardup_clusters", "pagerank", "triangle_counts"]
+__all__ = [
+    "connected_components",
+    "label_propagation",
+    "neardup_clusters",
+    "pagerank",
+    "triangle_counts",
+]
 
 
 def connected_components(
@@ -306,3 +312,53 @@ def neardup_clusters(
     ).select(
         id_col, F.coalesce("comp", F.col(id_col)).alias("cluster_id")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 2,
+) -> DataFrame:
+    """(node, label) — synchronous label propagation (Raghavan et al.
+    2007, public) over an undirected edge list: every node starts as
+    its own label; each round it adopts the most frequent label among
+    its neighbors, ties to the SMALLEST label. Deterministic by
+    construction (synchronous + total tie order), so a fixed
+    ``iters`` unrolls to an exact SQL oracle — unlike the usual
+    randomized-order LPA.
+
+    Scale shape per round: one |E|-row join to carry labels to
+    neighbors (both directions of each edge), one
+    (node, label)-count aggregation with map-side combine, one
+    ``max_by`` per node — shuffles carry ids and labels only;
+    ``localCheckpoint`` truncates lineage per round like the other
+    fixpoints. Isolated nodes (no edges) keep their own label."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = both.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        neigh = both.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        # most frequent label, ties -> smallest: max over (cnt, -label)
+        best = counts.groupBy("node").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")).alias("_t"))
+            ).alias("label")
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .select("node", F.coalesce("label", F.col("node")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

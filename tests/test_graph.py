@@ -163,3 +163,46 @@ def test_triangle_counts_triangle_free(spark):
         [(0, i) for i in range(1, 6)], "id_a long, id_b long"
     )
     assert graph.triangle_counts(edges).count() == 0
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Exact agreement with a pure-Python synchronous LPA (most
+    frequent neighbor label, ties to smallest) over several rounds."""
+    from bytewax_spark.functions import graph
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, ns in adj.items():
+            cnt: dict[int, int] = {}
+            for m in ns:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            new[n] = min(
+                (lbl for lbl in cnt if cnt[lbl] == max(cnt.values()))
+            )
+        labels = new
+
+    got = dict(
+        (r["node"], r["label"])
+        for r in graph.label_propagation(df, iters=3).collect()
+    )
+    assert got == labels
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    from bytewax_spark.functions import graph
+
+    df = spark.createDataFrame([(5, 5)], "id_a bigint, id_b bigint")
+    # self-loop only -> filtered out -> no nodes at all
+    assert graph.label_propagation(df, iters=2).count() == 0
+    df2 = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    got = sorted(map(tuple, graph.label_propagation(df2, iters=2).collect()))
+    # 1<->2: each adopts the other's label each round; after 2 rounds back to self
+    assert got == [(1, 1), (2, 2)]
