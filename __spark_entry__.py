@@ -4859,6 +4859,91 @@ _ORACLES["label_prop_copart"] = """
 """
 
 
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step conversion funnel over events
+    (functions/behavior.py funnel): users whose first click is at or
+    after their first view, first purchase at or after that click.
+    Single-plan left-join chain co-partitioned on user_id."""
+    from bytewax_spark.functions import behavior as bh
+
+    flow = _flow("funnel")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return bh.funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+_ORACLES["funnel_view_click_purchase"] = """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT t1.user_id, MIN(e.ts) AS t
+      FROM t1 JOIN events e
+        ON e.user_id = t1.user_id AND e.event_type = 'click' AND e.ts >= t1.t
+      GROUP BY 1
+    ),
+    t3 AS (
+      SELECT t2.user_id, MIN(e.ts) AS t
+      FROM t2 JOIN events e
+        ON e.user_id = t2.user_id AND e.event_type = 'purchase' AND e.ts >= t2.t
+      GROUP BY 1
+    )
+    SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step,
+           (SELECT COUNT(*) FROM t1) AS users
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM t2)
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM t3)
+"""
+
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (functions/behavior.py
+    cohort_retention): distinct users active N weeks after their
+    first-ever event, grouped by first-event week. One per-user
+    aggregation + one co-partitioned join back."""
+    from bytewax_spark.functions import behavior as bh
+
+    flow = _flow("cohort")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return bh.cohort_retention(ev, "user_id", "ts", bucket="week")
+
+
+_ORACLES["cohort_retention_weekly"] = """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY 1
+    ),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS b FROM events)
+    SELECT f.cohort AS cohort,
+           CAST(datediff('day', f.cohort, a.b) / 7 AS INTEGER) AS offset,
+           COUNT(DISTINCT a.user_id) AS users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts per user sequence
+    (functions/behavior.py event_transitions): lag over a per-user
+    (ts, event_id)-ordered window — total order, so deterministic under
+    any partitioning — then a groupBy on the (src, dst) pair."""
+    from bytewax_spark.functions import behavior as bh
+
+    flow = _flow("transitions")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return bh.event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+_ORACLES["event_transition_matrix"] = """
+    WITH s AS (
+      SELECT user_id, event_type AS dst,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      FROM events
+    )
+    SELECT src, dst, COUNT(*) AS transitions
+    FROM s WHERE src IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5018,6 +5103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_p95_value_events": histogram_p95_value_events,
         "hll_grouped_type_users": hll_grouped_type_users,
         "label_prop_copart": label_prop_copart,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "cohort_retention_weekly": cohort_retention_weekly,
+        "event_transition_matrix": event_transition_matrix,
     }
 
 

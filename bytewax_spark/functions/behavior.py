@@ -1,0 +1,176 @@
+"""Behavioral / product analytics over event streams — ordered-step
+funnels, cohort retention, and first-order event transitions. These are
+the queries the reference's event-stream users write by hand with
+``stateful_map`` + per-key folds (bytewax docs' "sessionization /
+conversion" recipes); here each is a fixed DataFrame composition so
+Catalyst sees the whole plan.
+
+Scale posture (100 TB of events):
+- ``funnel`` is K-1 self-co-partitioned joins on the user key, each
+  filtered to one step's events BEFORE the shuffle, and each join's
+  left side only carries users who reached the previous step — the
+  frontier shrinks monotonically. No collect, no window over all
+  events.
+- ``cohort_retention`` is one per-user aggregation plus one
+  co-partitioned join back (both sides hash-partitioned on the user
+  key, so AQE plans a single exchange pair) and a final small groupBy.
+- ``event_transitions`` is one per-user-partitioned window (millions
+  of small sorts, never global) and a groupBy on the (src, dst) pair —
+  output cardinality is |event_type|².
+
+Parity note: the reference has no built-in funnel/cohort operators;
+these compose over the same semantics its users build from
+``stateful_map`` (reference pysrc/bytewax/operators/__init__.py:1040
+stateful_map docs). Beyond-reference layer per SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "cohort_retention", "event_transitions"]
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered-step funnel: for each step i, count users whose FIRST
+    qualifying step-i event occurs at-or-after their first qualifying
+    step-(i-1) event. Returns one row per step:
+    ``(step_idx, step, users)``.
+
+    "Qualifying" is sequential, not independent: a user's step-2 time
+    is the min ts of step-2 events at-or-after that user's step-1 time,
+    so out-of-order conversions don't count (the standard funnel
+    definition). Equal timestamps count as ordered (``>=``) — ties
+    within one event-time tick are credited.
+
+    Implementation: aggregate first-step times per user (one shuffle on
+    the user key), then for each later step an inner join of the
+    surviving frontier against that step's events (pre-filtered map-
+    side) followed by a min-aggregation — all shuffles share the user
+    key, so the exchange is reused across the chain.
+    """
+    steps = list(steps)
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+
+    # One frame per user carrying _t1.._tK (null = never reached), built
+    # as a left-join chain so the whole funnel is a single plan tree:
+    # each step's events are scanned once, the frontier is evaluated
+    # once, and the per-step counts fall out of one final aggregation.
+    per_user = (
+        df.filter(ty == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(t).alias("_t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.filter(ty == step).select(u.alias(user_col), t.alias("_ts"))
+        prev = f"_t{i - 1}"
+        per_user = (
+            per_user.join(
+                ev,
+                on=(per_user[user_col] == ev[user_col])
+                & (F.col("_ts") >= F.col(prev)),
+                how="left",
+            )
+            .drop(ev[user_col])
+            .groupBy(user_col)
+            .agg(
+                *[F.first(f"_t{j}").alias(f"_t{j}") for j in range(1, i)],
+                F.min("_ts").alias(f"_t{i}"),
+            )
+        )
+    totals = per_user.select(
+        *[
+            F.sum(F.col(f"_t{i}").isNotNull().cast("long")).alias(f"_c{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', _c{i}" for i, s in enumerate(steps, start=1)
+    )
+    return totals.select(
+        F.expr(f"stack({len(steps)}, {stack_args}) AS (step_idx, step, users)")
+    ).select(
+        F.col("step_idx").cast("int").alias("step_idx"),
+        "step",
+        F.coalesce(F.col("users"), F.lit(0)).cast("long").alias("users"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by the bucket of their
+    first event (the cohort); for each (cohort, offset) cell, the
+    number of distinct cohort members active ``offset`` buckets later.
+    Returns ``(cohort, offset, users)``; offset 0 is the cohort size.
+
+    ``bucket``: ``date_trunc`` unit (``week``/``day``/``month``).
+    Offsets are computed on day arithmetic (7/1/31-day months use real
+    truncated-calendar boundaries via ``months_between`` for month).
+    ``max_offset`` optionally caps the triangle width (map-side
+    filter)."""
+    u, t = F.col(user_col), F.col(ts_col)
+    firsts = df.groupBy(user_col).agg(
+        F.date_trunc(bucket, F.min(t)).alias("_cohort")
+    )
+    active = df.select(
+        u.alias(user_col), F.date_trunc(bucket, t).alias("_b")
+    ).distinct()
+    joined = active.join(firsts, user_col)
+    if bucket == "month":
+        off = F.round(
+            F.months_between(F.col("_b"), F.col("_cohort"))
+        ).cast("int")
+    else:
+        days = F.datediff(F.col("_b"), F.col("_cohort"))
+        per = {"week": 7, "day": 1}[bucket]
+        off = (days / per).cast("int")
+    out = joined.select(
+        F.col("_cohort").alias("cohort"), off.alias("offset"), u.alias(user_col)
+    )
+    if max_offset is not None:
+        out = out.filter(F.col("offset") <= max_offset)
+    return out.groupBy("cohort", "offset").agg(
+        F.count_distinct(F.col(user_col)).alias("users")
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order transition counts: for each user's event sequence
+    ordered by ``(ts, tiebreak)``, count consecutive ``(src, dst)``
+    event-type pairs across all users. Returns
+    ``(src, dst, transitions)`` — the Markov transition matrix in long
+    form (row-normalize downstream for probabilities).
+
+    ``tiebreak_col`` makes the per-user order total (event ids), so the
+    result is deterministic under any partitioning. The window
+    partitions by user — never a global sort."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    lagged = df.select(
+        F.lag(F.col(type_col)).over(w).alias("src"),
+        F.col(type_col).alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    return lagged.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )

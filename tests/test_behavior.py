@@ -1,0 +1,139 @@
+"""Behavioral analytics (functions/behavior.py): ordered funnels,
+cohort retention, event transitions — semantics pinned on handmade
+sequences where the expected numbers are computable by eye."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from bytewax_spark.functions import behavior as bh
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, event_id bigint"
+    )
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_funnel_requires_step_order(spark):
+    # u1 converts in order; u2 clicked BEFORE viewing (click must not
+    # count); u3 only views; u4 never views (excluded from step 1).
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01T00:00"), "view", 1),
+            (1, _ts("2024-01-01T01:00"), "click", 2),
+            (1, _ts("2024-01-01T02:00"), "buy", 3),
+            (2, _ts("2024-01-01T01:00"), "click", 4),
+            (2, _ts("2024-01-01T02:00"), "view", 5),
+            (3, _ts("2024-01-01T00:00"), "view", 6),
+            (4, _ts("2024-01-01T00:00"), "click", 7),
+        ],
+    )
+    got = {
+        r["step"]: r["users"]
+        for r in bh.funnel(ev, "user_id", "ts", "event_type", ["view", "click", "buy"]).collect()
+    }
+    assert got == {"view": 3, "click": 1, "buy": 1}
+
+
+def test_funnel_equal_timestamps_count(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01T00:00"), "view", 1),
+            (1, _ts("2024-01-01T00:00"), "click", 2),
+        ],
+    )
+    got = {
+        r["step"]: r["users"]
+        for r in bh.funnel(ev, "user_id", "ts", "event_type", ["view", "click"]).collect()
+    }
+    assert got == {"view": 1, "click": 1}
+
+
+def test_funnel_later_step_before_earlier_reset(spark):
+    # u1's only click precedes the first view -> click never credited,
+    # even though both event types exist for the user.
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01T05:00"), "view", 1),
+            (1, _ts("2024-01-01T01:00"), "click", 2),
+        ],
+    )
+    got = {
+        r["step"]: r["users"]
+        for r in bh.funnel(ev, "user_id", "ts", "event_type", ["view", "click"]).collect()
+    }
+    assert got == {"view": 1, "click": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    # u1 first active week of Jan 1 (Mon), returns 2 weeks later;
+    # u2 first active week of Jan 8, active same week only.
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-02T00:00"), "view", 1),
+            (1, _ts("2024-01-16T00:00"), "view", 2),
+            (2, _ts("2024-01-09T00:00"), "view", 3),
+        ],
+    )
+    rows = {
+        (str(r["cohort"].date()), r["offset"]): r["users"]
+        for r in bh.cohort_retention(ev, "user_id", "ts", bucket="week").collect()
+    }
+    assert rows == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_cohort_retention_max_offset_caps(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01T00:00"), "view", 1),
+            (1, _ts("2024-03-01T00:00"), "view", 2),
+        ],
+    )
+    rows = bh.cohort_retention(ev, "user_id", "ts", bucket="week", max_offset=1).collect()
+    assert {r["offset"] for r in rows} == {0}
+
+
+def test_event_transitions_tiebreak_is_total(spark):
+    # Two events at the identical timestamp: event_id decides order, so
+    # the pair is (a->b), never (b->a).
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01T00:00"), "a", 1),
+            (1, _ts("2024-01-01T00:00"), "b", 2),
+            (1, _ts("2024-01-01T01:00"), "a", 3),
+            (2, _ts("2024-01-01T00:00"), "a", 4),
+        ],
+    )
+    got = {
+        (r["src"], r["dst"]): r["transitions"]
+        for r in bh.event_transitions(ev, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    # u1: a->b, b->a ; u2 has a single event (no transition)
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_funnel_plan_no_python_no_cartesian(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = bh.funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan
+    # step filters are pushed to the parquet scan
+    assert "PushedFilters" in plan and "EqualTo(event_type," in plan
