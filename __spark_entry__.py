@@ -4944,6 +4944,83 @@ _ORACLES["event_transition_matrix"] = """
 """
 
 
+def fuzzy_name_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (functions/linkage.py fuzzy_self_pairs):
+    customer-name pairs within edit distance 2, candidates generated
+    only inside nation blocks; threshold Levenshtein kernel (early
+    exit) + length-band prefilter, all JVM-side."""
+    from bytewax_spark.functions import linkage
+
+    cust = _t(spark, sf_dir, "customer")
+    return linkage.fuzzy_self_pairs(cust, "c_custkey", ["c_nationkey"], "c_name", 2)
+
+
+_ORACLES["fuzzy_name_pairs_customers"] = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+def fuzzy_link_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table record linkage (functions/linkage.py
+    blocked_fuzzy_join): customers matched to suppliers in the same
+    nation whose name-digit suffixes are within edit distance 1 —
+    the entity-resolution shape (block key + cheap necessary-condition
+    band + bounded comparator). Returns matched key pairs + dist."""
+    from bytewax_spark.functions import linkage
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.substring("c_name", 10, 9).alias("c_sfx")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.substring("s_name", 10, 9).alias("s_sfx")
+    )
+    return linkage.blocked_fuzzy_join(
+        cust, supp, [("c_nationkey", "s_nationkey")], ("c_sfx", "s_sfx"), 1
+    ).select("c_custkey", "s_suppkey", "dist")
+
+
+_ORACLES["fuzzy_link_customer_supplier"] = """
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST(levenshtein(substring(c.c_name, 10, 9), substring(s.s_name, 10, 9)) AS INTEGER) AS dist
+    FROM customer c JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+    WHERE levenshtein(substring(c.c_name, 10, 9), substring(s.s_name, 10, 9)) <= 1
+"""
+
+
+def robust_stats_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type robust statistics of event values
+    (functions/stats.py robust_stats): p25/median/p75 from ONE
+    sort-based percentile evaluation per group, IQR and Tukey fences
+    derived; single aggregation, single shuffle."""
+    from bytewax_spark.functions import stats
+
+    flow = _flow("robust")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return stats.robust_stats(ev, ["event_type"], "value")
+
+
+_ORACLES["robust_stats_event_values"] = """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.5)  AS med,
+             quantile_cont(value, 0.75) AS p75
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           ROUND(p25, 6) AS p25, ROUND(med, 6) AS median, ROUND(p75, 6) AS p75,
+           ROUND(p75 - p25, 6) AS iqr,
+           ROUND(p25 - 1.5 * (p75 - p25), 6) AS lo_fence,
+           ROUND(p75 + 1.5 * (p75 - p25), 6) AS hi_fence
+    FROM q
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5106,6 +5183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_click_purchase": funnel_view_click_purchase,
         "cohort_retention_weekly": cohort_retention_weekly,
         "event_transition_matrix": event_transition_matrix,
+        "fuzzy_name_pairs_customers": fuzzy_name_pairs_customers,
+        "fuzzy_link_customer_supplier": fuzzy_link_customer_supplier,
+        "robust_stats_event_values": robust_stats_event_values,
     }
 
 

@@ -1,0 +1,99 @@
+"""Record linkage / entity resolution — blocked fuzzy joins on edit
+distance. The classic data-cleaning shape: candidate pairs are
+generated only WITHIN equi-blocks (never a global cross product), a
+cheap length-band necessary condition prunes before the expensive
+comparator, and the bounded Levenshtein kernel (threshold variant —
+early-exits once the band is exceeded) runs JVM-side.
+
+Scale posture (100 TB): the quadratic blow-up is bounded per block —
+choose block keys so the largest block's pair count fits an executor
+(the same discipline as LSH buckets in functions/dedup.py). The join
+itself is a plain equi-shuffle on the block key; the distance filter
+is evaluated stream-side inside the join, so non-candidates never
+materialize. No Python, no cartesian.
+
+Parity note: the reference has no fuzzy-matching surface; its users
+hand-roll this with ``join`` + ``filter`` (reference
+pysrc/bytewax/operators/__init__.py:1155 join docs). Beyond-reference
+layer per SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["blocked_fuzzy_join", "fuzzy_self_pairs"]
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_on: Sequence[tuple[str, str]],
+    text: tuple[str, str],
+    max_dist: int,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Join ``left`` and ``right`` rows whose ``text`` columns are
+    within Levenshtein distance ``max_dist``, comparing ONLY rows that
+    agree on every ``block_on`` pair. Returns all left columns + all
+    right columns + ``dist_col``.
+
+    ``block_on``: [(left_col, right_col), ...] equi-block keys.
+    ``text``: (left_col, right_col) compared with the THRESHOLD form of
+    ``levenshtein`` — the JVM kernel abandons a pair as soon as the
+    running distance exceeds ``max_dist`` (O(max_dist·len) instead of
+    O(len²)). A length-difference band (``|len(l)-len(r)| <= max_dist``,
+    a necessary condition for edit distance) prunes first.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    lt, rt = text
+    cond = None
+    for lc, rc in block_on:
+        c = left[lc] == right[rc]
+        cond = c if cond is None else (cond & c)
+    band = (
+        F.abs(F.length(left[lt]) - F.length(right[rt])) <= max_dist
+    )
+    cond = band if cond is None else (cond & band)
+    d = F.levenshtein(left[lt], right[rt], max_dist)
+    cond = cond & (d >= 0)
+    return left.join(right, cond).withColumn(dist_col, d)
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    text_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """Near-duplicate candidate pairs WITHIN one table: rows agreeing
+    on ``block_cols`` whose ``text_col`` values are within edit
+    distance ``max_dist``. Each unordered pair appears once
+    (``id_a < id_b``). Returns ``(id_a, id_b, dist)``.
+
+    The self-join shuffles the (id, block, text) projection twice on
+    the block key — 3 narrow columns, never whole rows."""
+    slim = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col)
+    )
+    a, b = slim.alias("_a"), slim.alias("_b")
+    ac = lambda c: F.col(f"_a.{c}")  # noqa: E731
+    bc = lambda c: F.col(f"_b.{c}")  # noqa: E731
+    cond = ac(id_col) < bc(id_col)
+    for c in block_cols:
+        cond = cond & (ac(c) == bc(c))
+    cond = cond & (
+        F.abs(F.length(ac(text_col)) - F.length(bc(text_col))) <= max_dist
+    )
+    d = F.levenshtein(ac(text_col), bc(text_col), max_dist)
+    cond = cond & (d >= 0)
+    return a.join(b, cond).select(
+        ac(id_col).alias("id_a"),
+        bc(id_col).alias("id_b"),
+        d.alias("dist"),
+    )

@@ -1,0 +1,58 @@
+"""Robust grouped statistics — exact medians/quartiles and summary
+frames. Exact ``percentile`` (sort-based within each group, linear
+interpolation — the same definition DuckDB's ``quantile_cont`` and
+NumPy's default use) rather than the t-digest approximation, for the
+cases where the answer feeds a correctness-sensitive decision
+(clipping thresholds, outlier fences). For sketch-sized approximate
+quantiles at extreme scale use functions/sketches.py histogram_build/
+histogram_quantile instead.
+
+Scale posture: exact grouped percentiles sort within each group's
+partition — fine when groups are many and each fits an executor
+(the normal grouped case). A single giant group degenerates to a
+one-partition sort; that is inherent to exact order statistics —
+use the histogram sketch there.
+
+Results are rounded to a fixed decimal count so values are bit-stable
+across engines and partition orders (interpolation is computed on
+sorted data, so it is deterministic; rounding guards the final
+float formatting only).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["robust_stats"]
+
+
+def robust_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group robust location/spread: exact p25 / median / p75,
+    IQR, and Tukey outlier fences (1.5·IQR). One aggregation, one
+    shuffle on the group key; the three quantiles come from a single
+    sort per group (one ``percentile`` call with an array argument).
+
+    Returns group cols + ``(p25, median, p75, iqr, lo_fence,
+    hi_fence)``, all rounded to ``decimals``."""
+    q = F.percentile(F.col(val_col), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    agg = df.groupBy(*group_cols).agg(q.alias("_q"))
+    p25, med, p75 = (F.col("_q")[i] for i in range(3))
+    iqr = p75 - p25
+    r = lambda c: F.round(c, decimals)  # noqa: E731
+    return agg.select(
+        *group_cols,
+        r(p25).alias("p25"),
+        r(med).alias("median"),
+        r(p75).alias("p75"),
+        r(iqr).alias("iqr"),
+        r(p25 - 1.5 * iqr).alias("lo_fence"),
+        r(p75 + 1.5 * iqr).alias("hi_fence"),
+    )

@@ -1,0 +1,104 @@
+"""Record linkage (functions/linkage.py) and robust grouped stats
+(functions/stats.py): semantics pinned on handmade rows, plan gates
+proving the joins stay equi-shuffled (never cartesian) and Python-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bytewax_spark.functions import linkage, stats
+
+
+def test_fuzzy_self_pairs_threshold_and_blocking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "us", "kitten"),
+            (2, "us", "sitten"),   # dist 1 from kitten
+            (3, "us", "sitting"),  # dist 2 from sitten, 3 from kitten
+            (4, "eu", "kitten"),   # exact text match but different block
+        ],
+        "id bigint, region string, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in linkage.fuzzy_self_pairs(df, "id", ["region"], "name", 2).collect()
+    }
+    # (1,3) dist 3 exceeds threshold; (1,4)/(2,4)/(3,4) cross blocks
+    assert got == {(1, 2): 1, (2, 3): 2}
+
+
+def test_fuzzy_self_pairs_each_pair_once(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "aa"), (2, "x", "ab"), (3, "x", "ba")],
+        "id bigint, b string, t string",
+    )
+    rows = linkage.fuzzy_self_pairs(df, "id", ["b"], "t", 2).collect()
+    assert len(rows) == 3  # 3 unordered pairs, no (b,a) mirrors, no self
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_blocked_fuzzy_join_cross_table(spark):
+    left = spark.createDataFrame(
+        [(1, "us", "acme corp"), (2, "eu", "acme corp")],
+        "lid bigint, lreg string, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "us", "acme corp."), (11, "us", "zzz"), (12, "eu", "acme inc")],
+        "rid bigint, rreg string, rname string",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in linkage.blocked_fuzzy_join(
+            left, right, [("lreg", "rreg")], ("lname", "rname"), 2
+        ).collect()
+    }
+    # (1,10) dist 1; (1,11) too far; (2,12) dist 4 > 2
+    assert got == {(1, 10): 1}
+
+
+def test_blocked_fuzzy_join_zero_dist_is_exact(spark):
+    left = spark.createDataFrame([(1, "b", "same")], "lid bigint, lb string, lt string")
+    right = spark.createDataFrame(
+        [(2, "b", "same"), (3, "b", "sam")], "rid bigint, rb string, rt string"
+    )
+    rows = linkage.blocked_fuzzy_join(
+        left, right, [("lb", "rb")], ("lt", "rt"), 0
+    ).collect()
+    assert [(r["lid"], r["rid"], r["dist"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_fuzzy_join_plan_is_equi_not_cartesian(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = linkage.fuzzy_self_pairs(cust, "c_custkey", ["c_nationkey"], "c_name", 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_robust_stats_hand_computed(spark):
+    # values 1..5: p25=2, median=3, p75=4, iqr=2, fences -1 / 7
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 6)], "k string, v double"
+    )
+    r = stats.robust_stats(df, ["k"], "v").collect()[0]
+    assert (r["p25"], r["median"], r["p75"], r["iqr"]) == (2.0, 3.0, 4.0, 2.0)
+    assert (r["lo_fence"], r["hi_fence"]) == (-1.0, 7.0)
+
+
+def test_robust_stats_interpolates(spark):
+    # values 1,2,3,4: p25 = 1.75 (linear interpolation, type-7)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 5)], "k string, v double"
+    )
+    r = stats.robust_stats(df, ["k"], "v").collect()[0]
+    assert r["p25"] == 1.75 and r["median"] == 2.5 and r["p75"] == 3.25
+
+
+def test_robust_stats_single_agg_plan(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = stats.robust_stats(ev, ["event_type"], "value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one logical aggregation -> exactly one pair of (partial, final)
+    assert plan.count("Exchange hashpartitioning(event_type") <= 1
+    assert "EvalPython" not in plan
