@@ -5021,6 +5021,157 @@ _ORACLES["robust_stats_event_values"] = """
 """
 
 
+def kcore_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80-core of the part co-occurrence graph (functions/graph.py
+    kcore): synchronous peel rounds dropping nodes under degree 80
+    until the fixpoint — the k-core is unique and order-independent,
+    so the deterministic synchronous rounds unroll to an exact SQL
+    oracle (8 rounds covers the sf0.01 fixpoint at 6 with margin;
+    peeling is idempotent past convergence)."""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "_ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return graph.kcore(edges, 80)
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    # AS MATERIALIZED: each CTE is referenced twice per round — inlined
+    # evaluation would re-run the whole prefix exponentially.
+    parts = [
+        """WITH e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""keep{r} AS MATERIALIZED (
+      SELECT u, COUNT(*) AS degree FROM e{r - 1} GROUP BY 1 HAVING COUNT(*) >= {k}
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT c.u, c.v FROM e{r - 1} c
+      JOIN keep{r} ka ON c.u = ka.u JOIN keep{r} kb ON c.v = kb.u
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT u AS node, degree FROM keep{rounds}"
+    )
+
+
+_ORACLES["kcore_copart"] = _kcore_oracle_sql(80, 8)
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile of documents (functions/profiling.py
+    profile_table): per-column nulls, exact distincts, and integer-
+    exact string-length stats from ONE aggregation (expand+aggregate
+    plan, one table scan)."""
+    from bytewax_spark.functions import profiling
+
+    flow = _flow("profile")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return profiling.profile_table(docs)
+
+
+_ORACLES["profile_documents"] = """
+    SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(NULL AS INTEGER) AS min_len, CAST(NULL AS INTEGER) AS max_len,
+           CAST(NULL AS BIGINT) AS avg_len_micro
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*), CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT text),
+           CAST(MIN(LENGTH(text)) AS INTEGER), CAST(MAX(LENGTH(text)) AS INTEGER),
+           (SUM(LENGTH(text)) * 1000000) // COUNT(text)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT lang),
+           CAST(MIN(LENGTH(lang)) AS INTEGER), CAST(MAX(LENGTH(lang)) AS INTEGER),
+           (SUM(LENGTH(lang)) * 1000000) // COUNT(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT source),
+           CAST(MIN(LENGTH(source)) AS INTEGER), CAST(MAX(LENGTH(source)) AS INTEGER),
+           (SUM(LENGTH(source)) * 1000000) // COUNT(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT n_chars),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+    FROM documents
+"""
+
+
+def outlier_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Tukey outlier census (functions/stats.py
+    outlier_counts): rows outside the 1.5·IQR fences of their own
+    group — robust_stats composed with a co-partitioned join back and
+    a counting aggregation."""
+    from bytewax_spark.functions import stats
+
+    flow = _flow("outliers")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return stats.outlier_counts(ev, ["event_type"], "value")
+
+
+_ORACLES["outlier_counts_events"] = """
+    WITH q AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.25) - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS lo_fence,
+             ROUND(quantile_cont(value, 0.75) + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS hi_fence
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN e.value < q.lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS lo_outliers,
+           CAST(SUM(CASE WHEN e.value > q.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS hi_outliers
+    FROM events e JOIN q USING (event_type)
+    GROUP BY 1
+"""
+
+
+def decayed_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted value per event type (functions/timeseries.py
+    decayed_sum): value · 2^-(age in 30-day half-lives) summed per
+    type in int64 micro-units via a bit shift — bit-identical under
+    any aggregation order or engine; one map-side expression + one
+    aggregation with partial sums."""
+    from bytewax_spark.functions import timeseries
+    from datetime import timedelta
+
+    flow = _flow("decay")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return timeseries.decayed_sum(
+        ev, "event_type", "ts", "value", "2024-12-31 00:00:00", timedelta(days=30)
+    )
+
+
+_ORACLES["decayed_value_by_type"] = """
+    SELECT event_type,
+           CAST(SUM(
+             CAST(ROUND(value * 1000000) AS BIGINT) >>
+             LEAST(GREATEST(CAST(FLOOR(
+               (epoch_us(TIMESTAMP '2024-12-31 00:00:00') - epoch_us(ts))
+               / 2592000000000.0) AS INTEGER), 0), 62)
+           ) AS BIGINT) AS decayed_micro
+    FROM events GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5186,6 +5337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs_customers": fuzzy_name_pairs_customers,
         "fuzzy_link_customer_supplier": fuzzy_link_customer_supplier,
         "robust_stats_event_values": robust_stats_event_values,
+        "kcore_copart": kcore_copart,
+        "profile_documents": profile_documents,
+        "outlier_counts_events": outlier_counts_events,
+        "decayed_value_by_type": decayed_value_by_type,
     }
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "corpus_shuffle",
     "shard_by_hash",
     "write_shards",
+    "write_tar_shards",
     "zorder_key",
     "zorder_layout",
 ]
@@ -140,3 +141,96 @@ def write_shards(
     ``shard_by_hash`` clusters a shard into one task)."""
     sharded = shard_by_hash(df, key_col, n_shards, salt)
     sharded.write.partitionBy("shard").format(fmt).mode("overwrite").save(path)
+
+
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    payload_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """WebDataset-style export (public convention: github.com/webdataset
+    — "a corpus is a set of tar files; a sample is adjacent members
+    sharing a basename"): shard ``shard-%05d.tar`` holds one member
+    ``{key}.{col}`` per payload column per row, in shuffle-hash order.
+    Sequential-read tars are what large-scale loaders stream; the
+    layout here is byte-real (POSIX ustar via stdlib tarfile, mtime
+    pinned to 0) and deterministic end to end: same data + salt ->
+    same shards, same member order, same bytes.
+
+    Returns the manifest DataFrame ``(shard, path, n_samples,
+    n_bytes)`` — an ACTION IS REQUIRED to materialize the files
+    (``.collect()`` the manifest; it is also the natural thing to
+    persist next to the export). Each Spark task writes whole shards
+    (rows arrive clustered by shard and hash-sorted from
+    ``shard_by_hash``; a task seeing several shards closes one tar and
+    opens the next as the shard id changes). Writes are idempotent —
+    a retried task rewrites the same bytes to the same file.
+
+    Payload encoding: binary columns pass through; strings are UTF-8;
+    anything else is ``str()``-encoded. ``path`` must be a directory
+    reachable from executors (local/NFS/fuse mount; for object stores
+    put a fuse mount or write parquet shards via ``write_shards``)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    sharded = shard_by_hash(
+        df.select(key_col, *payload_cols), key_col, n_shards, salt
+    )
+    schema = "shard int, path string, n_samples long, n_bytes long"
+
+    def _write(batches):
+        import io
+        import os
+        import tarfile
+
+        import pandas as pd
+
+        state = {"shard": None, "tf": None, "n": 0}
+        manifest: list[tuple] = []
+
+        def tar_path(shard: int) -> str:
+            return os.path.join(path, f"shard-{shard:05d}.tar")
+
+        def close_current() -> None:
+            if state["tf"] is not None:
+                state["tf"].close()
+                p = tar_path(state["shard"])
+                manifest.append(
+                    (state["shard"], p, state["n"], os.path.getsize(p))
+                )
+                state["tf"] = None
+
+        def to_bytes(v) -> bytes:
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v)
+            if isinstance(v, str):
+                return v.encode("utf-8")
+            return str(v).encode("utf-8")
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                shard = int(getattr(row, "shard"))
+                if shard != state["shard"]:
+                    close_current()
+                    state.update(
+                        shard=shard,
+                        tf=tarfile.open(tar_path(shard), "w", format=tarfile.USTAR_FORMAT),
+                        n=0,
+                    )
+                key = getattr(row, key_col)
+                for col in payload_cols:
+                    data = to_bytes(getattr(row, col))
+                    ti = tarfile.TarInfo(name=f"{key}.{col}")
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    state["tf"].addfile(ti, io.BytesIO(data))
+                state["n"] += 1
+        close_current()
+        yield pd.DataFrame(
+            manifest, columns=["shard", "path", "n_samples", "n_bytes"]
+        )
+
+    return sharded.mapInPandas(_write, schema)

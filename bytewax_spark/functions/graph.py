@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "connected_components",
+    "kcore",
     "label_propagation",
     "neardup_clusters",
     "pagerank",
@@ -362,3 +363,55 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, degree) for every node of the k-core — the maximal
+    subgraph where every node has degree >= k (Seidman 1983, public).
+    Computed by synchronous peeling: each round drops all nodes whose
+    degree in the SURVIVING subgraph is < k, until no node drops. The
+    k-core is unique, so the result is order-independent; synchronous
+    rounds make a fixed round count SQL-unrollable for oracle replay.
+
+    Scale shape per round: one degree aggregation (map-side combine
+    over id pairs) and two semi-joins restricting edges to surviving
+    endpoints — shuffles carry node ids only, never payloads. Rounds
+    are bounded by the peel depth (degeneracy ordering depth), small
+    on real graphs; ``localCheckpoint`` truncates lineage per round.
+    Raises after ``max_rounds`` without convergence (loud, like
+    connected_components)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    prev_n = None
+    for _ in range(max_rounds):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
+        n = keep.count()
+        if n == prev_n:
+            return keep.select(F.col("u").alias("node"), "degree")
+        prev_n = n
+        kn = keep.select("u")
+        cur = (
+            cur.join(kn, "u", "left_semi")
+            .join(kn.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"kcore(k={k}) did not converge in {max_rounds} rounds"
+    )

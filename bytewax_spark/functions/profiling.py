@@ -1,0 +1,69 @@
+"""Table profiling — the data-quality census run before a corpus is
+trusted: per-column null counts, exact distinct cardinalities, and
+string-length statistics, in ONE aggregation pass over the table.
+
+Scale posture: a single global aggregation; the multi-column exact
+``count_distinct`` compiles to Spark's expand+aggregate (rows × a
+small per-column expand factor, map-side partial aggregation — the
+same plan SQL ``COUNT(DISTINCT a), COUNT(DISTINCT b)`` gets). For
+100 TB-wide profiling swap exact distinct for the HLL register tables
+in functions/sketches.py; this operator is the exact-answer form.
+The average length is integer micro-units via int division — the
+result is engine/order independent (float averages are not).
+
+Parity note: the reference has no profiling surface; beyond-reference
+layer per SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Long-form profile: one row per column with
+    ``(column, n_rows, n_nulls, n_distinct, min_len, max_len,
+    avg_len_micro)``. Length metrics apply to string columns (NULL for
+    other types); ``n_distinct`` counts non-null distinct values;
+    ``avg_len_micro`` is ``(sum_len · 10⁶) div count_non_null`` — an
+    exact integer.
+
+    Everything is computed in one ``agg`` so the table is scanned
+    once regardless of column count."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    types = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"_nulls_{c}"))
+        aggs.append(F.count_distinct(col).alias(f"_dist_{c}"))
+        if types.get(c) == "string":
+            aggs.append(F.min(F.length(col)).alias(f"_minl_{c}"))
+            aggs.append(F.max(F.length(col)).alias(f"_maxl_{c}"))
+            aggs.append(F.sum(F.length(col).cast("long")).alias(f"_suml_{c}"))
+            aggs.append(F.sum(col.isNotNull().cast("long")).alias(f"_nn_{c}"))
+    wide = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        if types.get(c) == "string":
+            lens = (
+                f"cast(_minl_{c} as int), cast(_maxl_{c} as int), "
+                f"case when _nn_{c} > 0 then (_suml_{c} * 1000000L) div _nn_{c} end"
+            )
+        else:
+            lens = "cast(null as int), cast(null as int), cast(null as bigint)"
+        parts.append(f"'{c}', _n, _nulls_{c}, _dist_{c}, {lens}")
+    stack = ", ".join(parts)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column, n_rows, n_nulls, n_distinct, min_len, max_len, avg_len_micro)"
+        )
+    )

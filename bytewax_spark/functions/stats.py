@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["robust_stats"]
+__all__ = ["outlier_counts", "robust_stats"]
 
 
 def robust_stats(
@@ -55,4 +55,35 @@ def robust_stats(
         r(iqr).alias("iqr"),
         r(p25 - 1.5 * iqr).alias("lo_fence"),
         r(p75 + 1.5 * iqr).alias("hi_fence"),
+    )
+
+
+def outlier_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group Tukey outlier census: rows outside the 1.5·IQR fences
+    of their OWN group, split by side. Returns group cols +
+    ``(n, lo_outliers, hi_outliers)``.
+
+    Composition of ``robust_stats`` (one percentile aggregation) with a
+    co-partitioned join back on the group key and a counting
+    aggregation — both shuffles share the key, so AQE coalesces them.
+    Fences are the rounded ones robust_stats reports, making the
+    comparison bit-stable across engines (raw values never sit exactly
+    on a 6-decimal fence unless the data was authored that way)."""
+    fences = robust_stats(df, group_cols, val_col, decimals).select(
+        *group_cols, "lo_fence", "hi_fence"
+    )
+    v = F.col(val_col)
+    return (
+        df.join(fences, list(group_cols))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < F.col("lo_fence")).cast("long")).alias("lo_outliers"),
+            F.sum((v > F.col("hi_fence")).cast("long")).alias("hi_outliers"),
+        )
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_ffill", "trailing_agg"]
+__all__ = ["decayed_sum", "gapfill_ffill", "trailing_agg"]
 
 
 def trailing_agg(
@@ -116,3 +116,50 @@ def gapfill_ffill(
             F.last("_v", ignorenulls=True).over(w).alias(out_col),
         )
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    group_cols,
+    ts_col: str,
+    val_col: str,
+    anchor,
+    half_life,
+    out_col: str = "decayed_micro",
+) -> DataFrame:
+    """Recency-weighted sum per group: each row contributes
+    ``value · 2^-(age in half-lives)``, the standard exponential-decay
+    score for "what's hot now" rankings (trending domains, decayed user
+    affinity). Returns group cols + ``out_col``.
+
+    INTEGER-EXACT by construction: the per-row term is
+    ``round(value·10⁶)  >>  floor(age / half_life)`` — an int64 bit
+    shift — so the group sum is a sum of integers, associative and
+    bit-identical under ANY aggregation order, partitioning, or engine
+    (float exponential decay is none of those). The price is decay
+    quantized to whole half-lives (a step function, not a smooth
+    curve) and a 10⁻⁶ value quantum; ages clamp to [0, 62] half-lives
+    (rows older than 62 half-lives contribute 0, future rows count
+    full). One groupBy with map-side partial sums — the cheapest
+    aggregate shape there is.
+
+    ``anchor``: the "now" timestamp (ISO string or datetime) — an
+    explicit plan literal, not a data-dependent max, so the operator
+    stays a single map-side expression + one aggregation.
+    ``half_life``: ``datetime.timedelta``."""
+    from datetime import timedelta
+
+    if not isinstance(half_life, timedelta) or half_life <= timedelta(0):
+        raise ValueError(f"half_life must be a positive timedelta, got {half_life!r}")
+    hl_us = int(half_life.total_seconds() * 1_000_000)
+    anchor_lit = F.lit(anchor).cast("timestamp")
+    age = F.floor(
+        (F.unix_micros(anchor_lit) - F.unix_micros(F.col(ts_col).cast("timestamp")))
+        / F.lit(hl_us)
+    ).cast("int")
+    shift = F.least(F.greatest(age, F.lit(0)), F.lit(62))
+    micro = F.round(F.col(val_col) * 1_000_000).cast("long")
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    staged = df.withColumn("_micro", micro).withColumn("_shift", shift)
+    term = F.expr("shiftright(_micro, _shift)")
+    return staged.groupBy(*group_cols).agg(F.sum(term).alias(out_col))

@@ -111,3 +111,72 @@ def test_zorder_layout_balances_file_extents(spark):
 
     assert worst_extent(seq) == 3  # every z file is a 4x4 tile
     assert worst_extent(sorted(rows)) == 15  # lex files span all of y
+
+
+# ---------------------------------------------------------------------------
+# write_tar_shards (WebDataset-style layout)
+# ---------------------------------------------------------------------------
+
+
+def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
+    import tarfile
+
+    from bytewax_spark.functions import export
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out1 = str(tmp_path / "t1")
+    m1 = export.write_tar_shards(docs, out1, "doc_id", 3, ["text", "lang"]).collect()
+    assert sorted(r["shard"] for r in m1) == [0, 1, 2]
+    total = sum(r["n_samples"] for r in m1)
+    assert total == docs.count()
+
+    # member layout: adjacent {key}.text / {key}.lang pairs; readable tar
+    with tarfile.open(f"{out1}/shard-00000.tar") as tf:
+        names = tf.getnames()
+        assert all(n.endswith((".text", ".lang")) for n in names)
+        assert names[0].rsplit(".", 1)[0] == names[1].rsplit(".", 1)[0]
+        first = tf.extractfile(names[0]).read()
+        assert len(first) > 0
+
+    # byte-determinism: a second export of the same data is identical
+    out2 = str(tmp_path / "t2")
+    export.write_tar_shards(docs, out2, "doc_id", 3, ["text", "lang"]).collect()
+    for i in range(3):
+        b1 = open(f"{out1}/shard-{i:05d}.tar", "rb").read()
+        b2 = open(f"{out2}/shard-{i:05d}.tar", "rb").read()
+        assert b1 == b2
+
+
+def test_tar_shards_stable_assignment(spark, tmp_path):
+    """A key's shard never changes when the corpus grows (stable
+    hash % n, not row position)."""
+    import tarfile
+
+    from bytewax_spark.functions import export
+
+    small = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id bigint, text string"
+    )
+    big = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id bigint, text string"
+    )
+
+    def shard_of(root, key):
+        for i in range(4):
+            p = f"{root}/shard-{i:05d}.tar"
+            import os
+
+            if os.path.exists(p):
+                with tarfile.open(p) as tf:
+                    if f"{key}.text" in tf.getnames():
+                        return i
+        raise AssertionError(f"{key} not found")
+
+    r1 = str(tmp_path / "small")
+    r2 = str(tmp_path / "big")
+    export.write_tar_shards(small, r1, "doc_id", 4, ["text"]).collect()
+    export.write_tar_shards(big, r2, "doc_id", 4, ["text"]).collect()
+    assert shard_of(r1, 1) == shard_of(r2, 1)
+    assert shard_of(r1, 2) == shard_of(r2, 2)

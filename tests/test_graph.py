@@ -206,3 +206,48 @@ def test_label_propagation_isolated_node_keeps_label(spark):
     got = sorted(map(tuple, graph.label_propagation(df2, iters=2).collect()))
     # 1<->2: each adopts the other's label each round; after 2 rounds back to self
     assert got == [(1, 1), (2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_cascade(spark):
+    # path a-b-c-d plus triangle x-y-z: 2-core = the triangle only
+    # (peeling the path endpoints cascades through the whole path).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a bigint, id_b bigint",
+    )
+    from bytewax_spark.functions import graph
+
+    got = {r["node"]: r["degree"] for r in graph.kcore(edges, 2).collect()}
+    assert got == {10: 2, 11: 2, 12: 2}
+
+
+def test_kcore_k1_keeps_all_connected(spark):
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "id_a bigint, id_b bigint")
+    from bytewax_spark.functions import graph
+
+    got = {r["node"]: r["degree"] for r in graph.kcore(edges, 1).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_kcore_empty_when_k_exceeds_max_degree(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    from bytewax_spark.functions import graph
+
+    assert graph.kcore(edges, 5).count() == 0
+
+
+def test_kcore_ignores_self_loops_and_duplicates(spark):
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (1, 3)],
+        "id_a bigint, id_b bigint",
+    )
+    from bytewax_spark.functions import graph
+
+    # triangle 1-2-3 after cleaning -> 2-core is all three, degree 2
+    got = {r["node"]: r["degree"] for r in graph.kcore(edges, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}

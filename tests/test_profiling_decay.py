@@ -1,0 +1,96 @@
+"""profile_table (functions/profiling.py), outlier_counts
+(functions/stats.py), decayed_sum (functions/timeseries.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytewax_spark.functions import profiling, stats, timeseries
+
+
+def test_profile_table_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, None), (2, "bbbb")],
+        "id bigint, s string",
+    )
+    rows = {r["column"]: r for r in profiling.profile_table(df).collect()}
+    assert rows["id"]["n_rows"] == 3
+    assert rows["id"]["n_nulls"] == 0
+    assert rows["id"]["n_distinct"] == 2
+    assert rows["id"]["min_len"] is None  # non-string: no length metrics
+    assert rows["s"]["n_nulls"] == 1
+    assert rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_len"] == 2 and rows["s"]["max_len"] == 4
+    # avg over non-null: (2+4)*1e6 div 2 = 3_000_000
+    assert rows["s"]["avg_len_micro"] == 3_000_000
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = profiling.profile_table(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1  # one pass, not per-column
+    assert "EvalPython" not in plan
+
+
+def test_profile_table_column_subset_and_empty(spark):
+    df = spark.createDataFrame([(1, "x")], "a bigint, b string")
+    assert profiling.profile_table(df, ["b"]).count() == 1
+    with pytest.raises(ValueError):
+        profiling.profile_table(df, [])
+
+
+def test_outlier_counts_hand_built(spark):
+    # group g: 1..9 (fences well inside) plus 100 -> one hi outlier
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 100.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    r = stats.outlier_counts(df, ["k"], "v").collect()[0]
+    assert r["n"] == 10 and r["hi_outliers"] == 1 and r["lo_outliers"] == 0
+
+
+def test_decayed_sum_halving(spark):
+    # anchor so ages are exactly 0, 1, 2 half-lives:
+    # 8 + 8>>1 + 8>>2 = 8 + 4 + 2 micro-sums of value 8e-6? use value 8.0
+    df = spark.createDataFrame(
+        [
+            ("k", datetime(2024, 1, 4), 8.0),
+            ("k", datetime(2024, 1, 3), 8.0),
+            ("k", datetime(2024, 1, 2), 8.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    r = timeseries.decayed_sum(
+        df, "k", "ts", "v", "2024-01-04 00:00:00", timedelta(days=1)
+    ).collect()[0]
+    assert r["decayed_micro"] == 8_000_000 + 4_000_000 + 2_000_000
+
+
+def test_decayed_sum_clamps(spark):
+    # 100 half-lives old -> shifted to zero; future event counts full
+    df = spark.createDataFrame(
+        [
+            ("k", datetime(2020, 1, 1), 1000.0),
+            ("k", datetime(2025, 1, 1), 1.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    r = timeseries.decayed_sum(
+        df, "k", "ts", "v", "2024-01-01 00:00:00", timedelta(days=1)
+    ).collect()[0]
+    assert r["decayed_micro"] == 1_000_000  # old row fully decayed, future full
+
+    with pytest.raises(ValueError):
+        timeseries.decayed_sum(df, "k", "ts", "v", "2024-01-01", timedelta(0))
+
+
+def test_decayed_sum_partial_agg_plan(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = timeseries.decayed_sum(
+        ev, "event_type", "ts", "value", "2024-12-31 00:00:00", timedelta(days=30)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "EvalPython" not in plan
