@@ -47,6 +47,7 @@ __all__ = [
     "stateful",
     "collect_stream",
     "distinct_count_stream",
+    "funnel_stream",
     "frequency_cap_stream",
     "heavy_hitters_stream",
     "stateful_map_stream",
@@ -641,3 +642,81 @@ def frequency_cap_stream(
         f"{f.name} {f.dataType.simpleString()}" for f in up.df.schema.fields
     )
     return stateful_batch(step_id, up, _FreqCap, schema=schema)
+
+
+def funnel_stream(
+    step_id: str,
+    up: KeyedStream,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    tiebreak_col: str | None = None,
+) -> KeyedStream:
+    """Streaming ordered-step funnel per key: state is ONE (step
+    pointer, timestamp) pair per key — O(1) forever, regardless of
+    event volume. Each time the key's pointer advances (its first
+    step-i event at-or-after its step-(i-1) time, the same sequential
+    rule as the batch ``functions.behavior.funnel``), a row
+    ``(key, step_idx, step, ts)`` is emitted; a key that completes the
+    last step DISCARDS its state (the conversion is final).
+
+    Rows are replayed in ``(ts, tiebreak)`` order WITHIN each
+    micro-batch; ordering across micro-batches is arrival order — the
+    standard streaming-funnel semantics. When the input is globally
+    ts-ordered (or batch mode, where each key sees all its rows at
+    once), the advancement times equal the batch operator's — tested.
+    Batch mode emits the full trajectory at EOF."""
+    if not steps:
+        raise ValueError("funnel_stream needs at least one step")
+    step_of = {s: i for i, s in enumerate(steps)}
+    last = len(steps) - 1
+    emit_each = bool(up.df.isStreaming)
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    class _Funnel(StatefulBatchLogic):
+        def __init__(self, snap):
+            # (next step index to look for, time of last reached step)
+            self.nxt, self.t = snap if snap is not None else (0, None)
+            self.pending: list[tuple] = []
+
+        def on_batch(self, pdf):
+            out = []
+            for row in pdf.sort_values(sort_cols).itertuples(index=False):
+                ty = getattr(row, type_col)
+                if step_of.get(ty) != self.nxt:
+                    continue
+                ts = getattr(row, ts_col)
+                if self.t is not None and ts < self.t:
+                    continue
+                out.append((self.nxt + 1, steps[self.nxt], ts))
+                self.t = ts
+                self.nxt += 1
+                if self.nxt > last:
+                    break
+            done = self.nxt > last
+            if emit_each:
+                emit = (
+                    pd.DataFrame(out, columns=["step_idx", "step", ts_col])
+                    if out
+                    else None
+                )
+                return emit, (self.DISCARD if done else self.RETAIN)
+            self.pending.extend(out)
+            return None, self.RETAIN
+
+        def on_eof(self):
+            if not self.pending:
+                return None, self.DISCARD
+            return (
+                pd.DataFrame(self.pending, columns=["step_idx", "step", ts_col]),
+                self.DISCARD,
+            )
+
+        def snapshot(self):
+            return (self.nxt, self.t)
+
+    up = _require_keyed(step_id, up)
+    key_t = up.df.schema[up.key_col].dataType.simpleString()
+    ts_t = up.df.schema[ts_col].dataType.simpleString()
+    schema = f"{up.key_col} {key_t}, step_idx int, step string, {ts_col} {ts_t}"
+    return stateful_batch(step_id, up, _Funnel, schema=schema)

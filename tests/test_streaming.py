@@ -862,3 +862,90 @@ def test_stateful_batch_event_time_timer(spark):
         q.stop()
     # all 4 rows were buffered before the watermark passed base+30s
     assert got == [("a", 4)]
+
+
+# ---------------------------------------------------------------------------
+# funnel_stream
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_stream_batch_matches_batch_funnel(spark):
+    """Batch-mode funnel_stream advancement counts equal the batch
+    behavior.funnel over the same (ts-complete per key) rows."""
+    from bytewax_spark.functions import behavior as bh
+    from bytewax_spark.streaming import funnel_stream
+
+    from bytewax_spark.sources import ParquetSource
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    flow = Dataflow("b_funnel")
+    src = ParquetSource("/root/testdata/sf0.001/events.parquet")
+    ks = op.key_on("key", op.input("in", flow, src), "user_id")
+    out = funnel_stream(
+        "fn", ks, "ts", "event_type", ["view", "click", "purchase"],
+        tiebreak_col="event_id",
+    )
+    got = out.df.groupBy("step").count().collect()
+    got_counts = {r["step"]: r["count"] for r in got}
+    want = {
+        r["step"]: r["users"]
+        for r in bh.funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()
+        if r["users"] > 0
+    }
+    assert got_counts == want
+
+
+def test_funnel_stream_state_across_microbatches(spark):
+    """A user whose steps arrive in different micro-batches still
+    converts; completion discards state (no further emissions)."""
+    from bytewax_spark.streaming import funnel_stream
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00", "view"),
+        ("u1", "2024-01-01 01:00:00", "click"),
+        ("u1", "2024-01-01 02:00:00", "buy"),
+        ("u1", "2024-01-01 03:00:00", "view"),   # after completion: ignored
+        ("u2", "2024-01-01 00:30:00", "click"),  # step 2 before step 1: never advances
+    ]
+    flow = Dataflow("s_funnel")
+    src = TestingSource(
+        [(u, ts, ty) for u, ts, ty in rows],
+        schema="user string, ts string, event_type string",
+        streaming=True, files=4,
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "user")
+    out = funnel_stream("fn", ks, "ts", "event_type", ["view", "click", "buy"])
+    sink = MemorySink("s_funnel_out")
+    op.output("out", out, sink)
+    got = drain(spark, flow, "s_funnel_out")
+    trail = sorted((r["key"], r["step_idx"], r["step"]) for r in got)
+    assert trail == [("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "buy")]
+
+
+def test_funnel_stream_out_of_order_within_batch_ok(spark):
+    """(ts, tiebreak) replay inside a batch: a click physically before
+    its view in the file still counts because its ts is later."""
+    from bytewax_spark.streaming import funnel_stream
+
+    flow = Dataflow("o_funnel")
+    src = TestingSource(
+        [
+            ("u1", "2024-01-01 05:00:00", "click", 2),
+            ("u1", "2024-01-01 00:00:00", "view", 1),
+        ],
+        schema="user string, ts string, event_type string, event_id long",
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "user")
+    out = funnel_stream("fn", ks, "ts", "event_type", ["view", "click"], tiebreak_col="event_id")
+    got = sorted((r["step_idx"], r["step"]) for r in out.df.collect())
+    assert got == [(1, "view"), (2, "click")]
+
+
+def test_funnel_stream_validates_steps(spark):
+    from bytewax_spark.streaming import funnel_stream
+
+    flow = Dataflow("v_funnel")
+    src = TestingSource([("u", "t", "x")], schema="user string, ts string, event_type string")
+    ks = op.key_on("key", op.input("in", flow, src), "user")
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_stream("fn", ks, "ts", "event_type", [])
