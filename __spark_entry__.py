@@ -5172,6 +5172,54 @@ _ORACLES["decayed_value_by_type"] = """
 """
 
 
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot CDC shape (functions/cdc.py latest_snapshot):
+    each user's most recent event by total (ts, event_id) order — ONE
+    max_by aggregation with map-side partials, no window, no
+    row_number; the plan gate pins the window's absence."""
+    from bytewax_spark.functions import cdc
+
+    flow = _flow("latest")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return cdc.latest_snapshot(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        "user_id", "ts", "event_id",
+    )
+
+
+_ORACLES["latest_event_per_user"] = """
+    SELECT user_id, ts, event_id, event_type, value FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
+def scd2_user_event_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals (functions/cdc.py scd2): every event
+    becomes a version row with [valid_from, valid_to) from the next
+    version's timestamp and an is_current flag — per-user-partitioned
+    lead window over a total (ts, event_id) order."""
+    from bytewax_spark.functions import cdc
+
+    flow = _flow("scd2")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return cdc.scd2(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id",
+    )
+
+
+_ORACLES["scd2_user_event_versions"] = """
+    SELECT user_id, ts, event_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5341,6 +5389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": profile_documents,
         "outlier_counts_events": outlier_counts_events,
         "decayed_value_by_type": decayed_value_by_type,
+        "latest_event_per_user": latest_event_per_user,
+        "scd2_user_event_versions": scd2_user_event_versions,
     }
 
 

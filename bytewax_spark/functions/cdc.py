@@ -1,0 +1,72 @@
+"""Change-data shapes — turning an append-only update log into the
+two tables consumers actually query: the latest snapshot (one current
+row per key) and SCD2 validity intervals (every historical version
+with its [valid_from, valid_to) range). This is the batch/lakehouse
+form of what the reference's users build with ``stateful_map`` "keep
+last value" loops (reference pysrc/bytewax/operators/__init__.py:1040).
+
+Scale posture: both operators are one shuffle on the entity key.
+``latest_snapshot`` is a single ``max_by`` aggregation (map-side
+partial — never a window over the whole log); ``scd2`` needs the
+per-key order so it uses a per-key window (millions of small sorts,
+no global sort). Late-arriving updates are handled by ordering on
+(event time, tiebreak), not arrival order, so a backfilled log
+produces the same tables as a perfectly ordered one.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["latest_snapshot", "scd2"]
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """One row per key: the version with the greatest
+    ``(ts, tiebreak)``. A single ``max_by`` aggregation over a struct
+    of all columns — one shuffle, map-side combine, no window, no
+    row_number. ``tiebreak_col`` makes the order total so simultaneous
+    updates resolve identically on every engine and partitioning."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in df.columns if c not in key_cols]
+    ord_key = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    agg = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*payload), ord_key).alias("_row")
+    )
+    return agg.select(*key_cols, *[F.col(f"_row.{c}").alias(c) for c in payload])
+
+
+def scd2(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str,
+    tiebreak_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: every input row becomes a
+    version with ``valid_from`` = its own timestamp, ``valid_to`` =
+    the NEXT version's timestamp (null while current), and an
+    ``is_current`` flag. Consumers join facts with
+    ``fact.ts >= valid_from AND (fact.ts < valid_to OR valid_to IS
+    NULL)`` — the standard point-in-time lookup.
+
+    One per-key-partitioned window (``lead`` over (ts, tiebreak));
+    deterministic under any partitioning because the order is total."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (
+        df.withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, nxt)
+        .withColumn(current, nxt.isNull())
+    )
