@@ -5220,6 +5220,43 @@ _ORACLES["scd2_user_event_versions"] = """
 """
 
 
+def bloom_membership_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (functions/sketches.py bloom_build/
+    bloom_contains): the set-bit table built over high-value users is
+    broadcast to probe every user — no false negatives by
+    construction, false positives at the sized rate, all md5-position
+    arithmetic deterministic so the oracle replays it bit-for-bit."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("bloom")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    members = ev.filter(F.col("value") > 990).select("user_id").distinct()
+    bloom = sk.bloom_build(members, "user_id", m_bits=4096, k=4)
+    probes = ev.select("user_id").distinct()
+    return sk.bloom_contains(F.broadcast(bloom), probes, "user_id", m_bits=4096, k=4)
+
+
+_ORACLES["bloom_membership_users"] = """
+    WITH d AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+    members AS (SELECT DISTINCT user_id FROM events WHERE value > 990),
+    bloom AS (
+      SELECT DISTINCT
+             ('0x' || SUBSTR(MD5(CAST(m.user_id AS VARCHAR)), 1 + 8 * d.d, 8))::BIGINT % 4096 AS pos
+      FROM members m, d
+    ),
+    probes AS (SELECT DISTINCT user_id FROM events),
+    ppos AS (
+      SELECT DISTINCT p.user_id,
+             ('0x' || SUBSTR(MD5(CAST(p.user_id AS VARCHAR)), 1 + 8 * d.d, 8))::BIGINT % 4096 AS pos
+      FROM probes p, d
+    )
+    SELECT p.user_id,
+           COUNT(*) = SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS might_contain
+    FROM ppos p LEFT JOIN bloom b USING (pos)
+    GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5391,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_value_by_type": decayed_value_by_type,
         "latest_event_per_user": latest_event_per_user,
         "scd2_user_event_versions": scd2_user_event_versions,
+        "bloom_membership_users": bloom_membership_users,
     }
 
 

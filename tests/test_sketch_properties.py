@@ -84,3 +84,61 @@ def test_frequency_cap_never_exceeds_cap(spark, keys, cap):
         # collisions may only DROP extra occurrences, not add
         assert c <= cap
         assert c <= true[k]
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from bytewax_spark.functions import sketches as sk
+
+    members = spark.createDataFrame([(i,) for i in range(500)], "v bigint")
+    bloom = sk.bloom_build(members, "v", m_bits=1 << 14, k=4)
+    probes = spark.createDataFrame([(i,) for i in range(1000)], "v bigint")
+    got = {r["v"]: r["might_contain"] for r in sk.bloom_contains(bloom, probes, "v", m_bits=1 << 14, k=4).collect()}
+    # every true member answers yes — the Bloom guarantee
+    assert all(got[i] for i in range(500))
+    # 500 keys in 2^14 bits at k=4 -> FP ~ (1-e^-0.122)^4 ~ 1.7e-4;
+    # 500 non-member probes should see at most a couple
+    fps = sum(1 for i in range(500, 1000) if got[i])
+    assert fps <= 5
+
+
+def test_bloom_merge_is_union(spark):
+    from bytewax_spark.functions import sketches as sk
+
+    a = sk.bloom_build(spark.createDataFrame([(1,), (2,)], "v bigint"), "v", m_bits=1 << 10)
+    b = sk.bloom_build(spark.createDataFrame([(3,)], "v bigint"), "v", m_bits=1 << 10)
+    merged = sk.bloom_merge(a, b)
+    probes = spark.createDataFrame([(1,), (3,)], "v bigint")
+    got = {r["v"]: r["might_contain"] for r in sk.bloom_contains(merged, probes, "v", m_bits=1 << 10).collect()}
+    assert got == {1: True, 3: True}
+    # idempotent: merging a with itself changes nothing
+    assert sk.bloom_merge(a, a).count() == a.count()
+
+
+def test_bloom_build_validates(spark):
+    import pytest
+
+    from bytewax_spark.functions import sketches as sk
+
+    df = spark.createDataFrame([(1,)], "v bigint")
+    with pytest.raises(ValueError):
+        sk.bloom_build(df, "v", m_bits=0)
+
+
+def test_bloom_probe_join_is_broadcastable(spark):
+    """The bit table side of the membership join stays broadcast-sized
+    and the plan contains no Python."""
+    from bytewax_spark.functions import sketches as sk
+    from pyspark.sql import functions as F
+
+    members = spark.createDataFrame([(i,) for i in range(100)], "v bigint")
+    bloom = sk.bloom_build(members, "v", m_bits=1 << 12)
+    probes = spark.createDataFrame([(i,) for i in range(200)], "v bigint")
+    out = sk.bloom_contains(F.broadcast(bloom), probes, "v", m_bits=1 << 12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
