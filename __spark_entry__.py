@@ -5257,6 +5257,30 @@ _ORACLES["bloom_membership_users"] = """
 """
 
 
+def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population value bins per event type (functions/stats.py
+    equi_depth_bins): ntile over a total (value, event_id) order —
+    per-group windows, deterministic bin edges; one window + one
+    aggregation."""
+    from bytewax_spark.functions import stats
+
+    flow = _flow("edbins")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return stats.equi_depth_bins(ev, ["event_type"], "value", "event_id", n_bins=10)
+
+
+_ORACLES["equi_depth_bins_events"] = """
+    WITH b AS (
+      SELECT event_type, value,
+             NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT event_type, CAST(bin AS INTEGER) AS bin, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM b GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5429,6 +5453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": latest_event_per_user,
         "scd2_user_event_versions": scd2_user_event_versions,
         "bloom_membership_users": bloom_membership_users,
+        "equi_depth_bins_events": equi_depth_bins_events,
     }
 
 

@@ -23,10 +23,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["outlier_counts", "robust_stats"]
+__all__ = ["equi_depth_bins", "outlier_counts", "robust_stats"]
 
 
 def robust_stats(
@@ -86,4 +86,33 @@ def outlier_counts(
             F.sum((v < F.col("lo_fence")).cast("long")).alias("lo_outliers"),
             F.sum((v > F.col("hi_fence")).cast("long")).alias("hi_outliers"),
         )
+    )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    tiebreak_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equal-population binning per group (``ntile`` over a TOTAL
+    (value, tiebreak) order — deterministic under any partitioning):
+    returns one row per (group, bin) with ``(bin, n, lo, hi)``. The
+    feature-engineering quantizer: equal-depth bins are robust to
+    skew where equal-width bins collapse.
+
+    One per-group-partitioned window (millions of small sorts, never
+    global) + one aggregation. For a single giant group use the
+    histogram sketch instead (same caveat as exact percentiles)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(val_col), F.col(tiebreak_col)
+    )
+    binned = df.withColumn("bin", F.ntile(n_bins).over(w))
+    return binned.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col(val_col)).alias("lo"),
+        F.max(F.col(val_col)).alias("hi"),
     )

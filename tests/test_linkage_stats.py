@@ -102,3 +102,26 @@ def test_robust_stats_single_agg_plan(spark, sf_dir):
     # one logical aggregation -> exactly one pair of (partial, final)
     assert plan.count("Exchange hashpartitioning(event_type") <= 1
     assert "EvalPython" not in plan
+
+
+def test_equi_depth_bins_equal_population(spark):
+    from bytewax_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [("g", float(v), v) for v in range(1, 101)], "k string, v double, id bigint"
+    )
+    rows = stats.equi_depth_bins(df, ["k"], "v", "id", n_bins=4).collect()
+    assert len(rows) == 4
+    assert all(r["n"] == 25 for r in rows)
+    by_bin = {r["bin"]: (r["lo"], r["hi"]) for r in rows}
+    assert by_bin[1] == (1.0, 25.0) and by_bin[4] == (76.0, 100.0)
+
+
+def test_equi_depth_bins_remainder_goes_to_early_bins(spark):
+    from bytewax_spark.functions import stats
+
+    df = spark.createDataFrame(
+        [("g", float(v), v) for v in range(10)], "k string, v double, id bigint"
+    )
+    rows = {r["bin"]: r["n"] for r in stats.equi_depth_bins(df, ["k"], "v", "id", n_bins=3).collect()}
+    assert rows == {1: 4, 2: 3, 3: 3}  # ntile's standard distribution
