@@ -243,6 +243,13 @@ EXTENDED_QUERIES = [
     "hll_merge_sources_docs",
     "pmi_collocations_docs",
     "char_entropy_docs",
+    # behavioral/linkage/CDC/sketch additions: ordered funnel, k-core
+    # peel, blocked fuzzy self-join, max_by snapshot, Bloom membership
+    "funnel_view_click_purchase",
+    "kcore_copart",
+    "fuzzy_name_pairs_customers",
+    "latest_event_per_user",
+    "bloom_membership_users",
 ]
 
 _DUCKDB_TABLES = [
