@@ -4952,7 +4952,9 @@ def fuzzy_name_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bytewax_spark.functions import linkage
 
     cust = _t(spark, sf_dir, "customer")
-    return linkage.fuzzy_self_pairs(cust, "c_custkey", ["c_nationkey"], "c_name", 2)
+    return linkage.fuzzy_self_pairs(
+        cust, "c_custkey", ["c_nationkey"], "c_name", 2, n_slices=8
+    )
 
 
 _ORACLES["fuzzy_name_pairs_customers"] = """
@@ -5281,6 +5283,81 @@ _ORACLES["equi_depth_bins_events"] = """
 """
 
 
+def session_counts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization rolled up per user
+    (functions/behavior.py sessionize): 30-minute-gap session ids from
+    one per-user window pass (lag + running sum over a total
+    (ts, event_id) order), then (user_id, n_sessions, n_events)."""
+    from datetime import timedelta
+
+    from bytewax_spark.functions import behavior as bh
+
+    flow = _flow("sessionize")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    s = bh.sessionize(ev, "user_id", "ts", "event_id", timedelta(minutes=30))
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_ORACLES["session_counts_per_user"] = """
+    WITH lagged AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    starts AS (
+      SELECT user_id,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS s
+      FROM lagged
+    )
+    SELECT user_id, CAST(SUM(s) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM starts GROUP BY 1
+"""
+
+
+def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag (functions/stats.py exact_corr): micro-quantized DECIMAL(38,0)
+    moments — exact, associative, engine-identical — with only the
+    closed-form final step in floating point."""
+    from bytewax_spark.functions import stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return stats.exact_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+_ORACLES["corr_qty_price_by_flag"] = """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 1000000) AS DECIMAL(19,0)) AS xm,
+             CAST(ROUND(l_extendedprice * 1000000) AS DECIMAL(19,0)) AS ym
+      FROM lineitem
+    ),
+    a AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(xm) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(ym) AS DECIMAL(38,0)) AS sy,
+             SUM(CAST(xm * ym AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(xm * xm AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(ym * ym AS DECIMAL(38,0))) AS syy
+      FROM m GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           ROUND(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6
+           ) AS corr
+    FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5454,6 +5531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_event_versions": scd2_user_event_versions,
         "bloom_membership_users": bloom_membership_users,
         "equi_depth_bins_events": equi_depth_bins_events,
+        "session_counts_per_user": session_counts_per_user,
+        "corr_qty_price_by_flag": corr_qty_price_by_flag,
     }
 
 

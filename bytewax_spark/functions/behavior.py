@@ -31,7 +31,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "event_transitions"]
+__all__ = ["cohort_retention", "event_transitions", "funnel", "sessionize"]
 
 
 def funnel(
@@ -173,4 +173,45 @@ def event_transitions(
     ).filter(F.col("src").isNotNull())
     return lagged.groupBy("src", "dst").agg(
         F.count(F.lit(1)).alias("transitions")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Row-level session assignment: within each user's
+    (ts, tiebreak)-ordered sequence, a new session starts whenever the
+    gap since the previous event exceeds ``gap`` (a timedelta). Every
+    input row comes back with ``session_col`` = the user's 1-based
+    session ordinal — the join key that attaches events to sessions
+    (the windowing module's SessionWindower aggregates per session;
+    this operator labels the raw rows instead).
+
+    One per-user window pass: lag to detect gap starts, then a running
+    sum of starts — both over the same (ts, tiebreak) total order, so
+    labels are deterministic under any partitioning. Equal timestamps
+    tie-break into the same session."""
+    from datetime import timedelta
+
+    if not isinstance(gap, timedelta) or gap <= timedelta(0):
+        raise ValueError(f"gap must be a positive timedelta, got {gap!r}")
+    gap_us = int(gap.total_seconds() * 1_000_000)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    prev_us = F.lag(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w)
+    is_start = (
+        prev_us.isNull()
+        | ((F.unix_micros(F.col(ts_col).cast("timestamp")) - prev_us) > gap_us)
+    ).cast("long")
+    return df.withColumn(
+        session_col,
+        F.sum(is_start).over(
+            Window.partitionBy(user_col)
+            .orderBy(F.col(ts_col), F.col(tiebreak_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
     )

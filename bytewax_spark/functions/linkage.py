@@ -70,6 +70,7 @@ def fuzzy_self_pairs(
     block_cols: Sequence[str],
     text_col: str,
     max_dist: int,
+    n_slices: int = 1,
 ) -> DataFrame:
     """Near-duplicate candidate pairs WITHIN one table: rows agreeing
     on ``block_cols`` whose ``text_col`` values are within edit
@@ -77,14 +78,45 @@ def fuzzy_self_pairs(
     (``id_a < id_b``). Returns ``(id_a, id_b, dist)``.
 
     The self-join shuffles the (id, block, text) projection twice on
-    the block key — 3 narrow columns, never whole rows."""
+    the block key — 3 narrow columns, never whole rows.
+
+    ``n_slices`` > 1 is the parallelism lever when the BLOCK COUNT is
+    small (a 25-nation blocking caps the join at 25 tasks no matter
+    how many cores exist): the left side is sliced by a hash of the
+    id, the right side replicated to every slice, so the same pair set
+    spreads over ``blocks × n_slices`` tasks. Pure fan-out — each
+    unordered pair still lands in exactly one (left-slice) task; the
+    comparator work is unchanged, only its distribution. Cost: the
+    right side's narrow projection is shuffled ``n_slices`` times."""
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     slim = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col)
     )
-    a, b = slim.alias("_a"), slim.alias("_b")
+    if n_slices > 1:
+        # explicit-count repartition on (slice, block): when the
+        # optimizer broadcasts the right side, the STREAM side's input
+        # partitioning is the parallelism — a single-file table would
+        # otherwise run the whole comparator pass in one task, and an
+        # implicit repartition would be AQE-coalesced right back (the
+        # row payload is tiny; the work is per-PAIR, which AQE cannot
+        # see). The explicit count pins the fan-out.
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        a_side = slim.withColumn(
+            "_slice", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_slices))
+        ).repartition(shuffle_parts, "_slice", *block_cols)
+        b_side = slim.withColumn(
+            "_slice", F.explode(F.sequence(F.lit(0), F.lit(n_slices - 1)))
+        )
+    else:
+        a_side = slim.withColumn("_slice", F.lit(0))
+        b_side = slim.withColumn("_slice", F.lit(0))
+    a, b = a_side.alias("_a"), b_side.alias("_b")
     ac = lambda c: F.col(f"_a.{c}")  # noqa: E731
     bc = lambda c: F.col(f"_b.{c}")  # noqa: E731
-    cond = ac(id_col) < bc(id_col)
+    cond = (ac(id_col) < bc(id_col)) & (ac("_slice") == bc("_slice"))
     for c in block_cols:
         cond = cond & (ac(c) == bc(c))
     cond = cond & (

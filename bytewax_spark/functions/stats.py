@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["equi_depth_bins", "outlier_counts", "robust_stats"]
+__all__ = ["equi_depth_bins", "exact_corr", "outlier_counts", "robust_stats"]
 
 
 def robust_stats(
@@ -115,4 +115,47 @@ def equi_depth_bins(
         F.count(F.lit(1)).alias("n"),
         F.min(F.col(val_col)).alias("lo"),
         F.max(F.col(val_col)).alias("hi"),
+    )
+
+
+def exact_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group Pearson correlation with ENGINE-EXACT moments: x and y
+    are micro-quantized to integers and the five sums (Σx, Σy, Σxy,
+    Σx², Σy²) accumulate as DECIMAL(38,0) — exact and associative, so
+    every engine/partitioning produces the same moments. Only the
+    final closed-form correlation is floating point, computed from
+    identical inputs with the identical expression — bit-stable across
+    engines (plain float ``corr`` is not: its running-covariance
+    update order varies with partitioning).
+
+    Returns group cols + ``(n, corr)`` with corr rounded to
+    ``decimals``. One aggregation, map-side partials. The 10⁻⁶
+    quantization bounds the moment error; for |corr| it is noise at
+    the 6th decimal for values in ordinary ranges."""
+    xm = F.round(F.col(x_col) * 1_000_000).cast("decimal(19,0)")
+    ym = F.round(F.col(y_col) * 1_000_000).cast("decimal(19,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xm).cast("decimal(38,0)").alias("_sx"),
+        F.sum(ym).cast("decimal(38,0)").alias("_sy"),
+        F.sum((xm * ym).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((xm * xm).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((ym * ym).cast("decimal(38,0)")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        F.round(num / den, decimals).alias("corr"),
     )

@@ -137,3 +137,47 @@ def test_funnel_plan_no_python_no_cartesian(spark, sf_dir):
     assert "Cartesian" not in plan
     # step filters are pushed to the parquet scan
     assert "PushedFilters" in plan and "EqualTo(event_type," in plan
+
+
+def test_sessionize_gap_splits(spark):
+    from datetime import timedelta
+
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01T00:00"), "a", 1),
+            (1, _ts("2024-01-01T00:10"), "a", 2),   # 10m gap: same session
+            (1, _ts("2024-01-01T01:00"), "a", 3),   # 50m gap: new session
+            (1, _ts("2024-01-01T01:05"), "a", 4),
+            (2, _ts("2024-01-01T00:00"), "a", 5),
+        ],
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in bh.sessionize(ev, "user_id", "ts", "event_id", timedelta(minutes=30)).collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (1, 4): 2, (2, 5): 1}
+
+
+def test_sessionize_ties_share_session(spark):
+    from datetime import timedelta
+
+    ev = _ev(
+        spark,
+        [
+            (1, _ts("2024-01-01T00:00"), "a", 1),
+            (1, _ts("2024-01-01T00:00"), "b", 2),
+        ],
+    )
+    rows = bh.sessionize(ev, "user_id", "ts", "event_id", timedelta(minutes=1)).collect()
+    assert {r["session_id"] for r in rows} == {1}
+
+
+def test_sessionize_validates_gap(spark):
+    from datetime import timedelta
+
+    import pytest
+
+    ev = _ev(spark, [(1, _ts("2024-01-01T00:00"), "a", 1)])
+    with pytest.raises(ValueError):
+        bh.sessionize(ev, "user_id", "ts", "event_id", timedelta(0))

@@ -125,3 +125,50 @@ def test_equi_depth_bins_remainder_goes_to_early_bins(spark):
     )
     rows = {r["bin"]: r["n"] for r in stats.equi_depth_bins(df, ["k"], "v", "id", n_bins=3).collect()}
     assert rows == {1: 4, 2: 3, 3: 3}  # ntile's standard distribution
+
+
+def test_exact_corr_perfect_and_inverse(spark):
+    from bytewax_spark.functions import stats
+
+    rows = [("p", float(i), float(2 * i + 3)) for i in range(1, 20)] + [
+        ("m", float(i), float(-i)) for i in range(1, 20)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["k"]: r["corr"] for r in stats.exact_corr(df, ["k"], "x", "y").collect()}
+    assert got == {"p": 1.0, "m": -1.0}
+
+
+def test_exact_corr_matches_numpy(spark):
+    import numpy as np
+
+    from bytewax_spark.functions import stats
+
+    xs = [1.0, 2.0, 4.0, 8.0, 16.0]
+    ys = [3.0, 1.0, 7.0, 2.0, 9.0]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "k string, x double, y double"
+    )
+    got = stats.exact_corr(df, ["k"], "x", "y").collect()[0]
+    assert got["n"] == 5
+    assert abs(got["corr"] - np.corrcoef(xs, ys)[0, 1]) < 1e-5
+
+
+def test_fuzzy_sliced_join_pins_fanout(spark, sf_dir):
+    """n_slices > 1 must produce an explicit-count repartition
+    (REPARTITION_BY_NUM) — an implicit one is AQE-coalesced back to a
+    single task on small-but-compare-heavy blocks."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = linkage.fuzzy_self_pairs(
+        cust, "c_custkey", ["c_nationkey"], "c_name", 2, n_slices=8
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert "EvalPython" not in plan
+
+    # slicing never changes the answer, only its distribution
+    base = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in linkage.fuzzy_self_pairs(cust, "c_custkey", ["c_nationkey"], "c_name", 2).collect()
+    }
+    sliced = {(r["id_a"], r["id_b"], r["dist"]) for r in df.collect()}
+    assert base == sliced
