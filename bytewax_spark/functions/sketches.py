@@ -346,6 +346,14 @@ def bloom_build(
     + distinct), shippable (a few MB of bigints broadcast to probes),
     and engine-neutral — the exact property an oracle can replay.
 
+    Sibling: ``functions.dedup.bloom_build`` packs the filter into
+    dense int64 WORDS carried as a plan literal — zero joins at probe
+    time, but the whole filter rides every task binary and two filters
+    can't merge without a rebuild. Use the word form for one fixed
+    seen-corpus filter in a hot path; use this table form when filters
+    are built per shard/day and merged, or when the probe side is
+    itself a DataFrame join.
+
     Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k; the default
     2^20 bits at k=4 holds ~10⁵ keys at <2.5% FP. At 100 TB build one
     bloom per partition/shard and merge — the build is one explode +
