@@ -5358,6 +5358,122 @@ _ORACLES["corr_qty_price_by_flag"] = """
 """
 
 
+def negative_samples_customer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (functions/sampling.py
+    negative_samples): 5 never-purchased part ids per customer from
+    md5-hash candidates — reproducible across engines, anti-join
+    removes positives, candidate-order rank keeps the first k. The
+    item-space size is the part count (a bounded driver scalar, like
+    the k-means centroid fetch)."""
+    from bytewax_spark.functions import sampling
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"))
+    )
+    n_items = _t(spark, sf_dir, "part").count()
+    return sampling.negative_samples(inter, "user_id", "item", n_items, k=5)
+
+
+_ORACLES["negative_samples_customer_parts"] = """
+    WITH inter AS (
+      SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    users AS (SELECT DISTINCT user_id FROM inter),
+    ni AS (SELECT COUNT(*) AS n FROM part),
+    cand0 AS (
+      SELECT u.user_id, i.i,
+             ('0x' || SUBSTR(MD5(CAST(u.user_id AS VARCHAR) || '#' || CAST(i.i AS VARCHAR)), 1, 15))::BIGINT
+               % (SELECT n FROM ni) AS item
+      FROM users u, (SELECT UNNEST(RANGE(0, 20)) AS i) i
+    ),
+    cand AS (SELECT user_id, item, MIN(i) AS i FROM cand0 GROUP BY 1, 2),
+    neg AS (
+      SELECT c.user_id, c.item, c.i FROM cand c
+      ANTI JOIN inter USING (user_id, item)
+    ),
+    ranked AS (
+      SELECT user_id, item,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i) AS INTEGER) AS neg_rank
+      FROM neg
+    )
+    SELECT user_id, item, neg_rank FROM ranked WHERE neg_rank <= 5
+"""
+
+
+def zscore_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-scores with engine-exact moments (functions/stats.py
+    standardize): DECIMAL(38,0) micro-sums fix the mean/std on every
+    engine; each row's final normalize is float from identical
+    inputs."""
+    from bytewax_spark.functions import stats
+
+    flow = _flow("zscore")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return stats.standardize(ev, ["event_type"], "value").select(
+        "event_id", "event_type", "z"
+    )
+
+
+_ORACLES["zscore_event_values"] = """
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+             SUM(CAST(CAST(ROUND(value * 1000000) AS DECIMAL(19,0))
+                      * CAST(ROUND(value * 1000000) AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx
+      FROM events GROUP BY 1
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_micro,
+             SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_micro
+      FROM m
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((ROUND(e.value * 1000000) - mo.mean_micro) / mo.std_micro, 6) AS z
+    FROM events e JOIN mo USING (event_type)
+"""
+
+
+def target_encode_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (functions/stats.py target_encode):
+    per-category mean of the target shrunk toward the global mean by
+    m=20 pseudo-observations, moments in exact decimals, the global
+    scalar broadcast via a single-row cross join (no driver
+    collect)."""
+    from bytewax_spark.functions import stats
+
+    flow = _flow("tenc")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return stats.target_encode(ev, ["event_type"], "value", smoothing=20)
+
+
+_ORACLES["target_encode_event_types"] = """
+    WITH pc AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT COUNT(*) AS gn,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS gs
+      FROM events
+    )
+    SELECT pc.event_type, pc.n,
+           ROUND(
+             (CAST(pc.sy AS DOUBLE) + 20 * (CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)))
+             / (CAST(pc.n AS DOUBLE) + 20) / 1000000.0,
+             6
+           ) AS te
+    FROM pc, g
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5533,6 +5649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_bins_events": equi_depth_bins_events,
         "session_counts_per_user": session_counts_per_user,
         "corr_qty_price_by_flag": corr_qty_price_by_flag,
+        "negative_samples_customer_parts": negative_samples_customer_parts,
+        "zscore_event_values": zscore_event_values,
+        "target_encode_event_types": target_encode_event_types,
     }
 
 

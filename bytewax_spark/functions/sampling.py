@@ -42,6 +42,7 @@ __all__ = [
     "split_train_test",
     "sample_exact_n",
     "sample_weighted_n",
+    "negative_samples",
     "domain_mixture",
     "percentile_normalize",
     "quantile_band",
@@ -413,3 +414,67 @@ def domain_mixture(
         t = min(BUCKETS, (BUCKETS * n_out * s) // (total_share * counts[d]))
         threshold = F.when(F.col(domain_col) == F.lit(d), F.lit(t)).otherwise(threshold)
     return df.filter(sample_bucket(key_col, salt) < threshold)
+
+
+def negative_samples(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_items: int,
+    k: int,
+    salt: str = "",
+    oversample: int = 4,
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (the BPR / word2vec negative-sampling prep step, public): for each
+    user, ``k`` pseudo-random item ids from ``[0, n_items)`` the user
+    has NOT interacted with. Returns ``(user, item, neg_rank)`` with
+    ``neg_rank`` 1..k.
+
+    Candidates are ``hash(salt, user, i)`` for i in [0, k·oversample)
+    — reproducible across runs/engines (md5-derived, same family as
+    the sampling module); interactions are removed with an anti-join
+    on (user, item); the first ``k`` survivors IN CANDIDATE ORDER are
+    kept (row_number over i — deterministic, not arbitrary). With
+    oversample·k candidates, a user interacting with fraction p of the
+    item space has P(shortfall) ≈ tail of Binomial(k·o, 1-p) — raise
+    ``oversample`` for dense users (callers can detect shortfall by
+    counting rows per user < k).
+
+    Scale shape: candidate fan-out is k·oversample rows per USER
+    (map-side explode, no shuffle), the anti-join shuffles on the
+    (user, item) pair, the rank window partitions per user. No
+    item-table scan at all — the item space is an integer range."""
+    if n_items <= 0 or k <= 0:
+        raise ValueError(f"n_items and k must be positive, got {n_items}, {k}")
+    from pyspark.sql import Window
+
+    u = F.col(user_col)
+    cand = (
+        interactions.select(u).distinct()
+        .select(
+            u,
+            F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1))).alias("_i"),
+        )
+        .select(
+            u,
+            "_i",
+            F.pmod(
+                hash64(F.concat(F.lit(salt), u.cast("string"), F.lit("#"), F.col("_i"))),
+                F.lit(n_items),
+            ).alias(item_col),
+        )
+        # one candidate per (user, item): keep the earliest index so
+        # hash collisions inside a user's candidate list can't yield
+        # duplicate negatives
+        .groupBy(user_col, item_col)
+        .agg(F.min("_i").alias("_i"))
+    )
+    pos = interactions.select(u, F.col(item_col)).distinct()
+    neg = cand.join(pos, [user_col, item_col], "left_anti")
+    w = Window.partitionBy(user_col).orderBy("_i")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(user_col, item_col, "neg_rank")
+    )

@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["equi_depth_bins", "exact_corr", "outlier_counts", "robust_stats"]
+__all__ = ["equi_depth_bins", "exact_corr", "outlier_counts", "robust_stats", "standardize", "target_encode"]
 
 
 def robust_stats(
@@ -158,4 +158,87 @@ def exact_corr(
         *group_cols,
         F.col("n"),
         F.round(num / den, decimals).alias("corr"),
+    )
+
+
+def standardize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    out_col: str = "z",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group z-score with ENGINE-EXACT moments: group mean and
+    variance come from micro-quantized DECIMAL(38,0) sums (the
+    ``exact_corr`` technique — associative, order-independent), so the
+    fences every row is normalized against are identical on any
+    engine/partitioning; only the final per-row ``(x - mean) / std``
+    is floating point, computed from identical inputs. Appends
+    ``out_col`` (rounded; null for groups with zero variance or a
+    single row).
+
+    One aggregation + one co-partitioned join back on the group key —
+    the same two-step shape as ``outlier_counts``. Population std
+    (divide by n), the ML-normalization convention."""
+    xm = F.round(F.col(val_col) * 1_000_000).cast("decimal(19,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xm).cast("decimal(38,0)").alias("_sx"),
+        F.sum((xm * xm).cast("decimal(38,0)")).alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sxx = F.col("_sx").cast("double"), F.col("_sxx").cast("double")
+    mean_micro = sx / n
+    var_micro2 = (n * sxx - sx * sx) / (n * n)
+    moments = agg.select(
+        *group_cols,
+        mean_micro.alias("_mean"),
+        F.when(var_micro2 > 0, F.sqrt(var_micro2)).alias("_std"),
+    )
+    z = (F.round(F.col(val_col) * 1_000_000) - F.col("_mean")) / F.col("_std")
+    return (
+        df.join(moments, list(group_cols))
+        .withColumn(out_col, F.round(z, decimals))
+        .drop("_mean", "_std")
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_cols: Sequence[str],
+    target_col: str,
+    smoothing: int = 20,
+    out_col: str = "te",
+    decimals: int = 6,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical key — the
+    standard high-cardinality categorical feature (Micci-Barreca 2001,
+    public): ``te = (sum_y + m · global_mean) / (n + m)`` with
+    ``m = smoothing``, shrinking rare categories toward the global
+    mean. Returns one row per category: cat cols +
+    ``(n, te)``.
+
+    Moments accumulate as micro-quantized DECIMAL(38,0) (engine-exact;
+    the division to a float happens once per category from identical
+    inputs). Two aggregations — per-category and global — and the
+    global scalar rides the plan as a cross-joined single row
+    (broadcast, not a driver collect)."""
+    ym = F.round(F.col(target_col) * 1_000_000).cast("decimal(19,0)")
+    per_cat = df.groupBy(*cat_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ym).cast("decimal(38,0)").alias("_sy"),
+    )
+    glob = df.agg(
+        F.count(F.lit(1)).alias("_gn"),
+        F.sum(ym).cast("decimal(38,0)").alias("_gs"),
+    )
+    gmean = F.col("_gs").cast("double") / F.col("_gn").cast("double")
+    te = (
+        (F.col("_sy").cast("double") + F.lit(smoothing) * gmean)
+        / (F.col("n").cast("double") + F.lit(smoothing))
+        / 1_000_000.0
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select(*cat_cols, "n", F.round(te, decimals).alias(out_col))
     )

@@ -1,0 +1,96 @@
+"""ML-prep operators: negative sampling (functions/sampling.py),
+standardize + target_encode (functions/stats.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytewax_spark.functions import sampling, stats
+
+
+def _inter(spark):
+    # user 1 interacted with items 0..7, user 2 with item 3 only
+    rows = [(1, i) for i in range(8)] + [(2, 3)]
+    return spark.createDataFrame(rows, "user bigint, item bigint")
+
+
+def test_negative_samples_excludes_positives(spark):
+    inter = _inter(spark)
+    neg = sampling.negative_samples(inter, "user", "item", n_items=50, k=5).collect()
+    pos = {(r["user"], r["item"]) for r in inter.collect()}
+    got = {(r["user"], r["item"]) for r in neg}
+    assert not (got & pos)
+    by_user = {}
+    for r in neg:
+        by_user.setdefault(r["user"], []).append(r["neg_rank"])
+    assert sorted(by_user[1]) == [1, 2, 3, 4, 5]
+    assert sorted(by_user[2]) == [1, 2, 3, 4, 5]
+    assert all(0 <= r["item"] < 50 for r in neg)
+
+
+def test_negative_samples_deterministic_and_salted(spark):
+    inter = _inter(spark)
+    a = sorted(map(tuple, sampling.negative_samples(inter, "user", "item", 50, 3).collect()))
+    b = sorted(map(tuple, sampling.negative_samples(inter, "user", "item", 50, 3).collect()))
+    c = sorted(map(tuple, sampling.negative_samples(inter, "user", "item", 50, 3, salt="x").collect()))
+    assert a == b
+    assert a != c  # a different salt draws a different permutation
+
+
+def test_negative_samples_no_duplicate_items_per_user(spark):
+    inter = _inter(spark)
+    neg = sampling.negative_samples(inter, "user", "item", n_items=10, k=6).collect()
+    seen = set()
+    for r in neg:
+        key = (r["user"], r["item"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_negative_samples_validates(spark):
+    with pytest.raises(ValueError):
+        sampling.negative_samples(_inter(spark), "user", "item", 0, 3)
+
+
+def test_standardize_hand_computed(spark):
+    # group g: 2, 4, 6 -> mean 4, population std sqrt(8/3)
+    df = spark.createDataFrame(
+        [("g", 2.0), ("g", 4.0), ("g", 6.0)], "k string, v double"
+    )
+    rows = {r["v"]: r["z"] for r in stats.standardize(df, ["k"], "v").collect()}
+    import math
+
+    std = math.sqrt(8.0 / 3.0)
+    assert abs(rows[2.0] - (-2.0 / std)) < 1e-6
+    assert rows[4.0] == 0.0
+    assert abs(rows[6.0] - (2.0 / std)) < 1e-6
+
+
+def test_standardize_degenerate_group_null(spark):
+    df = spark.createDataFrame([("g", 5.0), ("g", 5.0)], "k string, v double")
+    rows = stats.standardize(df, ["k"], "v").collect()
+    assert all(r["z"] is None for r in rows)  # zero variance -> null, not inf
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    # category a: 100 rows of target 1.0; category b: 1 row of 0.0;
+    # global mean ~ 100/101. With smoothing=20, b's encoding pulls
+    # hard toward the global mean, a's stays near 1.0.
+    rows = [("a", 1.0)] * 100 + [("b", 0.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    got = {r["c"]: r for r in stats.target_encode(df, ["c"], "y", smoothing=20).collect()}
+    gmean = 100.0 / 101.0
+    te_b = (0.0 + 20 * gmean) / (1 + 20)
+    te_a = (100.0 + 20 * gmean) / (100 + 20)
+    assert abs(got["b"]["te"] - te_b) < 1e-6
+    assert abs(got["a"]["te"] - te_a) < 1e-6
+    assert got["a"]["n"] == 100 and got["b"]["n"] == 1
+
+
+def test_target_encode_no_collect_in_plan(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = stats.target_encode(ev, ["event_type"], "value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
