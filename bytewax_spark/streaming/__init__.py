@@ -48,6 +48,7 @@ __all__ = [
     "collect_stream",
     "distinct_count_stream",
     "funnel_stream",
+    "zscore_anomaly_stream",
     "frequency_cap_stream",
     "heavy_hitters_stream",
     "stateful_map_stream",
@@ -720,3 +721,77 @@ def funnel_stream(
     ts_t = up.df.schema[ts_col].dataType.simpleString()
     schema = f"{up.key_col} {key_t}, step_idx int, step string, {ts_col} {ts_t}"
     return stateful_batch(step_id, up, _Funnel, schema=schema)
+
+
+def zscore_anomaly_stream(
+    step_id: str,
+    up: KeyedStream,
+    val_col: str,
+    threshold: float = 3.0,
+    min_n: int = 10,
+    order_by: str | None = None,
+) -> KeyedStream:
+    """Streaming anomaly detection per key: each value is z-scored
+    against the key's RUNNING mean/variance (Welford's online update,
+    public) and emitted when ``|z| > threshold``; state is three
+    numbers per key forever. The "alert on weird values per sensor"
+    operator — the streaming complement of the batch
+    ``functions.stats.standardize`` + ``outlier_counts`` pair.
+
+    Each row is scored against the statistics of the values BEFORE it
+    (so an outlier can't mask itself), then folded in; no alerts until
+    ``min_n`` prior values exist (cold-start guard). ``order_by``
+    sorts rows inside each micro-batch for a deterministic replay;
+    cross-batch order is arrival order, as for every streaming
+    operator here. Emits ``(key, value, z)`` rows; batch mode emits
+    the same alerts at EOF."""
+    if threshold <= 0 or min_n < 2:
+        raise ValueError(
+            f"threshold must be > 0 and min_n >= 2, got {threshold}, {min_n}"
+        )
+    emit_each = bool(up.df.isStreaming)
+
+    class _Welford(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.n, self.mean, self.m2 = snap if snap is not None else (0, 0.0, 0.0)
+            self.alerts: list[tuple] = []
+
+        def _score_and_fold(self, pdf):
+            out = []
+            rows = pdf.sort_values(order_by) if order_by else pdf
+            for v in rows[val_col]:
+                x = float(v)
+                if self.n >= min_n:
+                    var = self.m2 / self.n
+                    if var > 0:
+                        z = (x - self.mean) / (var ** 0.5)
+                        if abs(z) > threshold:
+                            out.append((x, round(z, 6)))
+                self.n += 1
+                d = x - self.mean
+                self.mean += d / self.n
+                self.m2 += d * (x - self.mean)
+            return out
+
+        def on_batch(self, pdf):
+            out = self._score_and_fold(pdf)
+            if emit_each:
+                emit = (
+                    pd.DataFrame(out, columns=[val_col, "z"]) if out else None
+                )
+                return emit, self.RETAIN
+            self.alerts.extend(out)
+            return None, self.RETAIN
+
+        def on_eof(self):
+            if not self.alerts:
+                return None, self.DISCARD
+            return pd.DataFrame(self.alerts, columns=[val_col, "z"]), self.DISCARD
+
+        def snapshot(self):
+            return (self.n, self.mean, self.m2)
+
+    up = _require_keyed(step_id, up)
+    key_t = up.df.schema[up.key_col].dataType.simpleString()
+    schema = f"{up.key_col} {key_t}, {val_col} double, z double"
+    return stateful_batch(step_id, up, _Welford, schema=schema)

@@ -949,3 +949,68 @@ def test_funnel_stream_validates_steps(spark):
     ks = op.key_on("key", op.input("in", flow, src), "user")
     with pytest.raises(ValueError, match="at least one step"):
         funnel_stream("fn", ks, "ts", "event_type", [])
+
+
+# ---------------------------------------------------------------------------
+# zscore_anomaly_stream
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_anomaly_flags_outlier(spark):
+    from bytewax_spark.streaming import zscore_anomaly_stream
+
+    # 20 values around 10 +/- 1, then a wild 100
+    vals = [10.0 + (i % 3) - 1 for i in range(20)] + [100.0]
+    flow = Dataflow("b_anom")
+    src = TestingSource(
+        [("s1", float(v), i) for i, v in enumerate(vals)],
+        schema="sensor string, v double, seq long",
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "sensor")
+    out = zscore_anomaly_stream("an", ks, "v", threshold=3.0, order_by="seq")
+    got = out.df.collect()
+    assert len(got) == 1
+    assert got[0]["v"] == 100.0 and got[0]["z"] > 3.0
+
+
+def test_zscore_anomaly_cold_start_quiet(spark):
+    from bytewax_spark.streaming import zscore_anomaly_stream
+
+    # huge jump inside the first min_n values: no alert (cold start)
+    flow = Dataflow("b_anom2")
+    src = TestingSource(
+        [("s", 1.0, 0), ("s", 2.0, 1), ("s", 500.0, 2)],
+        schema="sensor string, v double, seq long",
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "sensor")
+    out = zscore_anomaly_stream("an", ks, "v", min_n=10, order_by="seq")
+    assert out.df.count() == 0
+
+
+def test_zscore_anomaly_state_across_microbatches(spark):
+    """Warmup arrives in earlier micro-batches; the outlier in a later
+    one is still scored against the accumulated state."""
+    from bytewax_spark.streaming import zscore_anomaly_stream
+
+    vals = [(f"s", 10.0 + (i % 3) - 1, i) for i in range(20)] + [("s", 100.0, 20)]
+    flow = Dataflow("s_anom")
+    src = TestingSource(
+        vals, schema="sensor string, v double, seq long",
+        streaming=True, files=4,
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "sensor")
+    out = zscore_anomaly_stream("an", ks, "v", order_by="seq")
+    sink = MemorySink("s_anom_out")
+    op.output("out", out, sink)
+    got = drain(spark, flow, "s_anom_out")
+    assert [r["v"] for r in got] == [100.0]
+
+
+def test_zscore_anomaly_validates(spark):
+    from bytewax_spark.streaming import zscore_anomaly_stream
+
+    flow = Dataflow("v_anom")
+    src = TestingSource([("s", 1.0)], schema="sensor string, v double")
+    ks = op.key_on("key", op.input("in", flow, src), "sensor")
+    with pytest.raises(ValueError):
+        zscore_anomaly_stream("an", ks, "v", threshold=0)
