@@ -5474,6 +5474,34 @@ _ORACLES["target_encode_event_types"] = """
 """
 
 
+def curriculum_bands_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum banding (functions/export.py curriculum_order):
+    documents tiered into 5 length-quantile bands — exact percentile
+    edges from one aggregation broadcast as an array literal, map-side
+    band fold. (The within-band hash shuffle ORDER is a local test;
+    the driver compare is order-insensitive, so the query exposes the
+    band membership.)"""
+    from bytewax_spark.functions import export
+
+    flow = _flow("curriculum")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return export.curriculum_order(docs, "doc_id", "n_chars", n_bands=5).select(
+        "doc_id", "band"
+    )
+
+
+_ORACLES["curriculum_bands_docs"] = """
+    WITH e AS (
+      SELECT [quantile_cont(n_chars, 0.2), quantile_cont(n_chars, 0.4),
+              quantile_cont(n_chars, 0.6), quantile_cont(n_chars, 0.8)] AS edges
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(1 + LEN(LIST_FILTER(e.edges, t -> d.n_chars > t)) AS INTEGER) AS band
+    FROM documents d, e
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5652,6 +5680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples_customer_parts": negative_samples_customer_parts,
         "zscore_event_values": zscore_event_values,
         "target_encode_event_types": target_encode_event_types,
+        "curriculum_bands_docs": curriculum_bands_docs,
     }
 
 

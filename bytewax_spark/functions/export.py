@@ -35,6 +35,7 @@ from .text import hash64
 __all__ = [
     "shuffle_hash",
     "corpus_shuffle",
+    "curriculum_order",
     "shard_by_hash",
     "write_shards",
     "write_tar_shards",
@@ -234,3 +235,54 @@ def write_tar_shards(
         )
 
     return sharded.mapInPandas(_write, schema)
+
+
+def curriculum_order(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    n_bands: int = 10,
+    salt: str = "",
+    band_col: str = "band",
+) -> DataFrame:
+    """Curriculum export order (Bengio et al. 2009 curriculum
+    learning, public): rows banded into ``n_bands`` difficulty tiers
+    by score quantile, deterministically shuffled WITHIN each band —
+    the trainer reads easy bands first but sees each band in unbiased
+    pseudo-random order. Returns the rows + ``band_col`` (1 = lowest
+    scores), sorted by (band, shuffle_hash, key).
+
+    Band edges are exact percentiles computed in ONE aggregation and
+    broadcast back as an array literal via a single-row cross join —
+    no driver collect; band assignment is a map-side array fold. The
+    final sort is the terasort shape (range partition on a composite
+    key), same as ``corpus_shuffle``. Exact global percentiles sort
+    the score column once; at extreme scale swap the edge computation
+    for the histogram sketch (functions/sketches.py) — band EDGES
+    tolerate approximation, membership stays deterministic either
+    way."""
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+    fracs = [i / n_bands for i in range(1, n_bands)]
+    edges = df.agg(
+        F.percentile(F.col(score_col), F.array(*[F.lit(f) for f in fracs])).alias(
+            "_edges"
+        )
+    )
+    banded = df.crossJoin(F.broadcast(edges)).withColumn(
+        band_col,
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("_edges"),
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(F.col(score_col) > t, F.lit(1)).otherwise(F.lit(0)),
+            )
+        ).cast("int"),
+    ).drop("_edges")
+    return banded.orderBy(
+        F.col(band_col).asc(),
+        shuffle_hash(key_col, salt).asc(),
+        F.col(key_col).asc(),
+    )

@@ -180,3 +180,37 @@ def test_tar_shards_stable_assignment(spark, tmp_path):
     export.write_tar_shards(big, r2, "doc_id", 4, ["text"]).collect()
     assert shard_of(r1, 1) == shard_of(r2, 1)
     assert shard_of(r1, 2) == shard_of(r2, 2)
+
+
+def test_curriculum_order_bands_and_shuffle(spark):
+    from bytewax_spark.functions import export
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id bigint, score double"
+    )
+    rows = export.curriculum_order(df, "doc_id", "score", n_bands=4).collect()
+    # bands partition the score range into quartile tiers
+    bands = {}
+    for r in rows:
+        bands.setdefault(r["band"], []).append(r["score"])
+    assert set(bands) == {1, 2, 3, 4}
+    assert max(bands[1]) < min(bands[2]) or abs(max(bands[1]) - min(bands[2])) < 1e-9
+    assert all(len(v) in (24, 25, 26) for v in bands.values())
+    # ordered by band first
+    seq = [r["band"] for r in rows]
+    assert seq == sorted(seq)
+    # within a band the order is NOT score order (it's the hash shuffle)
+    assert bands[1] != sorted(bands[1])
+
+
+def test_curriculum_order_deterministic(spark):
+    from bytewax_spark.functions import export
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], "doc_id bigint, score double"
+    )
+    a = [r["doc_id"] for r in export.curriculum_order(df, "doc_id", "score", 3).collect()]
+    b = [r["doc_id"] for r in export.curriculum_order(df, "doc_id", "score", 3).collect()]
+    c = [r["doc_id"] for r in export.curriculum_order(df, "doc_id", "score", 3, salt="x").collect()]
+    assert a == b
+    assert a != c
