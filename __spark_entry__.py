@@ -5502,6 +5502,91 @@ _ORACLES["curriculum_bands_docs"] = """
 """
 
 
+def winsorized_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value means (functions/stats.py winsorize):
+    values clamped to their group's exact [p05, p95] before averaging
+    — the heavy-tail-robust mean. Sum in micro-int fixed point so the
+    aggregate is order-independent."""
+    from bytewax_spark.functions import stats
+
+    flow = _flow("winsor")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    w = stats.winsorize(ev, ["event_type"], "value", lower=0.05, upper=0.95)
+    return w.groupBy("event_type").agg(
+        F.sum(F.round(F.col("value_w") * 1_000_000).cast("long")).alias("sum_w_micro"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ORACLES["winsorized_mean_by_type"] = """
+    WITH b AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 6) AS lo,
+             ROUND(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, b.lo), b.hi) * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_w_micro,
+           COUNT(*) AS n
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1
+"""
+
+
+def auc_purchase_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of 'value predicts purchase' per user cohort
+    (functions/stats.py group_auc): Mann-Whitney U over distinct
+    scores with tie half-credit, accumulated in 2x-scaled integers —
+    no curve interpolation, no sampling. Groups = user_id % 5 cohorts
+    so each group has both classes."""
+    from bytewax_spark.functions import stats
+
+    flow = _flow("auc")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    scored = ev.select(
+        F.pmod(F.col("user_id"), F.lit(5)).alias("cohort"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.col("value"),
+    )
+    return stats.group_auc(scored, ["cohort"], "y", "value")
+
+
+_ORACLES["auc_purchase_by_source"] = """
+    WITH s AS (
+      SELECT user_id % 5 AS cohort,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             value
+      FROM events
+    ),
+    ps AS (
+      SELECT cohort, value,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM s GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT cohort, pos, neg,
+             COALESCE(SUM(neg) OVER (
+               PARTITION BY cohort ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM ps
+    ),
+    a AS (
+      SELECT cohort,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS u2
+      FROM c GROUP BY 1
+    )
+    SELECT cohort, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+           END AS auc
+    FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5681,6 +5766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_event_values": zscore_event_values,
         "target_encode_event_types": target_encode_event_types,
         "curriculum_bands_docs": curriculum_bands_docs,
+        "winsorized_mean_by_type": winsorized_mean_by_type,
+        "auc_purchase_by_source": auc_purchase_by_source,
     }
 
 

@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["equi_depth_bins", "exact_corr", "outlier_counts", "robust_stats", "standardize", "target_encode"]
+__all__ = ["equi_depth_bins", "exact_corr", "group_auc", "outlier_counts", "robust_stats", "standardize", "target_encode", "winsorize"]
 
 
 def robust_stats(
@@ -241,4 +241,93 @@ def target_encode(
     return (
         per_cat.crossJoin(F.broadcast(glob))
         .select(*cat_cols, "n", F.round(te, decimals).alias(out_col))
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Winsorization: clamp each row's value to its OWN group's
+    [p_lower, p_upper] exact percentiles — the standard heavy-tail
+    taming before averaging/regression (Tukey/Dixon, public). Returns
+    the rows with ``out_col`` (default ``<val_col>_w``) appended.
+
+    Same two-step shape as ``outlier_counts``: one percentile
+    aggregation, one co-partitioned join back, a map-side clamp.
+    Clamp bounds are rounded to ``decimals`` so the comparison is
+    engine-stable."""
+    if not 0 <= lower < upper <= 1:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    out_col = out_col or f"{val_col}_w"
+    q = F.percentile(F.col(val_col), F.array(F.lit(lower), F.lit(upper)))
+    bounds = df.groupBy(*group_cols).agg(
+        F.round(F.element_at(q, 1), decimals).alias("_lo"),
+        F.round(F.element_at(q, 2), decimals).alias("_hi"),
+    )
+    clamped = F.least(F.greatest(F.col(val_col), F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(bounds, list(group_cols))
+        .withColumn(out_col, clamped)
+        .drop("_lo", "_hi")
+    )
+
+
+def group_auc(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    label_col: str,
+    score_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group ROC AUC computed EXACTLY as the Mann-Whitney U
+    statistic (Hanley & McNeil 1982, public): concordant score pairs
+    with ties at half weight, no curve interpolation, no sampling.
+    Returns group cols + ``(n_pos, n_neg, auc)``; ``auc`` is null for
+    single-class groups.
+
+    Exact-arithmetic shape: per (group, DISTINCT score) count
+    positives/negatives (one aggregation), then a per-group running
+    sum orders distinct scores — U = Σ_s pos_s · (neg_below_s +
+    neg_at_s / 2), accumulated in 2x-scaled integers so the only
+    float is the final division. The window runs over DISTINCT scores
+    per group (bounded by score cardinality, not row count — same
+    discipline as percentile_normalize)."""
+    lbl = F.col(label_col).cast("long")
+    per_score = df.groupBy(*group_cols, score_col).agg(
+        F.sum(lbl).alias("_pos"),
+        F.sum(F.lit(1) - lbl).alias("_neg"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(score_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    neg_below = F.coalesce(F.sum("_neg").over(w), F.lit(0))
+    # 2x-scaled integer U: pos * (2*neg_below + neg_at)
+    u2 = F.col("_pos") * (2 * neg_below + F.col("_neg"))
+    agg = (
+        per_score.withColumn("_u2", u2)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_pos").alias("n_pos"),
+            F.sum("_neg").alias("n_neg"),
+            F.sum("_u2").alias("_u2"),
+        )
+    )
+    auc = F.col("_u2").cast("double") / (
+        2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, decimals)
+        ).alias("auc"),
     )

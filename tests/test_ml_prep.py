@@ -94,3 +94,66 @@ def test_target_encode_no_collect_in_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "EvalPython" not in plan
+
+
+def test_winsorize_clamps_tails(spark):
+    rows = [("g", float(v)) for v in range(1, 100)] + [("g", 10000.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = stats.winsorize(df, ["k"], "v", lower=0.05, upper=0.95).collect()
+    vals = sorted(r["v_w"] for r in out)
+    raw = sorted(r["v"] for r in out)
+    assert raw[-1] == 10000.0
+    assert vals[-1] < 100.0           # the wild tail got clamped
+    assert vals[0] > 1.0              # so did the low tail
+    assert len(out) == 100            # row count unchanged
+
+
+def test_winsorize_validates(spark):
+    df = spark.createDataFrame([("g", 1.0)], "k string, v double")
+    with pytest.raises(ValueError):
+        stats.winsorize(df, ["k"], "v", lower=0.9, upper=0.1)
+
+
+def test_group_auc_perfect_and_random(spark):
+    # perfect separation: all positives score above all negatives
+    rows = [("p", 1, float(10 + i)) for i in range(5)] + [
+        ("p", 0, float(i)) for i in range(5)
+    ]
+    # anti-perfect: positives score BELOW negatives
+    rows += [("a", 1, float(i)) for i in range(5)] + [
+        ("a", 0, float(10 + i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, y int, s double")
+    got = {r["k"]: r["auc"] for r in stats.group_auc(df, ["k"], "y", "s").collect()}
+    assert got["p"] == 1.0 and got["a"] == 0.0
+
+
+def test_group_auc_ties_half_credit(spark):
+    # one positive and one negative with the SAME score -> AUC 0.5
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 0, 5.0)], "k string, y int, s double"
+    )
+    got = stats.group_auc(df, ["k"], "y", "s").collect()[0]
+    assert got["auc"] == 0.5 and got["n_pos"] == 1 and got["n_neg"] == 1
+
+
+def test_group_auc_single_class_null(spark):
+    df = spark.createDataFrame([("g", 1, 1.0), ("g", 1, 2.0)], "k string, y int, s double")
+    got = stats.group_auc(df, ["k"], "y", "s").collect()[0]
+    assert got["auc"] is None
+
+
+def test_group_auc_matches_sklearn_formula(spark):
+    """Cross-check against a hand-rolled pairwise count on a messy
+    tie-heavy case."""
+    import itertools
+
+    rows = [("g", y, float(s)) for y, s in
+            [(1, 3), (0, 3), (1, 2), (0, 1), (1, 1), (0, 2), (1, 5), (0, 0)]]
+    df = spark.createDataFrame(rows, "k string, y int, s double")
+    pos = [s for _, y, s in rows if y == 1]
+    neg = [s for _, y, s in rows if y == 0]
+    u = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p, n in itertools.product(pos, neg))
+    want = round(u / (len(pos) * len(neg)), 6)
+    got = stats.group_auc(df, ["k"], "y", "s").collect()[0]["auc"]
+    assert got == want
