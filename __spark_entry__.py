@@ -5587,6 +5587,32 @@ _ORACLES["auc_purchase_by_source"] = """
 """
 
 
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (functions/dedup.py
+    containment_pairs): |A∩B|/|A| >= 0.9 catches sub-document
+    inclusion that symmetric Jaccard misses; prefix filter on the
+    contained side, full index on the containing side, exact verify."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, "text", "doc_id", n=1, threshold=0.9)
+
+
+_ORACLES["containment_pairs_docs"] = f"""
+    WITH {_SQL_SHINGLES_N1},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c / sa.sz, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    WHERE ROUND(c / sa.sz, 6) >= 0.9
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5768,6 +5794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_bands_docs": curriculum_bands_docs,
         "winsorized_mean_by_type": winsorized_mean_by_type,
         "auc_purchase_by_source": auc_purchase_by_source,
+        "containment_pairs_docs": containment_pairs_docs,
     }
 
 

@@ -43,6 +43,7 @@ __all__ = [
     "dedup_spans_global",
     "shingle_docs",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_lsh_verified_pairs",
@@ -888,4 +889,79 @@ def dedup_spans_global(
             F.array_join(F.transform(kept, lambda s: s.getField("t")), " "),
         )
         .select(id_col, out_col)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTED containment pairs: (id_a, id_b, containment) where
+    ``|A ∩ B| / |A| >= threshold`` — "a is mostly contained in b", the
+    sub-document/quotation/boilerplate-inclusion detector that
+    symmetric Jaccard misses (a 50-word quote inside a 5000-word doc
+    has tiny Jaccard but containment ~1). Both directions are distinct
+    pairs; exact for the given threshold.
+
+    Prefix filter (containment form of PPJoin): only the CONTAINED
+    side prunes to its first ``|A| - ceil(t·|A|) + 1`` rarest
+    shingles; the containing side must be indexed in full (any of b's
+    shingles can witness), so the hot-shingle hazard concentrates
+    there — ``max_doc_freq`` optionally drops shingles in more than
+    that many docs from the index, an explicit recall trade documented
+    at the call site (None = exact). Size filter: |B| >= t·|A|.
+    Verification is one array_intersect per candidate."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingle_docs(df, text_col, id_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_freq"))
+    docs = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_freq", "shingle"))).alias("_ord"),
+            F.count(F.lit(1)).alias("_size"),
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform("_ord", lambda s: s["shingle"]).alias("_toks"),
+            "_size",
+        )
+    )
+    prefix_len = (
+        F.col("_size") - F.ceil(F.lit(threshold) * F.col("_size")) + 1
+    ).cast("int")
+    pa = docs.select(
+        F.col("_id").alias("id_a"),
+        F.col("_size").alias("_sa"),
+        F.explode(F.slice("_toks", F.lit(1), prefix_len)).alias("_tok"),
+    )
+    full = sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("_tok"))
+    if max_doc_freq is not None:
+        keep = freq.filter(F.col("_freq") <= max_doc_freq).select(
+            F.col("shingle").alias("_tok")
+        )
+        full = full.join(keep, "_tok", "left_semi")
+    sizes_b = docs.select(F.col("_id").alias("id_b"), F.col("_size").alias("_sb"))
+    cand = (
+        pa.join(full, "_tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "_sa")
+        .distinct()
+        .join(sizes_b, "id_b")
+        .filter(F.col("_sb") >= F.lit(threshold) * F.col("_sa"))
+    )
+    da = docs.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
+    db = docs.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("containment", F.round(inter / F.col("_sa"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )

@@ -696,3 +696,74 @@ def test_cosine_topk_batch_matches_per_probe(spark, sf_dir):
         solo = [(r["vec_id"], r["cosine"])
                 for r in similarity.cosine_topk(emb, "embedding", "vec_id", q, k=4).collect()]
         assert sorted(got[pid], key=lambda t: (-t[1], t[0])) == solo
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_directed_asymmetric(spark):
+    """A short doc fully inside a long one: containment(a->b)=1 while
+    (b->a) is far below threshold — the case Jaccard misses."""
+    from bytewax_spark.functions import dedup as dd
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame([(1, quote), (2, long)], "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.containment_pairs(df, "text", "doc_id", n=3, threshold=0.8).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got
+
+
+def test_containment_matches_brute_force(spark):
+    from bytewax_spark.functions import dedup as dd
+    from bytewax_spark.functions.text import hash64, word_shingles
+    from pyspark.sql import functions as F
+
+    texts = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h i j k l"),
+        (3, "x y z a b c"),
+        (4, "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    t = 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.containment_pairs(df, "text", "doc_id", n=2, threshold=t).collect()
+    }
+    # brute force with the same shingle definition
+    sets = {
+        r["doc_id"]: set(r["s"])
+        for r in df.select(
+            "doc_id",
+            F.array_distinct(F.transform(word_shingles("text", 2), hash64)).alias("s"),
+        ).collect()
+    }
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = round(len(sa & sb) / len(sa), 6)
+            if c >= t:
+                want[(a, b)] = c
+    assert got == want
+
+
+def test_containment_max_doc_freq_drops_boilerplate(spark):
+    from bytewax_spark.functions import dedup as dd
+
+    # a shingle present in EVERY doc; with max_doc_freq=2 it can't
+    # witness candidates, so the only matches come from real overlap
+    boiler = "copyright footer text"
+    df = spark.createDataFrame(
+        [(i, f"{boiler} doc{i} unique{i} words{i}") for i in range(1, 6)],
+        "doc_id bigint, text string",
+    )
+    strict = dd.containment_pairs(df, "text", "doc_id", n=3, threshold=0.3, max_doc_freq=2)
+    assert strict.count() == 0
