@@ -250,6 +250,16 @@ EXTENDED_QUERIES = [
     "fuzzy_name_pairs_customers",
     "latest_event_per_user",
     "bloom_membership_users",
+    # ML-prep / analytics / containment additions
+    "session_counts_per_user",
+    "scd2_user_event_versions",
+    "equi_depth_bins_events",
+    "zscore_event_values",
+    "negative_samples_customer_parts",
+    "winsorized_mean_by_type",
+    "auc_purchase_by_source",
+    "curriculum_bands_docs",
+    "containment_pairs_docs",
 ]
 
 _DUCKDB_TABLES = [
@@ -261,7 +271,10 @@ _DUCKDB_TABLES = [
 # oracle is a RECURSIVE reachability CTE (single-threaded, minutes at
 # sf0.1 vs Spark's O(diameter) label propagation) — timing it would
 # stall the bench run, so the Spark timing stands alone.
-_DUCKDB_SKIP = {"neardup_clusters_docs"}
+# containment's oracle is the NAIVE shingle self-join (fine at the
+# sf0.01 gate; quadratic on hot shingles at sf0.1) — the Spark side
+# runs the prefix-filtered exact algorithm and stands alone.
+_DUCKDB_SKIP = {"neardup_clusters_docs", "containment_pairs_docs"}
 
 
 def _duckdb_times(
