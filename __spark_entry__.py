@@ -5629,6 +5629,53 @@ _ORACLES["containment_pairs_docs"] = f"""
 """
 
 
+def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (functions/graph.py
+    common_neighbors) over the part co-occurrence graph: non-adjacent
+    part pairs ranked by shared-neighbor count and neighborhood
+    Jaccard — one wedge join + an anti-join on existing edges, exact
+    integer degrees. (The supplier co-order graph is near-complete at
+    this scale — no distance-2 pairs to predict; the part graph is ~7%
+    dense, the right regime for the operator.)"""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "_ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return graph.common_neighbors(edges, min_common=25)
+
+
+_ORACLES["link_prediction_parts"] = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    bo AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u, COUNT(*) AS d FROM bo GROUP BY 1),
+    wedges AS (
+      SELECT w1.v AS id_a, w2.v AS id_b, COUNT(*) AS common
+      FROM bo w1 JOIN bo w2 ON w1.u = w2.u AND w1.v < w2.v
+      GROUP BY 1, 2 HAVING COUNT(*) >= 25
+    ),
+    non_adj AS (
+      SELECT w.* FROM wedges w
+      ANTI JOIN e ON w.id_a = e.u AND w.id_b = e.v
+    )
+    SELECT n.id_a, n.id_b, n.common,
+           ROUND(n.common / (da.d + db.d - n.common), 6) AS jaccard
+    FROM non_adj n
+    JOIN deg da ON n.id_a = da.u
+    JOIN deg db ON n.id_b = db.u
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5811,6 +5858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_mean_by_type": winsorized_mean_by_type,
         "auc_purchase_by_source": auc_purchase_by_source,
         "containment_pairs_docs": containment_pairs_docs,
+        "link_prediction_parts": link_prediction_parts,
     }
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "common_neighbors",
     "connected_components",
     "kcore",
     "label_propagation",
@@ -414,4 +415,72 @@ def kcore(
         )
     raise RuntimeError(
         f"kcore(k={k}) did not converge in {max_rounds} rounds"
+    )
+
+
+def common_neighbors(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by common neighbors (Liben-Nowell & Kleinberg
+    2003, public): for every NON-adjacent pair at distance 2, the
+    count of shared neighbors and the neighborhood Jaccard
+    ``common / (deg_a + deg_b - common)``. Returns
+    ``(id_a, id_b, common, jaccard)`` with id_a < id_b, common >=
+    ``min_common``.
+
+    Shape: one wedge join through the shared neighbor (fan-out is
+    Σ deg(m)² over middle nodes — the scale hazard), then an anti-join
+    removes existing edges. ``max_degree`` drops hub middles from the
+    wedge (the standard mitigation: a 10⁶-degree hub contributes
+    10¹² wedges and near-zero signal per pair); None = exact.
+    Jaccard is computed from exact integer degrees, rounded to 6."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    mid = both.select(F.col("v").alias("m"), F.col("u").alias("n"))
+    if max_degree is not None:
+        keep = deg.filter(F.col("_deg") <= max_degree).select(
+            F.col("u").alias("m")
+        )
+        mid = mid.join(keep, "m", "left_semi")
+    w1 = mid.select("m", F.col("n").alias("id_a"))
+    w2 = mid.select("m", F.col("n").alias("id_b"))
+    wedges = (
+        w1.join(w2, "m")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    non_adj = wedges.join(
+        und,
+        (wedges["id_a"] == und["u"]) & (wedges["id_b"] == und["v"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("id_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("u").alias("id_b"), F.col("_deg").alias("_db"))
+    return (
+        non_adj.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("_da") + F.col("_db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
     )

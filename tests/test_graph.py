@@ -251,3 +251,49 @@ def test_kcore_ignores_self_loops_and_duplicates(spark):
     # triangle 1-2-3 after cleaning -> 2-core is all three, degree 2
     got = {r["node"]: r["degree"] for r in graph.kcore(edges, 2).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# common_neighbors
+# ---------------------------------------------------------------------------
+
+
+def test_common_neighbors_distance_two_only(spark):
+    from bytewax_spark.functions import graph
+
+    # path 1-2-3 plus 1-4-3: pair (1,3) shares neighbors {2,4};
+    # (2,4) shares {1,3}; adjacent pairs never appear.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (4, 3)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+        for r in graph.common_neighbors(edges, min_common=2).collect()
+    }
+    # deg(1)=deg(3)=2 -> jaccard = 2/(2+2-2) = 1.0
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_common_neighbors_excludes_existing_edges(spark):
+    from bytewax_spark.functions import graph
+
+    # triangle + chord: (1,3) IS an edge -> excluded even though they
+    # share neighbor 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], "id_a bigint, id_b bigint"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in graph.common_neighbors(edges, min_common=2).collect()}
+    assert (1, 3) not in got
+    assert (1, 4) in got  # shares {2, 3}, not adjacent
+
+
+def test_common_neighbors_max_degree_drops_hub_wedges(spark):
+    from bytewax_spark.functions import graph
+
+    # star through hub 0 (degree 4): all pairs share the hub; capping
+    # max_degree below 4 removes the hub as a middle -> no wedges left
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a bigint, id_b bigint"
+    )
+    assert graph.common_neighbors(edges, min_common=1).count() == 6
+    assert graph.common_neighbors(edges, min_common=1, max_degree=3).count() == 0
