@@ -5676,6 +5676,51 @@ _ORACLES["link_prediction_parts"] = """
 """
 
 
+def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the part co-occurrence graph
+    (functions/graph.py adamic_adar): shared neighbors weighted by
+    1/ln(degree), quantized to int64 micro-units BEFORE summation so
+    the score is exact under any aggregation order — float Σ 1/ln(d)
+    is not."""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "_ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return graph.adamic_adar(edges, min_score_micro=5_000_000)
+
+
+_ORACLES["adamic_adar_parts"] = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    bo AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u, COUNT(*) AS d FROM bo GROUP BY 1),
+    mid AS (
+      SELECT b.v AS m, b.u AS n,
+             CAST(ROUND(1000000 / LN(deg.d)) AS BIGINT) AS w
+      FROM bo b JOIN deg ON deg.u = b.v
+      WHERE deg.d >= 2
+    ),
+    wedges AS (
+      SELECT w1.n AS id_a, w2.n AS id_b, CAST(SUM(w1.w) AS BIGINT) AS aa_micro
+      FROM mid w1 JOIN mid w2 ON w1.m = w2.m AND w1.n < w2.n
+      GROUP BY 1, 2 HAVING SUM(w1.w) >= 5000000
+    )
+    SELECT w.id_a, w.id_b, w.aa_micro
+    FROM wedges w
+    ANTI JOIN e ON w.id_a = e.u AND w.id_b = e.v
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5859,6 +5904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_purchase_by_source": auc_purchase_by_source,
         "containment_pairs_docs": containment_pairs_docs,
         "link_prediction_parts": link_prediction_parts,
+        "adamic_adar_parts": adamic_adar_parts,
     }
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "adamic_adar",
     "common_neighbors",
     "connected_components",
     "kcore",
@@ -484,3 +485,56 @@ def common_neighbors(
             ).alias("jaccard"),
         )
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    min_score_micro: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003, public):
+    common neighbors weighted by 1/ln(degree) — a shared RARE neighbor
+    is strong evidence, a shared hub is weak. Returns non-adjacent
+    pairs ``(id_a, id_b, aa_micro)`` with ``aa_micro`` =
+    Σ round(10⁶/ln(deg(m))) over shared neighbors m — the weight is
+    quantized to an int64 BEFORE summation, so the score is exact and
+    order-independent on any engine (a float Σ 1/ln(d) is neither).
+    Middles of degree 1 contribute nothing (ln 1 = 0 — they witness no
+    wedge anyway); ``max_degree`` drops hub middles (same knob as
+    ``common_neighbors``); pairs below ``min_score_micro`` drop."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    w_mid = deg.filter(F.col("_deg") >= 2)
+    if max_degree is not None:
+        w_mid = w_mid.filter(F.col("_deg") <= max_degree)
+    mid = (
+        both.select(F.col("v").alias("m"), F.col("u").alias("n"))
+        .join(w_mid.select(F.col("u").alias("m"), "_deg"), "m")
+        .withColumn(
+            "_w", F.round(F.lit(1_000_000) / F.log(F.col("_deg"))).cast("long")
+        )
+    )
+    w1 = mid.select("m", "_w", F.col("n").alias("id_a"))
+    w2 = mid.select("m", F.col("n").alias("id_b"))
+    wedges = (
+        w1.join(w2, "m")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("_w").alias("aa_micro"))
+        .filter(F.col("aa_micro") >= min_score_micro)
+    )
+    return wedges.join(
+        und,
+        (wedges["id_a"] == und["u"]) & (wedges["id_b"] == und["v"]),
+        "left_anti",
+    ).select("id_a", "id_b", "aa_micro")

@@ -297,3 +297,40 @@ def test_common_neighbors_max_degree_drops_hub_wedges(spark):
     )
     assert graph.common_neighbors(edges, min_common=1).count() == 6
     assert graph.common_neighbors(edges, min_common=1, max_degree=3).count() == 0
+
+
+def test_adamic_adar_weights_rare_neighbors_higher(spark):
+    from bytewax_spark.functions import graph
+
+    # pair (1,3) shares m=2 (degree 2); pair (4,6) shares m=5 whose
+    # degree is 4 (hub) -> lower weight
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (5, 7), (5, 8)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["aa_micro"]
+        for r in graph.adamic_adar(edges).collect()
+    }
+    import math
+
+    assert got[(1, 3)] == round(1_000_000 / math.log(2))
+    assert got[(4, 6)] == round(1_000_000 / math.log(4))
+    assert got[(1, 3)] > got[(4, 6)]
+
+
+def test_adamic_adar_excludes_adjacent_and_sums(spark):
+    from bytewax_spark.functions import graph
+
+    # square 1-2-3-4-1: (1,3) shares {2,4} both degree 2; (1,2) adjacent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["aa_micro"]
+        for r in graph.adamic_adar(edges).collect()
+    }
+    import math
+
+    w = round(1_000_000 / math.log(2))
+    assert got == {(1, 3): 2 * w, (2, 4): 2 * w}
