@@ -5727,7 +5727,123 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver samples the FIRST 50 entries for its
+    # DuckDB-oracle correctness gate, so queries without a green driver row
+    # in any committed CORRECTNESS_r0*.json come first (never-sampled first,
+    # previously-green last). tests/test_registry_order.py enforces this.
     return {
+        "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "span_dedup_docs": span_dedup_docs,
+        "semdedup_docs": semdedup_docs,
+        "minhash_verified_pairs_docs": minhash_verified_pairs_docs,
+        "dsir_weights_docs": dsir_weights_docs,
+        "bm25_search_docs": bm25_search_docs,
+        "line_dedup_docs": line_dedup_docs,
+        "pack_sequences_docs": pack_sequences_docs,
+        "neardup_clusters_docs": neardup_clusters_docs,
+        "collect_window_daily_events": collect_window_daily_events,
+        "pagerank_purchase_graph": pagerank_purchase_graph,
+        "triangle_counts_copart": triangle_counts_copart,
+        "kcore_copart": kcore_copart,
+        "label_prop_copart": label_prop_copart,
+        "link_prediction_parts": link_prediction_parts,
+        "adamic_adar_parts": adamic_adar_parts,
+        "countmin_sketch_users": countmin_sketch_users,
+        "countmin_estimate_users": countmin_estimate_users,
+        "hll_registers_users": hll_registers_users,
+        "hll_estimate_users": hll_estimate_users,
+        "hll_merge_sources_docs": hll_merge_sources_docs,
+        "hll_grouped_type_users": hll_grouped_type_users,
+        "hll_stream_batch_event_types": hll_stream_batch_event_types,
+        "bloom_membership_users": bloom_membership_users,
+        "histogram_value_events": histogram_value_events,
+        "histogram_p95_value_events": histogram_p95_value_events,
+        "space_saving_topk_users": space_saving_topk_users,
+        "lsh_cosine_multiprobe_pairs": lsh_cosine_multiprobe_pairs,
+        "lsh_cosine_neardup_pairs": lsh_cosine_neardup_pairs,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "containment_pairs_docs": containment_pairs_docs,
+        "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        "dedup_incremental_docs": dedup_incremental_docs,
+        "bloom_dedup_incremental_docs": bloom_dedup_incremental_docs,
+        "simhash_docs": simhash_docs,
+        "neardup_dedup_docs": neardup_dedup_docs,
+        "decontaminate_docs": decontaminate_docs,
+        "decontamination_report_docs": decontamination_report_docs,
+        "select_token_budget_docs": select_token_budget_docs,
+        "curriculum_bands_docs": curriculum_bands_docs,
+        "domain_mixture_docs": domain_mixture_docs,
+        "cap_docs_per_source": cap_docs_per_source,
+        "heavy_hitters_users": heavy_hitters_users,
+        "chunk_docs_32": chunk_docs_32,
+        "tfidf_top_terms_docs": tfidf_top_terms_docs,
+        "perplexity_docs": perplexity_docs,
+        "perplexity_bigram_docs": perplexity_bigram_docs,
+        "pmi_collocations_docs": pmi_collocations_docs,
+        "skipgram_pairs_docs": skipgram_pairs_docs,
+        "char_entropy_docs": char_entropy_docs,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_idle_customers": q22_idle_customers,
+        "minhash_incremental_docs": minhash_incremental_docs,
+        "sample_docs_10pct": sample_docs_10pct,
+        "curate_corpus": curate_corpus,
+        "stratified_sample_docs": stratified_sample_docs,
+        "split_docs_train_test": split_docs_train_test,
+        "repetition_signals_docs": repetition_signals_docs,
+        "quality_band_docs": quality_band_docs,
+        "approx_value_quantiles": approx_value_quantiles,
+        "corpus_shuffle_head": corpus_shuffle_head,
+        "shard_sizes_docs": shard_sizes_docs,
+        "props_json_stats": props_json_stats,
+        "ann_recall_check": ann_recall_check,
+        "gapfill_user_hourly": gapfill_user_hourly,
+        "grouping_sets_revenue": grouping_sets_revenue,
+        "users_click_not_purchase": users_click_not_purchase,
+        "pivot_revenue_by_priority": pivot_revenue_by_priority,
+        "sample_exact_100_docs": sample_exact_100_docs,
+        "corpus_report_docs": corpus_report_docs,
+        "cosine_topk_vec0": cosine_topk_vec0,
+        "ivf_topk_vec0": ivf_topk_vec0,
+        "kmeans_cells_embeddings": kmeans_cells_embeddings,
+        "lsh_buckets_embeddings": lsh_buckets_embeddings,
+        "quantized_embeddings_int8": quantized_embeddings_int8,
+        "zorder_docs_layout": zorder_docs_layout,
+        "multimodal_image_features": multimodal_image_features,
+        "multimodal_image_decode": multimodal_image_decode,
+        "multimodal_audio_features": multimodal_audio_features,
+        "avro_registry_resolve_docs": avro_registry_resolve_docs,
+        "multimodal_frame_samples": multimodal_frame_samples,
+        "multimodal_resize_meta": multimodal_resize_meta,
+        "sample_weighted_100_docs": sample_weighted_100_docs,
+        "hard_negatives_vec0": hard_negatives_vec0,
+        "random_projection_embeddings": random_projection_embeddings,
+        "pct_nchars_by_source_docs": pct_nchars_by_source_docs,
+        "temperature_mixture_docs": temperature_mixture_docs,
+        "vocab_coverage_docs": vocab_coverage_docs,
+        "assoc_rules_parts": assoc_rules_parts,
+        "cosine_topk_batch_embeddings": cosine_topk_batch_embeddings,
+        "trailing_24h_user_value": trailing_24h_user_value,
+        "multimodal_video_meta": multimodal_video_meta,
+        "funnel_view_click_purchase": funnel_view_click_purchase,
+        "cohort_retention_weekly": cohort_retention_weekly,
+        "event_transition_matrix": event_transition_matrix,
+        "fuzzy_name_pairs_customers": fuzzy_name_pairs_customers,
+        "fuzzy_link_customer_supplier": fuzzy_link_customer_supplier,
+        "robust_stats_event_values": robust_stats_event_values,
+        "profile_documents": profile_documents,
+        "outlier_counts_events": outlier_counts_events,
+        "decayed_value_by_type": decayed_value_by_type,
+        "latest_event_per_user": latest_event_per_user,
+        "scd2_user_event_versions": scd2_user_event_versions,
+        "equi_depth_bins_events": equi_depth_bins_events,
+        "session_counts_per_user": session_counts_per_user,
+        "corr_qty_price_by_flag": corr_qty_price_by_flag,
+        "negative_samples_customer_parts": negative_samples_customer_parts,
+        "zscore_event_values": zscore_event_values,
+        "target_encode_event_types": target_encode_event_types,
+        "winsorized_mean_by_type": winsorized_mean_by_type,
+        "auc_purchase_by_source": auc_purchase_by_source,
         "q1_pricing_summary": q1_pricing_summary,
         "reduce_minmax_price": reduce_minmax_price,
         "high_value_orders": high_value_orders,
@@ -5778,9 +5894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_part_count": q16_supplier_part_count,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_idle_customers": q22_idle_customers,
         "filter_map_props": filter_map_props,
         "distinct_word_count": distinct_word_count,
         "high_value_clicks_per_user": high_value_clicks_per_user,
@@ -5789,122 +5902,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_customer_nation": enrich_customer_nation,
         "rising_value_events": rising_value_events,
         "reduce_window_daily_min": reduce_window_daily_min,
-        "collect_window_daily_events": collect_window_daily_events,
         "bottom_event_per_type_day": bottom_event_per_type_day,
-        # beyond-reference: text analysis / dedup / similarity
         "text_stats": text_stats,
         "doc_fingerprints": doc_fingerprints,
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
-        "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
-        "minhash_incremental_docs": minhash_incremental_docs,
-        "line_dedup_docs": line_dedup_docs,
-        "sample_docs_10pct": sample_docs_10pct,
-        "curate_corpus": curate_corpus,
-        "stratified_sample_docs": stratified_sample_docs,
-        "split_docs_train_test": split_docs_train_test,
-        "simhash_docs": simhash_docs,
-        "neardup_clusters_docs": neardup_clusters_docs,
-        "repetition_signals_docs": repetition_signals_docs,
-        "decontamination_report_docs": decontamination_report_docs,
-        "decontaminate_docs": decontaminate_docs,
-        "pack_sequences_docs": pack_sequences_docs,
-        "domain_mixture_docs": domain_mixture_docs,
-        "select_token_budget_docs": select_token_budget_docs,
-        "cap_docs_per_source": cap_docs_per_source,
-        "heavy_hitters_users": heavy_hitters_users,
-        "quality_band_docs": quality_band_docs,
-        "approx_value_quantiles": approx_value_quantiles,
-        "corpus_shuffle_head": corpus_shuffle_head,
-        "shard_sizes_docs": shard_sizes_docs,
-        "dedup_incremental_docs": dedup_incremental_docs,
-        "span_dedup_docs": span_dedup_docs,
-        "props_json_stats": props_json_stats,
-        "neardup_dedup_docs": neardup_dedup_docs,
-        "ann_recall_check": ann_recall_check,
-        "gapfill_user_hourly": gapfill_user_hourly,
-        "grouping_sets_revenue": grouping_sets_revenue,
-        "users_click_not_purchase": users_click_not_purchase,
-        "pivot_revenue_by_priority": pivot_revenue_by_priority,
-        "perplexity_docs": perplexity_docs,
-        "winnow_fingerprints_docs": winnow_fingerprints_docs,
-        "bloom_dedup_incremental_docs": bloom_dedup_incremental_docs,
-        "minhash_verified_pairs_docs": minhash_verified_pairs_docs,
-        "semdedup_docs": semdedup_docs,
-        "sample_exact_100_docs": sample_exact_100_docs,
-        "dsir_weights_docs": dsir_weights_docs,
-        "tfidf_top_terms_docs": tfidf_top_terms_docs,
-        "bm25_search_docs": bm25_search_docs,
-        "chunk_docs_32": chunk_docs_32,
-        "corpus_report_docs": corpus_report_docs,
-        "embedding_near_dup_pairs": embedding_near_dup_pairs,
-        "cosine_topk_vec0": cosine_topk_vec0,
-        "ivf_topk_vec0": ivf_topk_vec0,
-        "kmeans_cells_embeddings": kmeans_cells_embeddings,
-        "lsh_buckets_embeddings": lsh_buckets_embeddings,
-        "lsh_cosine_neardup_pairs": lsh_cosine_neardup_pairs,
-        "lsh_cosine_multiprobe_pairs": lsh_cosine_multiprobe_pairs,
-        "quantized_embeddings_int8": quantized_embeddings_int8,
-        "zorder_docs_layout": zorder_docs_layout,
-        "space_saving_topk_users": space_saving_topk_users,
-        # multimodal plumbing (binary media columns; stubbed codecs)
-        "multimodal_image_features": multimodal_image_features,
-        "multimodal_image_decode": multimodal_image_decode,
-        "multimodal_audio_features": multimodal_audio_features,
-        "avro_registry_resolve_docs": avro_registry_resolve_docs,
-        "multimodal_frame_samples": multimodal_frame_samples,
-        "multimodal_resize_meta": multimodal_resize_meta,
-        "sample_weighted_100_docs": sample_weighted_100_docs,
-        "hard_negatives_vec0": hard_negatives_vec0,
-        "random_projection_embeddings": random_projection_embeddings,
-        "pagerank_purchase_graph": pagerank_purchase_graph,
-        "triangle_counts_copart": triangle_counts_copart,
-        "pct_nchars_by_source_docs": pct_nchars_by_source_docs,
-        "temperature_mixture_docs": temperature_mixture_docs,
-        "vocab_coverage_docs": vocab_coverage_docs,
-        "assoc_rules_parts": assoc_rules_parts,
-        "perplexity_bigram_docs": perplexity_bigram_docs,
-        "cosine_topk_batch_embeddings": cosine_topk_batch_embeddings,
-        "trailing_24h_user_value": trailing_24h_user_value,
-        "pmi_collocations_docs": pmi_collocations_docs,
-        "countmin_sketch_users": countmin_sketch_users,
-        "countmin_estimate_users": countmin_estimate_users,
-        "hll_registers_users": hll_registers_users,
-        "hll_estimate_users": hll_estimate_users,
-        "char_entropy_docs": char_entropy_docs,
-        "hll_merge_sources_docs": hll_merge_sources_docs,
-        "hll_stream_batch_event_types": hll_stream_batch_event_types,
-        "skipgram_pairs_docs": skipgram_pairs_docs,
-        "multimodal_video_meta": multimodal_video_meta,
-        "histogram_value_events": histogram_value_events,
-        "histogram_p95_value_events": histogram_p95_value_events,
-        "hll_grouped_type_users": hll_grouped_type_users,
-        "label_prop_copart": label_prop_copart,
-        "funnel_view_click_purchase": funnel_view_click_purchase,
-        "cohort_retention_weekly": cohort_retention_weekly,
-        "event_transition_matrix": event_transition_matrix,
-        "fuzzy_name_pairs_customers": fuzzy_name_pairs_customers,
-        "fuzzy_link_customer_supplier": fuzzy_link_customer_supplier,
-        "robust_stats_event_values": robust_stats_event_values,
-        "kcore_copart": kcore_copart,
-        "profile_documents": profile_documents,
-        "outlier_counts_events": outlier_counts_events,
-        "decayed_value_by_type": decayed_value_by_type,
-        "latest_event_per_user": latest_event_per_user,
-        "scd2_user_event_versions": scd2_user_event_versions,
-        "bloom_membership_users": bloom_membership_users,
-        "equi_depth_bins_events": equi_depth_bins_events,
-        "session_counts_per_user": session_counts_per_user,
-        "corr_qty_price_by_flag": corr_qty_price_by_flag,
-        "negative_samples_customer_parts": negative_samples_customer_parts,
-        "zscore_event_values": zscore_event_values,
-        "target_encode_event_types": target_encode_event_types,
-        "curriculum_bands_docs": curriculum_bands_docs,
-        "winsorized_mean_by_type": winsorized_mean_by_type,
-        "auc_purchase_by_source": auc_purchase_by_source,
-        "containment_pairs_docs": containment_pairs_docs,
-        "link_prediction_parts": link_prediction_parts,
-        "adamic_adar_parts": adamic_adar_parts,
     }
 
 

@@ -1,0 +1,71 @@
+"""Registry-order guard: the driver's correctness gate samples the FIRST 50
+entries of ``__spark_entry__.queries()``.  To maximize cumulative driver
+verification coverage across rounds, every query that has NEVER received a
+fully-green driver row (rows+schema+hash in some committed
+``CORRECTNESS_r0*.json``) must sort BEFORE every query that already has one —
+otherwise a round's 50-row sample burns slots re-verifying known-green
+queries.
+
+One deliberate exception is allowed: a query that was rewritten AFTER its
+green row may be re-fronted (listed in ``REVERIFY_OK``).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Queries whose implementation changed materially after their last green
+# driver row, re-fronted on purpose to get a fresh row.
+REVERIFY_OK = {"minhash_lsh_pairs_docs"}
+
+
+def _driver_green() -> set[str]:
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+            ):
+                green.add(name)
+    return green
+
+
+def test_never_green_queries_come_first():
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    green = _driver_green()
+    if not green:  # no correctness files in a fresh clone — nothing to order
+        return
+    # index of the first already-green (non-exempt) entry
+    first_green = next(
+        (i for i, n in enumerate(names) if n in green and n not in REVERIFY_OK),
+        len(names),
+    )
+    stragglers = [
+        n
+        for n in names[first_green:]
+        if n not in green and n not in REVERIFY_OK
+    ]
+    assert not stragglers, (
+        "never-driver-green queries sorted after already-green ones "
+        f"(first green entry at index {first_green}): {stragglers[:10]}"
+    )
+
+
+def test_oracle_for_every_query_or_documented():
+    import __spark_entry__ as entry
+
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    # rows-only (no SQL oracle) queries must be a known, documented set
+    assert q - o == {"kmeans_cells_embeddings"}
+    assert not (o - q), f"oracle entries without a query: {sorted(o - q)}"
