@@ -628,12 +628,19 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return df.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+def _pair_parallelism(df: DataFrame) -> int:
+    """The session's shuffle-partition count — the explicit partition
+    count that pins comparator-join fan-out against AQE coalescing."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     block_col: str,
     threshold: float = 0.9,
+    n_slices: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs within blocks (id_a < id_b, cos ≥ t).
 
@@ -644,7 +651,26 @@ def embedding_cosine_pairs(
     the join (N sqrt-sums instead of |pairs| — pair count is quadratic
     in block size, so this cuts ~2/3 of per-pair arithmetic);
     value-identical to per-pair evaluation, same ops in the same
-    order."""
+    order.
+
+    Parallelism is PINNED, not left to the optimizer: the left side is
+    explicitly repartitioned to ``spark.sql.shuffle.partitions`` on
+    ``(_slice, block)``.  The shuffled bytes here are tiny (narrow id +
+    vector projections) but the downstream cost is per-PAIR — quadratic
+    in block size — which AQE cannot see, so without the explicit count
+    it coalesces the exchange and the whole comparator pass serializes
+    into a handful of tasks (measured 12x degradation under
+    contention; same trap fixed in ``linkage.fuzzy_self_pairs``).
+
+    ``n_slices`` > 1 additionally splits each block's pair set across
+    slices — the lever when the BLOCK COUNT is small or one block is
+    huge: the left side is sliced by a hash of the id, the right side
+    replicated to every slice, so a single block's pairs spread over
+    ``n_slices`` tasks.  Each unordered pair still lands in exactly one
+    (id_a's) slice — the pair set is unchanged, only its distribution.
+    Cost: the right-side projection is shuffled ``n_slices`` times."""
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
@@ -654,15 +680,17 @@ def embedding_cosine_pairs(
     )
     a = base.select(
         F.col(id_col).alias("id_a"), "_blk", F.col("_v").alias("_va"), F.col("_n").alias("_na")
-    )
+    ).withColumn(
+        "_slice", F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_slices))
+    ).repartition(_pair_parallelism(df), "_slice", "_blk")
     b = base.select(
         F.col(id_col).alias("id_b"), "_blk", F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
-    )
+    ).withColumn("_slice", F.explode(F.sequence(F.lit(0), F.lit(n_slices - 1))))
     dot = F.aggregate(
         F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        a.join(b, "_blk")
+        a.join(b, ["_blk", "_slice"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("cosine") >= threshold)
@@ -680,6 +708,7 @@ def lsh_cosine_pairs(
     seed: int = 42,
     target_bucket_rows: int = 4096,
     multiprobe: int = 0,
+    n_slices: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs on an UNblocked table: LSH buckets as
     the blocking key, exact cosine inside each bucket.
@@ -715,7 +744,18 @@ def lsh_cosine_pairs(
     candidate stream is (p+1)·bucket_size·N/2 pairs — orders of
     magnitude larger than the vector expansion — and re-attaching
     vectors means shuffling IT twice. Measured 6.9 s → 8.3 s at
-    sf0.1; the gap widens with bucket size."""
+    sf0.1; the gap widens with bucket size.
+
+    ``n_slices`` (default auto) splits each bucket's pair set across
+    id-hash slices and PINS the pair stage's partition count at
+    ``spark.sql.shuffle.partitions`` via an explicit-count repartition
+    of the probe side — the shuffled bytes are small so AQE would
+    otherwise coalesce the exchange, but the downstream cost is
+    per-PAIR (quadratic in bucket size), so coalescing serializes the
+    comparator pass into a few tasks (measured 12x degradation under
+    contention). Auto sizes slices so ``buckets x slices`` comfortably
+    exceeds the shuffle partition count; the pair SET is unchanged
+    (each pair lands in exactly one slice — id_a's)."""
     from bytewax_spark.functions.similarity import (
         adaptive_n_planes,
         as_double,
@@ -725,10 +765,18 @@ def lsh_cosine_pairs(
 
     if n_planes is None:
         n_planes = adaptive_n_planes(df.count(), target_bucket_rows)
+    if n_slices is None:
+        # enough slices that buckets x slices >= 2 x shuffle partitions;
+        # 1 when the bucket space alone already dwarfs the task count
+        n_slices = max(1, -(-2 * _pair_parallelism(df) // (1 << n_planes)))
     bucket = lsh_bucket_col(vec_col, n_planes, dims, seed)
     if multiprobe == 0:
         blocked = df.withColumn("_lsh_bucket", bucket)
-        return embedding_cosine_pairs(blocked, vec_col, id_col, "_lsh_bucket", threshold)
+        return embedding_cosine_pairs(
+            blocked, vec_col, id_col, "_lsh_bucket", threshold, n_slices=n_slices
+        )
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     vv = as_double(vec_col)
     nrm = F.sqrt(
         F.aggregate(F.transform(vv, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
@@ -739,20 +787,22 @@ def lsh_cosine_pairs(
         F.col("_v").alias("_va"),
         F.col("_n").alias("_na"),
         F.explode(lsh_probe_buckets(F.col("_b"), n_planes, multiprobe)).alias("_blk"),
-    )
+    ).withColumn(
+        "_slice", F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_slices))
+    ).repartition(_pair_parallelism(df), "_slice", "_blk")
     b = base.select(
         F.col(id_col).alias("id_b"),
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
         F.col("_b").alias("_blk"),
-    )
+    ).withColumn("_slice", F.explode(F.sequence(F.lit(0), F.lit(n_slices - 1))))
     dot = F.aggregate(
         F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     # norms ride the rows (computed once per vector, not per pair);
     # value-identical to per-pair evaluation
     return (
-        a.join(b, "_blk")
+        a.join(b, ["_blk", "_slice"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("cosine") >= threshold)
@@ -766,6 +816,7 @@ def semdedup(
     id_col: str,
     cell_col: str,
     threshold: float = 0.9,
+    n_slices: int = 1,
 ) -> DataFrame:
     """Semantic dedup over an embedding column, SemDeDup-shaped
     (Abbas et al. 2023, arXiv:2303.09540 — public): cluster the corpus
@@ -783,7 +834,9 @@ def semdedup(
     quadratic term is bounded by the largest cell, which the k-means k
     controls directly (k ~ N/target_cell_size, same sizing rule as IVF).
     """
-    pairs = embedding_cosine_pairs(df, vec_col, id_col, cell_col, threshold)
+    pairs = embedding_cosine_pairs(
+        df, vec_col, id_col, cell_col, threshold, n_slices=n_slices
+    )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

@@ -408,3 +408,18 @@ def test_hll_registers_single_bounded_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_max" in plan
     assert "EvalPython" not in plan
+
+
+def test_lsh_pair_stage_parallelism_pinned(spark, sf_dir):
+    """The LSH pair joins' comparator stage must keep
+    spark.sql.shuffle.partitions tasks: the shuffled bytes are small so
+    AQE would coalesce the exchange, but downstream cost is per-PAIR
+    (quadratic in bucket size) — coalescing serializes the comparator
+    pass (measured 12x degradation under contention). The explicit
+    -count repartition on (_slice, _blk) pins the fan-out; this
+    executes the pair stage and asserts the pinned partition count
+    survives AQE."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for qname in ("lsh_cosine_multiprobe_pairs", "lsh_cosine_neardup_pairs"):
+        df = entry.queries()[qname](spark, sf_dir)
+        assert df.rdd.getNumPartitions() >= parts, qname
