@@ -5636,7 +5636,14 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard — one wedge join + an anti-join on existing edges, exact
     integer degrees. (The supplier co-order graph is near-complete at
     this scale — no distance-2 pairs to predict; the part graph is ~7%
-    dense, the right regime for the operator.)"""
+    dense, the right regime for the operator.)
+
+    ``max_degree=128`` caps the wedge fan-out: middles above the cap
+    are dropped from the wedge join (Σ deg(m)² is the scale hazard — an
+    uncapped 10⁶-degree hub is 10¹² wedges and near-zero signal per
+    pair), while Jaccard still uses EXACT full degrees. The cap is part
+    of the operator's declared semantics and is mirrored in the
+    oracle."""
     from bytewax_spark.functions import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -5648,7 +5655,7 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    return graph.common_neighbors(edges, min_common=25)
+    return graph.common_neighbors(edges, min_common=14, max_degree=128)
 
 
 _ORACLES["link_prediction_parts"] = """
@@ -5659,10 +5666,14 @@ _ORACLES["link_prediction_parts"] = """
     ),
     bo AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
     deg AS (SELECT u, COUNT(*) AS d FROM bo GROUP BY 1),
+    mid AS (
+      SELECT b.u AS m, b.v AS n FROM bo b
+      JOIN deg ON deg.u = b.u WHERE deg.d <= 128
+    ),
     wedges AS (
-      SELECT w1.v AS id_a, w2.v AS id_b, COUNT(*) AS common
-      FROM bo w1 JOIN bo w2 ON w1.u = w2.u AND w1.v < w2.v
-      GROUP BY 1, 2 HAVING COUNT(*) >= 25
+      SELECT w1.n AS id_a, w2.n AS id_b, COUNT(*) AS common
+      FROM mid w1 JOIN mid w2 ON w1.m = w2.m AND w1.n < w2.n
+      GROUP BY 1, 2 HAVING COUNT(*) >= 14
     ),
     non_adj AS (
       SELECT w.* FROM wedges w
@@ -5681,7 +5692,12 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/graph.py adamic_adar): shared neighbors weighted by
     1/ln(degree), quantized to int64 micro-units BEFORE summation so
     the score is exact under any aggregation order — float Σ 1/ln(d)
-    is not."""
+    is not.
+
+    ``max_degree=128`` caps the wedge fan-out (Σ deg(m)² hub hazard) —
+    Adamic-Adar already weights hub middles near zero (1/ln(d)), so the
+    cap removes exactly the middles that cost the most and signal the
+    least; mirrored in the oracle."""
     from bytewax_spark.functions import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -5693,7 +5709,7 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    return graph.adamic_adar(edges, min_score_micro=5_000_000)
+    return graph.adamic_adar(edges, min_score_micro=3_000_000, max_degree=128)
 
 
 _ORACLES["adamic_adar_parts"] = """
@@ -5708,12 +5724,12 @@ _ORACLES["adamic_adar_parts"] = """
       SELECT b.v AS m, b.u AS n,
              CAST(ROUND(1000000 / LN(deg.d)) AS BIGINT) AS w
       FROM bo b JOIN deg ON deg.u = b.v
-      WHERE deg.d >= 2
+      WHERE deg.d >= 2 AND deg.d <= 128
     ),
     wedges AS (
       SELECT w1.n AS id_a, w2.n AS id_b, CAST(SUM(w1.w) AS BIGINT) AS aa_micro
       FROM mid w1 JOIN mid w2 ON w1.m = w2.m AND w1.n < w2.n
-      GROUP BY 1, 2 HAVING SUM(w1.w) >= 5000000
+      GROUP BY 1, 2 HAVING SUM(w1.w) >= 3000000
     )
     SELECT w.id_a, w.id_b, w.aa_micro
     FROM wedges w

@@ -425,6 +425,7 @@ def common_neighbors(
     dst: str = "id_b",
     min_common: int = 2,
     max_degree: int | None = None,
+    n_slices: int = 1,
 ) -> DataFrame:
     """Link prediction by common neighbors (Liben-Nowell & Kleinberg
     2003, public): for every NON-adjacent pair at distance 2, the
@@ -438,7 +439,18 @@ def common_neighbors(
     removes existing edges. ``max_degree`` drops hub middles from the
     wedge (the standard mitigation: a 10⁶-degree hub contributes
     10¹² wedges and near-zero signal per pair); None = exact.
-    Jaccard is computed from exact integer degrees, rounded to 6."""
+    Jaccard is computed from exact integer degrees, rounded to 6.
+
+    The wedge join's parallelism is PINNED: its key is the middle node
+    (often few distinct values on a dense graph) and its shuffled bytes
+    are tiny while the downstream wedge fan-out is per-KEY quadratic —
+    exactly what AQE's byte-based coalescing mis-sizes.  The w1 side is
+    explicitly repartitioned to ``spark.sql.shuffle.partitions`` on
+    ``(_slice, m)``; ``n_slices`` > 1 additionally splits each middle's
+    wedges across id_a-hash slices (w2 replicated per slice) when
+    middles are few or degrees are skewed — the wedge SET is unchanged."""
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -449,19 +461,41 @@ def common_neighbors(
     )
     both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    # carry BOTH the middle's degree (for the cap) and the endpoint's
+    # degree (for jaccard) on the wedge rows: one broadcast-sized join
+    # each on the E-row mid table, instead of re-joining deg onto the
+    # result AFTER the anti-join — the post-hoc joins re-executed the
+    # whole edge-construction subtree twice (measured ~2x end-to-end).
     mid = both.select(F.col("v").alias("m"), F.col("u").alias("n"))
     if max_degree is not None:
-        keep = deg.filter(F.col("_deg") <= max_degree).select(
-            F.col("u").alias("m")
-        )
-        mid = mid.join(keep, "m", "left_semi")
-    w1 = mid.select("m", F.col("n").alias("id_a"))
-    w2 = mid.select("m", F.col("n").alias("id_b"))
+        degm = deg.select(F.col("u").alias("m"), F.col("_deg").alias("_dm"))
+        mid = mid.join(degm, "m").filter(F.col("_dm") <= max_degree).drop("_dm")
+    degn = deg.select(F.col("u").alias("n"), F.col("_deg").alias("_dn"))
+    mid = mid.join(degn, "n")
+    shuffle_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    w1 = mid.select(
+        "m", F.col("n").alias("id_a"), F.col("_dn").alias("_da")
+    ).withColumn(
+        "_slice", F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_slices))
+    ).repartition(shuffle_parts, "_slice", "m")
+    w2 = mid.select(
+        "m", F.col("n").alias("id_b"), F.col("_dn").alias("_db")
+    ).withColumn(
+        "_slice", F.explode(F.sequence(F.lit(0), F.lit(n_slices - 1)))
+    )
     wedges = (
-        w1.join(w2, "m")
+        w1.join(w2, ["m", "_slice"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        # degree is functionally dependent on the id — min() just
+        # carries it through the aggregate
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min("_da").alias("_da"),
+            F.min("_db").alias("_db"),
+        )
         .filter(F.col("common") >= min_common)
     )
     non_adj = wedges.join(
@@ -469,21 +503,14 @@ def common_neighbors(
         (wedges["id_a"] == und["u"]) & (wedges["id_b"] == und["v"]),
         "left_anti",
     )
-    da = deg.select(F.col("u").alias("id_a"), F.col("_deg").alias("_da"))
-    db = deg.select(F.col("u").alias("id_b"), F.col("_deg").alias("_db"))
-    return (
-        non_adj.join(da, "id_a")
-        .join(db, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "common",
-            F.round(
-                F.col("common")
-                / (F.col("_da") + F.col("_db") - F.col("common")),
-                6,
-            ).alias("jaccard"),
-        )
+    return non_adj.select(
+        "id_a",
+        "id_b",
+        "common",
+        F.round(
+            F.col("common") / (F.col("_da") + F.col("_db") - F.col("common")),
+            6,
+        ).alias("jaccard"),
     )
 
 
@@ -493,6 +520,7 @@ def adamic_adar(
     dst: str = "id_b",
     min_score_micro: int = 1,
     max_degree: int | None = None,
+    n_slices: int = 1,
 ) -> DataFrame:
     """Adamic-Adar link prediction (Adamic & Adar 2003, public):
     common neighbors weighted by 1/ln(degree) — a shared RARE neighbor
@@ -502,8 +530,12 @@ def adamic_adar(
     quantized to an int64 BEFORE summation, so the score is exact and
     order-independent on any engine (a float Σ 1/ln(d) is neither).
     Middles of degree 1 contribute nothing (ln 1 = 0 — they witness no
-    wedge anyway); ``max_degree`` drops hub middles (same knob as
-    ``common_neighbors``); pairs below ``min_score_micro`` drop."""
+    wedge anyway); ``max_degree`` drops hub middles and ``n_slices``
+    /explicit-count repartition pin the wedge join's parallelism (same
+    knobs and rationale as ``common_neighbors``); pairs below
+    ``min_score_micro`` drop."""
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -524,10 +556,17 @@ def adamic_adar(
             "_w", F.round(F.lit(1_000_000) / F.log(F.col("_deg"))).cast("long")
         )
     )
-    w1 = mid.select("m", "_w", F.col("n").alias("id_a"))
-    w2 = mid.select("m", F.col("n").alias("id_b"))
+    shuffle_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    w1 = mid.select("m", "_w", F.col("n").alias("id_a")).withColumn(
+        "_slice", F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_slices))
+    ).repartition(shuffle_parts, "_slice", "m")
+    w2 = mid.select("m", F.col("n").alias("id_b")).withColumn(
+        "_slice", F.explode(F.sequence(F.lit(0), F.lit(n_slices - 1)))
+    )
     wedges = (
-        w1.join(w2, "m")
+        w1.join(w2, ["m", "_slice"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.sum("_w").alias("aa_micro"))
