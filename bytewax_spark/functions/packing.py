@@ -7,26 +7,78 @@ The core primitive is a **distributed prefix sum**. A naive
 ``Window.orderBy(id)`` with no partition key collapses the whole table
 into ONE task — the classic Spark scale trap. Instead:
 
-1. range-repartition by id (ascending partition ranges) and sort
-   within partitions;
-2. per-partition running sum via a window PARTITIONED by
-   ``spark_partition_id()`` (parallel);
-3. per-partition totals (one row per partition) come to the driver —
+1. derive a range-bucket id ``_pid`` from the VALUES of the leading
+   order column: quantile boundaries (one bounded stats pass, frozen
+   into plan literals) split the order domain into ``num_partitions``
+   ascending ranges, and each row's bucket is a pure comparison
+   against those literals — NO ``spark_partition_id()``, NO
+   checkpoint. A recomputed row always lands in the same bucket, so
+   the plan survives executor loss and speculative re-execution (the
+   previous ``localCheckpoint(eager=True)`` pinned physical partition
+   ids instead: a full extra materialization, and blocks living
+   outside lineage meant ANY executor loss killed the job);
+2. per-bucket running sum via a window PARTITIONED by ``_pid``
+   (parallel);
+3. per-bucket totals (one row per bucket) come to the driver —
    thousands of values, not rows — are prefix-summed there, and the
-   offsets broadcast-join back on partition id.
+   offsets broadcast-join back on ``_pid``.
 
 The result — each doc's global token offset in id order — is
-independent of the partition count or boundaries, so output is
+independent of the bucket count or boundaries, so output is
 deterministic and oracle-checkable while every heavy step stays
 parallel at 100 TB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["prefix_sum", "pack_sequences", "chunk_documents"]
+
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+    "boolean", "date", "timestamp",
+)
+
+
+def _order_spec(item) -> tuple[Column | str, bool]:
+    """Normalize one order-spec item to ``(column, is_desc)``.
+
+    Accepted: a column name, a plain Column (ascending), or a
+    ``(name_or_Column, "asc"|"desc")`` tuple. ``Column.desc()`` objects
+    are rejected with a pointer to the tuple form — a SortOrder can't
+    be re-used as a value expression for the range-bucket comparison."""
+    if isinstance(item, tuple):
+        col, direction = item
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"direction must be 'asc' or 'desc', got {direction!r}")
+        return col, direction == "desc"
+    if isinstance(item, Column) and " DESC" in repr(item):
+        raise ValueError(
+            "pass descending order columns as (col, 'desc') tuples, not .desc()"
+        )
+    return item, False
+
+
+def _range_bucket(pk: Column, dtype: str, boundaries: list, desc: bool) -> Column:
+    """Bucket id from comparison against frozen boundary literals.
+
+    Monotone in the order direction: every row of bucket p sorts
+    before every row of bucket p+1 (ties with a boundary value group
+    into one bucket — balance cost only, never order). Nulls take the
+    edge bucket matching Spark's sort default (asc NULLS FIRST → 0,
+    desc NULLS LAST → last)."""
+    if not boundaries:
+        return F.lit(0)
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    if desc:
+        cnt = F.size(F.filter(arr, lambda b: pk < b))
+        null_bucket = len(boundaries)
+    else:
+        cnt = F.size(F.filter(arr, lambda b: pk > b))
+        null_bucket = 0
+    return F.when(pk.isNull(), F.lit(null_bucket)).otherwise(cnt)
 
 
 def prefix_sum(
@@ -38,26 +90,58 @@ def prefix_sum(
 ) -> DataFrame:
     """Add ``out_col`` = running sum of ``val_col`` in ``order_col``
     order (inclusive), computed with the two-phase parallel scheme
-    above. ``order_col`` is one column name or a list of columns
-    (names or Column expressions, ``.desc()`` allowed); the combination
+    above. ``order_col`` is one column name or a list of items — names,
+    plain Columns, or ``(col, "asc"|"desc")`` tuples; the combination
     must be unique — it defines the total order.
 
-    The only driver-side materialization is one row per partition.
-    """
+    Driver-side materialization is bounded: ``num_partitions - 1``
+    quantile boundaries of the LEADING order column (one stats pass,
+    frozen into the plan as literals) plus one total row per bucket.
+    Bucketing uses only the leading column, so rows tying on it stay in
+    one bucket — the within-bucket window still sorts by the full
+    spec, and cross-bucket order only needs the leading column."""
     val = F.col(val_col) if isinstance(val_col, str) else val_col
-    order_cols = order_col if isinstance(order_col, list) else [order_col]
-    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    items = order_col if isinstance(order_col, list) else [order_col]
+    spec = [_order_spec(i) for i in items]
+    sort_cols = [
+        (F.col(c) if isinstance(c, str) else c).desc()
+        if is_desc
+        else (F.col(c) if isinstance(c, str) else c)
+        for c, is_desc in spec
+    ]
+    lead, lead_desc = spec[0]
+    lead = F.col(lead) if isinstance(lead, str) else lead
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    d = (
-        df.withColumn("_v", val.cast("long"))
-        .repartitionByRange(parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
+
+    # leading-column proxy: orderable double for the quantile pass.
+    # numeric/temporal types cast monotonically; strings map to their
+    # first-7-bytes big-endian value (order-homomorphic on UTF-8 binary
+    # order; prefix ties group into one bucket — balance, not order).
+    probe = df.select(lead.alias("_pk_raw"))
+    dtype = probe.schema[0].dataType.simpleString()
+    if dtype.startswith(_NUMERIC_PREFIXES):
+        pk_expr = lead.cast("timestamp").cast("double") if dtype == "date" else lead.cast("double")
+    elif dtype in ("string", "binary"):
+        blob = lead if dtype == "binary" else F.encode(lead, "UTF-8")
+        pk_expr = F.conv(F.hex(F.rpad(blob, 7, bytes([0]))), 16, 10).cast("double")
+    else:
+        raise ValueError(
+            f"prefix_sum: unsupported leading order column type {dtype}"
+        )
+    if parts > 1:
+        probs = [i / parts for i in range(1, parts)]
+        boundaries = df.select(pk_expr.alias("_pk")).approxQuantile(
+            "_pk", probs, 0.001
+        )
+    else:
+        boundaries = []
+
+    d = df.withColumn("_v", val.cast("long")).withColumn(
+        "_pid", _range_bucket(pk_expr, dtype, boundaries, lead_desc)
     )
-    d = d.localCheckpoint(eager=True)  # pin partitioning: _pid must not recompute
     w = (
         Window.partitionBy("_pid")
-        .orderBy(*order_cols)
+        .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     d = d.withColumn("_local_cum", F.sum("_v").over(w))

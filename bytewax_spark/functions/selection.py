@@ -48,7 +48,7 @@ def select_token_budget(
     )
     cum = prefix_sum(
         base,
-        [F.col("quality").desc(), F.col(id_col)],
+        [(F.col("quality"), "desc"), F.col(id_col)],
         "n_tokens",
         "cum_tokens",
         num_partitions,

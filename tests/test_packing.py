@@ -79,3 +79,77 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, 4)], "id long, n long")
     with pytest.raises(ValueError, match="seq_len"):
         pk.pack_sequences(df, "id", "n", seq_len=0)
+
+
+def test_prefix_sum_no_checkpoint_value_derived_pid(spark):
+    """The bucket id must derive from VALUES (quantile-boundary
+    comparison), never from physical partition ids pinned by
+    localCheckpoint — the checkpoint was a full extra materialization
+    AND a reliability cliff (blocks outside lineage: any executor loss
+    kills the job). Plan must contain no checkpoint scan and no
+    spark_partition_id."""
+    df = spark.createDataFrame([(i, i % 7 + 1) for i in range(500)], "id long, v long")
+    out = pk.prefix_sum(df, "id", "v", num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Checkpoint" not in plan
+    assert "SPARK_PARTITION_ID" not in plan.upper().replace(" ", "_")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "spark_partition_id" not in analyzed
+
+
+def test_prefix_sum_reexecution_deterministic(spark):
+    """Re-executing the SAME result DataFrame (fresh jobs over the full
+    lineage, as a recovered executor would) must reproduce identical
+    cumulative sums — the property localCheckpoint existed to protect,
+    now guaranteed by value-derived bucketing."""
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 23 + 1) for i in range(400)], "id long, v long"
+    )
+    out = pk.prefix_sum(df, "id", "v", num_partitions=6)
+    first = sorted((r["id"], r["cum"]) for r in out.collect())
+    second = sorted((r["id"], r["cum"]) for r in out.collect())
+    assert first == second
+
+
+def test_prefix_sum_physical_layout_independent(spark):
+    """Bucketing by value means the result can't depend on the input's
+    physical partitioning — shuffle the input arbitrarily, same sums."""
+    rows = [(i, (i * 7) % 13 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    scrambled = df.repartition(11)
+    a = sorted(pk.prefix_sum(df, "id", "v", num_partitions=5).collect())
+    b = sorted(pk.prefix_sum(scrambled, "id", "v", num_partitions=5).collect())
+    assert a == b
+
+
+def test_prefix_sum_desc_and_string_orders(spark):
+    """(col, 'desc') tuple spec and a string leading order column (byte
+    -prefix proxy bucketing) both match the serial scan."""
+    rows = [(f"doc{i:04d}", (i * 31) % 17 + 1, float((i * 11) % 29)) for i in range(200)]
+    df = spark.createDataFrame(rows, "name string, v long, q double")
+    # descending quality, name tiebreak
+    got = {
+        r["name"]: r["cum"]
+        for r in pk.prefix_sum(
+            df, [(F.col("q"), "desc"), F.col("name")], "v", num_partitions=6
+        ).collect()
+    }
+    acc = 0
+    for name, v, _q in sorted(rows, key=lambda t: (-t[2], t[0])):
+        acc += v
+        assert got[name] == acc
+    # string leading column
+    got2 = {
+        r["name"]: r["cum"]
+        for r in pk.prefix_sum(df, "name", "v", num_partitions=6).collect()
+    }
+    acc = 0
+    for name, v, _q in sorted(rows, key=lambda t: t[0]):
+        acc += v
+        assert got2[name] == acc
+
+
+def test_prefix_sum_rejects_desc_column_object(spark):
+    df = spark.createDataFrame([(1, 1)], "id long, v long")
+    with pytest.raises(ValueError, match="desc"):
+        pk.prefix_sum(df, [F.col("id").desc()], "v")
