@@ -73,20 +73,23 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best = float("inf")
         # run 1 = cold (Catalyst analysis + codegen + AQE replan — a
-        # fixed per-query cost that amortizes at scale); runs 2-3 =
+        # fixed per-query cost that amortizes at scale); runs 2-6 =
         # steady-state engine throughput, the number that extrapolates
-        # to a 1000-executor cluster. Report both.
-        for i in range(3):
+        # to a 1000-executor cluster. The MEDIAN of 5 warm reps is
+        # robust to transient host contention (driver-run rounds showed
+        # uniform 1.3-1.7x inflation vs committed snapshots — medians
+        # separate environment noise from real regressions).
+        warm: list[float] = []
+        for i in range(6):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             if i == 0:
                 cold[name] = round(dt, 3)
             else:
-                best = min(best, dt)
-        timings[name] = round(best, 3)
+                warm.append(dt)
+        timings[name] = round(sorted(warm)[len(warm) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     headline = {
@@ -137,7 +140,11 @@ def main() -> None:
         for name in SF1_QUERIES:
             fn = qs[name]
             best = float("inf")
-            for i in range(3):
+            # heavy join-shaped queries get cold + 1 warm (they run
+            # tens of seconds at sf1 — their scaling exponent is the
+            # datum, not their steady-state variance)
+            reps = 2 if name in SF1_HEAVY else 3
+            for i in range(reps):
                 t0 = time.time()
                 fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
@@ -186,7 +193,23 @@ SF1_QUERIES = [
     "dedup_fingerprint_docs",
     "minhash_lsh_pairs_docs",
     "curate_corpus",
+    # heavy join-shaped queries with non-trivial scaling exponents —
+    # the sf0.1->sf1 ratio is the scale-robustness datum (see
+    # BASELINE.md "Scaling of the heavy joins")
+    "span_dedup_docs",
+    "minhash_verified_pairs_docs",
+    "containment_pairs_docs",
+    "adamic_adar_parts",
 ]
+
+# sf1 queries that run cold + 1 warm rep instead of cold + 2
+SF1_HEAVY = {
+    "minhash_lsh_pairs_docs",
+    "span_dedup_docs",
+    "minhash_verified_pairs_docs",
+    "containment_pairs_docs",
+    "adamic_adar_parts",
+}
 
 EXTENDED_QUERIES = [
     "q10_returned_revenue",
@@ -260,6 +283,10 @@ EXTENDED_QUERIES = [
     "auc_purchase_by_source",
     "curriculum_bands_docs",
     "containment_pairs_docs",
+    # capped link prediction (max_degree=128 wedge cap + pinned wedge
+    # -join parallelism)
+    "link_prediction_parts",
+    "adamic_adar_parts",
 ]
 
 _DUCKDB_TABLES = [
@@ -299,12 +326,19 @@ def _duckdb_times(
         sql = oracles.get(name)
         if not sql or name in _DUCKDB_SKIP:
             continue
-        # single run: DuckDB is the yardstick, not the engine under
-        # test — triple-running it tripled bench wall time (the sf1
-        # minhash oracle alone is ~6 min/run in DuckDB)
+        # cheap oracles get a warm-up run and the SECOND run is timed
+        # (a cold first run inflates the yardstick, biasing speedup
+        # claims in the engine's favor); known-slow oracles (>10 s —
+        # the sf1 minhash alone is ~6 min/run) are timed single-run to
+        # keep bench wall time bounded.
         t0 = time.time()
         con.execute(sql).fetchall()
-        times[name] = round(time.time() - t0, 3)
+        dt = time.time() - t0
+        if dt < 10.0:
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = min(dt, time.time() - t0)
+        times[name] = round(dt, 3)
     con.close()
     return times
 
