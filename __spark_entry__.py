@@ -5065,13 +5065,27 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
       JOIN keep{r} ka ON c.u = ka.u JOIN keep{r} kb ON c.v = kb.u
     )"""
         )
+    # convergence guard: rounds past the fixpoint are no-ops, so extra
+    # unrolled rounds only cost oracle time — but if the graph's peel
+    # depth ever EXCEEDS the unroll, the oracle would silently be an
+    # under-peeled graph. The sentinel row (-1, -1) appears iff
+    # keep{rounds-1} != keep{rounds}, turning that into an attributable
+    # mismatch instead of a confusing value diff.
     return (
         ",\n    ".join(parts)
-        + f"\n    SELECT u AS node, degree FROM keep{rounds}"
+        + f"""
+    SELECT u AS node, degree FROM keep{rounds}
+    UNION ALL
+    SELECT -1 AS node, -1 AS degree
+    WHERE (SELECT COUNT(*) FROM keep{rounds - 1})
+       <> (SELECT COUNT(*) FROM keep{rounds})"""
     )
 
 
-_ORACLES["kcore_copart"] = _kcore_oracle_sql(80, 8)
+# 12 rounds: sf0.01's fixpoint is 6, sf0.1's is <= 8 (measured); the
+# margin covers larger spot-check scales, and post-fixpoint rounds are
+# no-ops on the materialized CTEs.
+_ORACLES["kcore_copart"] = _kcore_oracle_sql(80, 12)
 
 
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

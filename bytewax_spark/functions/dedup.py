@@ -966,8 +966,13 @@ def containment_pairs(
     shingles can witness), so the hot-shingle hazard concentrates
     there — ``max_doc_freq`` optionally drops shingles in more than
     that many docs from the index, an explicit recall trade documented
-    at the call site (None = exact). Size filter: |B| >= t·|A|.
-    Verification is one array_intersect per candidate."""
+    at the call site (None = exact). Size filter: round(|B|/|A|, 6) >=
+    t — the SAME rounding convention as the final predicate
+    round(c/|A|, 6) >= t, so a boundary pair (c/|A| within 5e-7 below
+    t, reachable only at ~2M+ shingles/doc) that the final predicate
+    accepts is never dropped by the size filter; the prefix is widened
+    by the same epsilon. Verification is one array_intersect per
+    candidate."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sh = shingle_docs(df, text_col, id_col, n)
@@ -985,8 +990,12 @@ def containment_pairs(
             "_size",
         )
     )
+    # rounded acceptance admits c >= |A|*(t - 5e-7); the prefix must
+    # still hold a witness for those boundary pairs
     prefix_len = (
-        F.col("_size") - F.ceil(F.lit(threshold) * F.col("_size")) + 1
+        F.col("_size")
+        - F.ceil(F.lit(threshold - 5e-7) * F.col("_size"))
+        + 1
     ).cast("int")
     pa = docs.select(
         F.col("_id").alias("id_a"),
@@ -1006,7 +1015,7 @@ def containment_pairs(
         .select("id_a", "id_b", "_sa")
         .distinct()
         .join(sizes_b, "id_b")
-        .filter(F.col("_sb") >= F.lit(threshold) * F.col("_sa"))
+        .filter(F.round(F.col("_sb") / F.col("_sa"), 6) >= threshold)
     )
     da = docs.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
     db = docs.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))

@@ -661,15 +661,22 @@ def funnel_stream(
     ``(key, step_idx, step, ts)`` is emitted; a key that completes the
     last step DISCARDS its state (the conversion is final).
 
-    Rows are replayed in ``(ts, tiebreak)`` order WITHIN each
-    micro-batch; ordering across micro-batches is arrival order — the
-    standard streaming-funnel semantics. When the input is globally
-    ts-ordered (or batch mode, where each key sees all its rows at
-    once), the advancement times equal the batch operator's — tested.
+    Rows are replayed in timestamp order WITHIN each micro-batch,
+    scanning equal-timestamp GROUPS rather than individual rows: the
+    batch operator's ts-only ``>=`` rule means several steps may
+    advance at one timestamp and the order of same-timestamp rows is
+    semantically irrelevant — so a step-i row sharing its timestamp
+    with the step-(i-1) row is credited regardless of how a tiebreak
+    would sort them (row-at-a-time scanning silently skipped it).
+    ``tiebreak_col`` is retained for API compatibility and
+    deterministic replay, but carries no semantic weight. Ordering
+    across micro-batches is arrival order — the standard
+    streaming-funnel semantics. When the input is globally ts-ordered
+    (or batch mode, where each key sees all its rows at once), the
+    advancement times equal the batch operator's — tested.
     Batch mode emits the full trajectory at EOF."""
     if not steps:
         raise ValueError("funnel_stream needs at least one step")
-    step_of = {s: i for i, s in enumerate(steps)}
     last = len(steps) - 1
     emit_each = bool(up.df.isStreaming)
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
@@ -682,18 +689,16 @@ def funnel_stream(
 
         def on_batch(self, pdf):
             out = []
-            for row in pdf.sort_values(sort_cols).itertuples(index=False):
-                ty = getattr(row, type_col)
-                if step_of.get(ty) != self.nxt:
-                    continue
-                ts = getattr(row, ts_col)
-                if self.t is not None and ts < self.t:
-                    continue
-                out.append((self.nxt + 1, steps[self.nxt], ts))
-                self.t = ts
-                self.nxt += 1
+            for ts, grp in pdf.sort_values(sort_cols).groupby(ts_col, sort=True):
                 if self.nxt > last:
                     break
+                if self.t is not None and ts < self.t:
+                    continue
+                types = set(grp[type_col])
+                while self.nxt <= last and steps[self.nxt] in types:
+                    out.append((self.nxt + 1, steps[self.nxt], ts))
+                    self.t = ts
+                    self.nxt += 1
             done = self.nxt > last
             if emit_each:
                 emit = (

@@ -1014,3 +1014,27 @@ def test_zscore_anomaly_validates(spark):
     ks = op.key_on("key", op.input("in", flow, src), "sensor")
     with pytest.raises(ValueError):
         zscore_anomaly_stream("an", ks, "v", threshold=0)
+
+
+def test_funnel_stream_equal_ts_tie_credits_all_steps(spark):
+    """A step-i event SHARING a timestamp with the step-(i-1) event is
+    credited even when a tiebreak would sort it earlier — the batch
+    operator's ts-only >= rule, now matched by scanning equal-ts
+    groups (a row-at-a-time pointer scan silently skipped it)."""
+    from bytewax_spark.streaming import funnel_stream
+
+    flow = Dataflow("tie_funnel")
+    # click sorts BEFORE view on (ts, event_id) but shares the ts
+    src = TestingSource(
+        [
+            ("u1", "2024-01-01 00:00:00", "click", 1),
+            ("u1", "2024-01-01 00:00:00", "view", 2),
+        ],
+        schema="user string, ts string, event_type string, event_id long",
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "user")
+    out = funnel_stream(
+        "fn", ks, "ts", "event_type", ["view", "click"], tiebreak_col="event_id"
+    )
+    got = sorted((r["step_idx"], r["step"]) for r in out.df.collect())
+    assert got == [(1, "view"), (2, "click")]
