@@ -1044,7 +1044,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bytewax_spark.functions import dedup as dd
 
     emb = _t(spark, sf_dir, "embeddings")
-    return dd.embedding_cosine_pairs(emb, "embedding", "vec_id", "label", threshold=0.35)
+    # 10 distinct labels << shuffle partitions: slice the quadratic
+    # per-block pair work (see embedding_cosine_pairs docstring)
+    return dd.embedding_cosine_pairs(
+        emb, "embedding", "vec_id", "label", threshold=0.35, n_slices=8
+    )
 
 
 def cosine_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1749,7 +1753,10 @@ def semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bytewax_spark.functions import dedup as dd
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = dd.semdedup(emb, "embedding", "vec_id", "label", threshold=0.35)
+    # 10 distinct labels << shuffle partitions: n_slices=8 spreads each
+    # cell's quadratic pair work over 80 (slice, cell) keys — the pair
+    # SET is unchanged, only its distribution
+    out = dd.semdedup(emb, "embedding", "vec_id", "label", threshold=0.35, n_slices=8)
     return out.select("vec_id", "label")
 
 
