@@ -5758,6 +5758,191 @@ _ORACLES["adamic_adar_parts"] = """
 """
 
 
+def gopher_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rule set (functions/text.py gopher_rules; Rae et
+    al. 2021 arXiv:2112.11446 §A1.1): per-document booleans for each
+    rule plus the conjunction — every ratio test in INTEGER arithmetic,
+    so the verdicts are engine-exact. Pure expressions at scan rate."""
+    from bytewax_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    r = tx.gopher_rules("text")
+    return docs.select(
+        "doc_id",
+        r["r_word_count"].alias("r_word_count"),
+        r["r_mean_word_len"].alias("r_mean_word_len"),
+        r["r_symbol_ratio"].alias("r_symbol_ratio"),
+        r["r_bullet_lines"].alias("r_bullet_lines"),
+        r["r_ellipsis_lines"].alias("r_ellipsis_lines"),
+        r["r_alpha_words"].alias("r_alpha_words"),
+        r["r_stopwords"].alias("r_stopwords"),
+        r["passes"].alias("passes"),
+    )
+
+
+_ORACLES["gopher_filter_docs"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '') AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS wchars,
+             CAST(len(list_filter(toks, x -> contains(x, '#')
+                  OR contains(x, '...') OR contains(x, '…'))) AS BIGINT) AS sym_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '•')
+                  OR starts_with(ltrim(l), '- ')
+                  OR starts_with(ltrim(l), '* '))) AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+                  OR ends_with(rtrim(l), '…'))) AS BIGINT) AS ellipsis_lines,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+             CAST(len(list_intersect(list_distinct(toks),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS sw_hits
+      FROM t
+    )
+    SELECT doc_id,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (wchars >= 3 * n_words AND wchars <= 10 * n_words AND n_words > 0) AS r_mean_word_len,
+           (10 * sym_words < n_words) AS r_symbol_ratio,
+           (10 * bullet_lines < 9 * GREATEST(n_lines, 1)) AS r_bullet_lines,
+           (10 * ellipsis_lines < 3 * GREATEST(n_lines, 1)) AS r_ellipsis_lines,
+           (5 * alpha_words > 4 * n_words) AS r_alpha_words,
+           (sw_hits >= 2) AS r_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (wchars >= 3 * n_words AND wchars <= 10 * n_words AND n_words > 0)
+            AND (10 * sym_words < n_words)
+            AND (10 * bullet_lines < 9 * GREATEST(n_lines, 1))
+            AND (10 * ellipsis_lines < 3 * GREATEST(n_lines, 1))
+            AND (5 * alpha_words > 4 * n_words)
+            AND (sw_hits >= 2)) AS passes
+    FROM m
+"""
+
+
+def waterfill_budget_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) per-source token allocation
+    (functions/selection.py waterfill_budget): every source gets
+    min(size, waterline) with the largest integer waterline whose total
+    fits the budget — small domains pass whole, large domains cap at a
+    common ceiling. One G-row scan fixes the waterline as a plan
+    literal; the corpus never re-shuffles."""
+    from bytewax_spark.functions import selection as sel
+    from bytewax_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return sel.waterfill_budget(
+        docs, "source", tx.token_count("text"), budget=25_000
+    )
+
+
+_ORACLES["waterfill_budget_sources"] = r"""
+    WITH g AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x <> ''))) AS BIGINT) AS size
+      FROM documents GROUP BY 1
+    ),
+    r AS (
+      SELECT source, size,
+             SUM(size) OVER (ORDER BY size, source) AS p,
+             ROW_NUMBER() OVER (ORDER BY size, source) AS k,
+             COUNT(*) OVER () AS gg
+      FROM g
+    ),
+    u AS (SELECT *, p + (gg - k) * size AS used FROM r),
+    best AS (SELECT * FROM u WHERE used <= 25000 ORDER BY k DESC LIMIT 1),
+    wl AS (
+      SELECT CAST(CASE
+        WHEN (SELECT COUNT(*) FROM best) = 0
+          THEN 25000 // (SELECT MAX(gg) FROM u)
+        WHEN (SELECT k FROM best) = (SELECT gg FROM best)
+          THEN (SELECT size FROM best)
+        ELSE (SELECT size FROM best)
+             + (25000 - (SELECT used FROM best))
+               // ((SELECT gg FROM best) - (SELECT k FROM best))
+      END AS BIGINT) AS w
+    )
+    SELECT g.source, g.size,
+           CAST(LEAST(g.size, (SELECT w FROM wl)) AS BIGINT) AS alloc,
+           (SELECT w FROM wl) AS waterline
+    FROM g
+"""
+
+
+def tokens_per_byte_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-proxy quality by source (functions/text.py
+    tokens_per_byte_micro): BPE-ish tokens per character, micro-
+    quantized per doc BEFORE aggregation (integer-exact), then the
+    per-source floor-mean — the no-model screen for token-dense noise
+    vs repetitive filler. One map-side-combined aggregation."""
+    from bytewax_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.floor(F.avg(tx.tokens_per_byte_micro("text"))).cast("long").alias("tpb_micro"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_ORACLES["tokens_per_byte_by_source"] = r"""
+    WITH per AS (
+      SELECT source,
+             CASE WHEN length(text) > 0
+               THEN CAST(FLOOR(1000000.0
+                    * len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                    / length(text)) AS BIGINT)
+               ELSE 0 END AS micro
+      FROM documents
+    )
+    SELECT source,
+           CAST(FLOOR(AVG(micro)) AS BIGINT) AS tpb_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM per GROUP BY 1
+"""
+
+
+def centroid_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier pruning (functions/similarity.py
+    centroid_outliers): cosine of each vector to its label centroid;
+    rows under -0.05 are flagged. Centroids from one posexplode
+    aggregation (groups x dims partial rows — vectors never shuffle),
+    broadcast back, map-local cosine."""
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.centroid_outliers(
+        emb, "embedding", "vec_id", "label", threshold=-0.05
+    )
+
+
+_ORACLES["centroid_outliers_embeddings"] = """
+    WITH dims AS (
+      SELECT vec_id, label,
+             unnest(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    cent AS (SELECT label, i, AVG(x) AS c FROM dims GROUP BY 1, 2),
+    cn AS (SELECT label, SUM(c * c) AS nc FROM cent GROUP BY 1),
+    per AS (
+      SELECT d.vec_id, d.label,
+             SUM(d.x * c.c) AS dot, SUM(d.x * d.x) AS nx
+      FROM dims d JOIN cent c ON d.label = c.label AND d.i = c.i
+      GROUP BY 1, 2
+    )
+    SELECT p.vec_id, p.label,
+           ROUND(p.dot / (SQRT(p.nx) * SQRT(cn.nc)), 6) AS cos_centroid
+    FROM per p JOIN cn ON p.label = cn.label
+    WHERE ROUND(p.dot / (SQRT(p.nx) * SQRT(cn.nc)), 6) < -0.05
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5819,6 +6004,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_docs": pmi_collocations_docs,
         "skipgram_pairs_docs": skipgram_pairs_docs,
         "char_entropy_docs": char_entropy_docs,
+        # round-4 additions (never driver-sampled yet — stay ahead of
+        # the first already-green entry per test_registry_order.py)
+        "gopher_filter_docs": gopher_filter_docs,
+        "waterfill_budget_sources": waterfill_budget_sources,
+        "tokens_per_byte_by_source": tokens_per_byte_by_source,
+        "centroid_outliers_embeddings": centroid_outliers_embeddings,
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_idle_customers": q22_idle_customers,

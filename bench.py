@@ -99,7 +99,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    aux: dict[str, dict] = {"cold": {"queries_cold": cold}}
+    aux: dict[str, dict] = {}
+
+    def _emit_tier(name: str, tier: dict) -> None:
+        # print each auxiliary tier AS SOON as it completes (flushed):
+        # a crash in a later tier must not lose earlier measurements
+        aux[name] = tier
+        print(json.dumps({"tier": name, **tier}), flush=True)
+
+    _emit_tier("cold", {"queries_cold": cold})
 
     # --- extended tier: beyond-reference operators (dedup, similarity,
     # sampling, curation) and the newer TPC-H shapes. Separate dict so
@@ -118,10 +126,13 @@ def main() -> None:
                 if i > 0:
                     best = min(best, dt)
             ext[name] = round(best, 3)
-        aux["extended"] = {
-            "queries": ext,
-            "duckdb": _duckdb_times(e.oracle_sql(), sf_dir, EXTENDED_QUERIES),
-        }
+        _emit_tier(
+            "extended",
+            {
+                "queries": ext,
+                "duckdb": _duckdb_times(e.oracle_sql(), sf_dir, EXTENDED_QUERIES),
+            },
+        )
 
     # --- sf1 tier: 10x key-shifted data, where the ~0.3 s/stage
     # scheduling floor amortizes and per-row throughput dominates.
@@ -153,18 +164,21 @@ def main() -> None:
                 else:
                     best = min(best, dt)
             sf1_timings[name] = round(best, 3)
-        aux["sf1"] = {
-            "dir": sf1_dir,
-            "queries": sf1_timings,
-            "queries_cold": sf1_cold,
-            "pyloop_lower_bound": baseline_sim.run_all(sf1_dir),
-            "duckdb": _duckdb_times(e.oracle_sql(), sf1_dir, SF1_QUERIES),
-        }
+        _emit_tier(
+            "sf1",
+            {
+                "dir": sf1_dir,
+                "queries": sf1_timings,
+                "queries_cold": sf1_cold,
+                "pyloop_lower_bound": baseline_sim.run_all(sf1_dir),
+                "duckdb": _duckdb_times(
+                    e.oracle_sql(), sf1_dir, SF1_QUERIES, large_sf=True
+                ),
+            },
+        )
 
-    # auxiliary tiers first, one line each; compact headline LAST so a
+    # tiers were printed as they completed; compact headline LAST so a
     # tail-truncating reader still gets a parseable headline object.
-    for tier_name, tier in aux.items():
-        print(json.dumps({"tier": tier_name, **tier}))
     full = dict(headline)
     full.update({k: v for k, v in aux.items()})
     try:
@@ -303,16 +317,29 @@ _DUCKDB_TABLES = [
 # runs the prefix-filtered exact algorithm and stands alone.
 _DUCKDB_SKIP = {"neardup_clusters_docs", "containment_pairs_docs"}
 
+# additionally skipped at sf >= 1: the wedge-join oracles materialize
+# ~2e9 intermediate rows there (the capped part co-occurrence graph has
+# ~20M directed edges x ~115 avg capped degree) — a measured DuckDB
+# run spilled >79 GB of temp and filled the disk. The Spark timing
+# stands alone at that scale; the sf0.1 extended tier still carries the
+# DuckDB yardstick for these.
+_DUCKDB_SKIP_LARGE = {"adamic_adar_parts", "link_prediction_parts"}
+
 
 def _duckdb_times(
-    oracles: dict[str, str], sf_dir: str, names: list[str]
+    oracles: dict[str, str], sf_dir: str, names: list[str], large_sf: bool = False
 ) -> dict[str, float]:
-    """Best-of-3 DuckDB wall time for each bench query's oracle SQL
-    over the same parquet files (32 threads, results materialized)."""
+    """DuckDB wall time for each bench query's oracle SQL over the same
+    parquet files (32 threads, results materialized). Resource-capped
+    and fault-isolated: one pathological oracle must not take down the
+    whole bench run (an uncapped sf1 wedge oracle once spilled >79 GB
+    of temp and crashed the host's disk)."""
     import duckdb
 
     con = duckdb.connect()
     con.execute("SET threads TO 32")
+    con.execute("SET memory_limit = '48GB'")
+    con.execute("SET max_temp_directory_size = '20GB'")
     for t in _DUCKDB_TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):
@@ -326,19 +353,25 @@ def _duckdb_times(
         sql = oracles.get(name)
         if not sql or name in _DUCKDB_SKIP:
             continue
+        if large_sf and name in _DUCKDB_SKIP_LARGE:
+            continue
         # cheap oracles get a warm-up run and the SECOND run is timed
         # (a cold first run inflates the yardstick, biasing speedup
         # claims in the engine's favor); known-slow oracles (>10 s —
         # the sf1 minhash alone is ~6 min/run) are timed single-run to
         # keep bench wall time bounded.
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        dt = time.time() - t0
-        if dt < 10.0:
+        try:
             t0 = time.time()
             con.execute(sql).fetchall()
-            dt = min(dt, time.time() - t0)
-        times[name] = round(dt, 3)
+            dt = time.time() - t0
+            if dt < 10.0:
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                dt = min(dt, time.time() - t0)
+            times[name] = round(dt, 3)
+        except Exception as exc:  # resource cap hit: record, move on
+            print(f"duckdb oracle {name} failed: {exc}", file=sys.stderr)
+            times[name] = -1.0
     con.close()
     return times
 

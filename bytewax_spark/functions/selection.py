@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from bytewax_spark.functions.packing import prefix_sum
 
-__all__ = ["select_token_budget"]
+__all__ = ["select_token_budget", "waterfill_budget"]
 
 
 def select_token_budget(
@@ -55,4 +55,73 @@ def select_token_budget(
     )
     return cum.filter(F.col("cum_tokens") <= budget).select(
         id_col, "quality", "n_tokens", "cum_tokens"
+    )
+
+
+def waterfill_budget(
+    df: DataFrame,
+    group_col: str,
+    size_col,
+    budget: int,
+) -> DataFrame:
+    """Max-min fair (water-filling) token-budget allocation across
+    groups: every group gets ``min(size, waterline)`` tokens, with the
+    integer waterline chosen as large as possible while the total stays
+    within ``budget`` — small domains pass through whole, large domains
+    are capped at a COMMON ceiling instead of pro-rata (which would
+    starve small domains). The standard fair-allocation rule for
+    per-source token budgets in mixture construction.
+
+    Returns ``(group, size, alloc, waterline)``; ``size`` is the
+    group's summed ``size_col``. Exact integer semantics: waterline =
+    max {w : Σ min(size_i, w) <= budget}; the sub-waterline remainder
+    (< number of uncapped groups) stays unallocated — deterministic,
+    oracle-checkable, no fractional tokens.
+
+    Scale shape: one map-side-combined aggregation to ONE ROW PER
+    GROUP, then a window prefix-scan over those G rows (G = domain
+    count — thousands at most, bounded the same way domain_mixture's
+    driver collect is), and a single collected row fixes the waterline
+    as a plan literal. The corpus itself is never re-shuffled."""
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    from pyspark.sql import Window
+
+    sv = F.col(size_col) if isinstance(size_col, str) else size_col
+    g = df.groupBy(F.col(group_col)).agg(
+        F.sum(sv.cast("long")).alias("size")
+    )
+    # G-row window scan (bounded: one row per group)
+    w = Window.orderBy("size", group_col).rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("size", group_col)
+    ranked = (
+        g.withColumn("_p", F.sum("size").over(w))
+        .withColumn("_k", F.row_number().over(wk))
+        .withColumn("_g", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    # filling every group up to the k-th size uses _p + (G-k)*size_k
+    ranked = ranked.withColumn(
+        "_used", F.col("_p") + (F.col("_g") - F.col("_k")) * F.col("size")
+    )
+    feasible = (
+        ranked.filter(F.col("_used") <= budget)
+        .orderBy(F.col("_k").desc())
+        .select("_k", "_g", "size", "_used")
+        .limit(1)
+        .collect()
+    )
+    if not feasible:
+        n_groups = ranked.select(F.max("_g")).collect()[0][0] or 0
+        waterline = budget // n_groups if n_groups else 0
+    else:
+        r = feasible[0]
+        if r["_k"] == r["_g"]:
+            waterline = r["size"]  # whole corpus fits: cap at max size
+        else:
+            waterline = r["size"] + (budget - r["_used"]) // (r["_g"] - r["_k"])
+    return g.select(
+        F.col(group_col),
+        "size",
+        F.least(F.col("size"), F.lit(int(waterline)).cast("long")).alias("alloc"),
+        F.lit(int(waterline)).cast("long").alias("waterline"),
     )

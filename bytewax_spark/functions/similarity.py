@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "adaptive_n_planes",
+    "centroid_outliers",
     "as_double",
     "cosine",
     "cosine_topk",
@@ -460,4 +461,62 @@ def ivf_search_index(
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    group_col: str,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Embedding-space outlier pruning: each vector's cosine to its own
+    GROUP CENTROID (mean vector of its label / k-means cell / domain);
+    rows below ``threshold`` are the candidates to drop — off-manifold
+    noise, mislabeled shards, encoder failures. The cheap sanity screen
+    run after embedding a corpus and before ANN indexing.
+
+    Returns ``(id, group, cos_centroid)`` for flagged rows only,
+    ``cos_centroid`` rounded to 6.
+
+    Scale shape: centroids come from ONE posexplode + map-side-combined
+    avg — the shuffle carries ``groups x dims`` partial rows, never
+    vectors — re-packed to one array row per group and broadcast back;
+    the cosine is then a map-local zip_with per row. No self-join, no
+    vector shuffle: the corpus is read once at scan rate."""
+    v = as_double(vec_col)
+    dims = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("_grp"),
+        F.posexplode(v).alias("_i", "_x"),
+    )
+    cent = (
+        dims.groupBy("_grp", "_i")
+        .agg(F.avg("_x").alias("_c"))
+        .groupBy("_grp")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_i", "_c"))).alias("_ord")
+        )
+        .select(
+            "_grp", F.transform("_ord", lambda s: s["_c"]).alias("_cent")
+        )
+    )
+    base = df.select(
+        F.col(id_col), F.col(group_col).alias("_grp"), v.alias("_v")
+    )
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_cent"))
+        / (_norm(F.col("_v")) * _norm(F.col("_cent"))),
+        6,
+    )
+    return (
+        base.join(F.broadcast(cent), "_grp")
+        .withColumn("cos_centroid", cos)
+        .filter(F.col("cos_centroid") < threshold)
+        .select(
+            F.col(id_col),
+            F.col("_grp").alias(group_col),
+            "cos_centroid",
+        )
     )

@@ -33,8 +33,11 @@ __all__ = [
     "pmi_collocations",
     "char_entropy",
     "skipgram_pairs",
+    "gopher_rules",
+    "tokens_per_byte_micro",
     "STOPWORDS",
     "PII_PATTERNS",
+    "GOPHER_STOPWORDS",
 ]
 
 _TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
@@ -452,3 +455,102 @@ def skipgram_pairs(
         .filter(F.col("cnt") >= min_count)
     )
     return counts.orderBy(F.col("cnt").desc(), F.col("w1"), F.col("w2")).limit(k)
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(c: Column | str) -> Column:
+    """The Gopher document-quality RULE SET (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — public) as a struct of per-rule booleans
+    plus the conjunction ``passes``:
+
+    - ``r_word_count``:    50 <= words <= 100,000
+    - ``r_mean_word_len``: mean word length in [3, 10]
+    - ``r_symbol_ratio``:  < 10% of words contain '#' or an ellipsis
+    - ``r_bullet_lines``:  < 90% of non-empty lines start with a bullet
+    - ``r_ellipsis_lines``: < 30% of non-empty lines end with ellipsis
+    - ``r_alpha_words``:   > 80% of words contain a letter
+    - ``r_stopwords``:     >= 2 distinct Gopher stop words present
+
+    Every ratio test is INTEGER arithmetic (``10*sym < words`` instead
+    of ``sym/words < 0.1``), so the booleans are engine-exact and
+    oracle-checkable with no float rounding convention. Documents with
+    zero non-empty lines pass the line rules vacuously. Pure
+    expressions — runs at scan rate, the cheap pre-filter before
+    dedup/scoring stages."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = tokenize(c)
+    n_words = F.size(toks).cast("long")
+    wchars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    sym_words = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("...") | t.contains("…"))
+    ).cast("long")
+    lines = F.filter(
+        F.split(c, "\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).startswith("•")
+            | F.ltrim(ln).startswith("- ")
+            | F.ltrim(ln).startswith("* "),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("…"),
+        )
+    ).cast("long")
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    sw = F.array([F.lit(w) for w in GOPHER_STOPWORDS])
+    sw_hits = F.size(F.array_intersect(F.array_distinct(toks), sw)).cast("long")
+
+    r_word_count = (n_words >= 50) & (n_words <= 100_000)
+    r_mean_word_len = (wchars >= 3 * n_words) & (wchars <= 10 * n_words) & (n_words > 0)
+    r_symbol_ratio = 10 * sym_words < n_words
+    r_bullet_lines = 10 * bullet_lines < 9 * F.greatest(n_lines, F.lit(1).cast("long"))
+    r_ellipsis_lines = 10 * ellipsis_lines < 3 * F.greatest(n_lines, F.lit(1).cast("long"))
+    r_alpha_words = 5 * alpha_words > 4 * n_words
+    r_stopwords = sw_hits >= 2
+    passes = (
+        r_word_count
+        & r_mean_word_len
+        & r_symbol_ratio
+        & r_bullet_lines
+        & r_ellipsis_lines
+        & r_alpha_words
+        & r_stopwords
+    )
+    return F.struct(
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_bullet_lines.alias("r_bullet_lines"),
+        r_ellipsis_lines.alias("r_ellipsis_lines"),
+        r_alpha_words.alias("r_alpha_words"),
+        r_stopwords.alias("r_stopwords"),
+        passes.alias("passes"),
+    )
+
+
+def tokens_per_byte_micro(c: Column | str) -> Column:
+    """Compression-proxy quality signal: BPE-ish tokens per character,
+    int64 micro-units (``10^6 * tokens / chars``; 0 for empty text).
+    Natural prose sits near 0.2 tokens/char; token-dense noise (code
+    spew, delimiter soup, non-language bytes) drives the ratio up and
+    repetitive filler drives it down — a one-expression screen that
+    needs no model. Integer-exact: micro-quantized BEFORE any
+    aggregation, same convention as the retrieval log-ratios."""
+    c = F.col(c) if isinstance(c, str) else c
+    n_chars = F.length(c).cast("long")
+    toks = token_count(c, mode="bpe")
+    return F.when(
+        n_chars > 0, F.floor(F.lit(1_000_000) * toks / n_chars).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
