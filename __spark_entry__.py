@@ -4987,8 +4987,10 @@ def fuzzy_link_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", F.substring("s_name", 10, 9).alias("s_sfx")
     )
+    # 25 nation blocks << shuffle partitions: slice the comparator pass
     return linkage.blocked_fuzzy_join(
-        cust, supp, [("c_nationkey", "s_nationkey")], ("c_sfx", "s_sfx"), 1
+        cust, supp, [("c_nationkey", "s_nationkey")], ("c_sfx", "s_sfx"), 1,
+        n_slices=8,
     ).select("c_custkey", "s_suppkey", "dist")
 
 

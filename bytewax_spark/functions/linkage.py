@@ -35,6 +35,7 @@ def blocked_fuzzy_join(
     text: tuple[str, str],
     max_dist: int,
     dist_col: str = "dist",
+    n_slices: int = 1,
 ) -> DataFrame:
     """Join ``left`` and ``right`` rows whose ``text`` columns are
     within Levenshtein distance ``max_dist``, comparing ONLY rows that
@@ -47,11 +48,32 @@ def blocked_fuzzy_join(
     running distance exceeds ``max_dist`` (O(max_dist·len) instead of
     O(len²)). A length-difference band (``|len(l)-len(r)| <= max_dist``,
     a necessary condition for edit distance) prunes first.
+
+    ``n_slices`` > 1 is the parallelism lever when the BLOCK COUNT is
+    small (a 25-nation blocking caps the comparator pass at 25 tasks):
+    the LEFT side is sliced by a hash of its text column and explicitly
+    repartitioned to ``spark.sql.shuffle.partitions`` on
+    ``(_slice, blocks)``; the right side replicates per slice. The pair
+    set is unchanged — same rationale as ``fuzzy_self_pairs``.
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     lt, rt = text
-    cond = None
+    if n_slices > 1:
+        shuffle_parts = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        left = left.withColumn(
+            "_slice_l", F.pmod(F.xxhash64(F.col(lt)), F.lit(n_slices))
+        ).repartition(shuffle_parts, "_slice_l", *[lc for lc, _ in block_on])
+        right = right.withColumn(
+            "_slice_r", F.explode(F.sequence(F.lit(0), F.lit(n_slices - 1)))
+        )
+        cond = left["_slice_l"] == right["_slice_r"]
+    else:
+        cond = None
     for lc, rc in block_on:
         c = left[lc] == right[rc]
         cond = c if cond is None else (cond & c)
@@ -61,7 +83,10 @@ def blocked_fuzzy_join(
     cond = band if cond is None else (cond & band)
     d = F.levenshtein(left[lt], right[rt], max_dist)
     cond = cond & (d >= 0)
-    return left.join(right, cond).withColumn(dist_col, d)
+    out = left.join(right, cond).withColumn(dist_col, d)
+    if n_slices > 1:
+        out = out.drop("_slice_l", "_slice_r")
+    return out
 
 
 def fuzzy_self_pairs(

@@ -68,6 +68,32 @@ def test_blocked_fuzzy_join_zero_dist_is_exact(spark):
     assert [(r["lid"], r["rid"], r["dist"]) for r in rows] == [(1, 2, 0)]
 
 
+def test_blocked_fuzzy_join_sliced_same_pairs(spark):
+    # n_slices > 1 must not change the pair set — only the partitioning.
+    left = spark.createDataFrame(
+        [(i, "b", t) for i, t in enumerate(["kitten", "sitten", "mitten", "zzz"])],
+        "lid bigint, lb string, lt string",
+    )
+    right = spark.createDataFrame(
+        [(i + 10, "b", t) for i, t in enumerate(["kitten", "sittin", "mitts"])],
+        "rid bigint, rb string, rt string",
+    )
+    base = {
+        (r["lid"], r["rid"], r["dist"])
+        for r in linkage.blocked_fuzzy_join(
+            left, right, [("lb", "rb")], ("lt", "rt"), 2
+        ).collect()
+    }
+    sliced_df = linkage.blocked_fuzzy_join(
+        left, right, [("lb", "rb")], ("lt", "rt"), 2, n_slices=4
+    )
+    sliced = {(r["lid"], r["rid"], r["dist"]) for r in sliced_df.collect()}
+    assert sliced == base
+    assert "_slice_l" not in sliced_df.columns and "_slice_r" not in sliced_df.columns
+    plan = sliced_df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_fuzzy_join_plan_is_equi_not_cartesian(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     df = linkage.fuzzy_self_pairs(cust, "c_custkey", ["c_nationkey"], "c_name", 2)
