@@ -45,6 +45,10 @@ __all__ = [
     "hll_merge",
     "histogram_build",
     "histogram_quantile",
+    "kmv_build",
+    "kmv_estimate",
+    "kmv_jaccard",
+    "kmv_merge",
 ]
 
 
@@ -409,3 +413,131 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union of two set-bit tables — the Bloom OR. Associative and
     idempotent; merge per-shard blooms into the corpus bloom."""
     return a.unionByName(b).distinct()
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str | Column,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+    prefilter_bits: int = 12,
+) -> DataFrame:
+    """K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002,
+    public): the ``k`` SMALLEST distinct 60-bit md5 hashes of
+    ``key_col`` → ``(rk, h)`` rows (plus ``group_cols``), ``rk`` the
+    1-based rank. Unlike HLL it supports SET OPERATIONS — union is
+    "merge + keep k smallest", and intersections/Jaccard fall out of
+    the union sketch (:func:`kmv_jaccard`) — which is why it is the
+    sketch of record for audience-overlap style questions.
+
+    Scale: distinct hashes first (one hash shuffle with map-side
+    partial dedup — the exact-dedup cost class). The GLOBAL bottom-k
+    then avoids a single-partition sort with a range-bucket two-phase
+    rank: the hash's top ``prefilter_bits`` bits are an ORDER-PRESERVING
+    bucket (hash is uniform), per-bucket counts (≤ 2^prefilter_bits
+    tiny rows) pick the cutoff bucket via a running sum, only the
+    ≤ (k + one-bucket-width) surviving hashes reach the final
+    ``row_number`` window. Grouped builds window per group directly —
+    the partitioning is the group key, no global sort exists.
+
+    Determinism: the md5-derived :func:`~bytewax_spark.functions.text.
+    hash64` makes every sketch row oracle-reproducible."""
+    from .text import hash64
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    gcols = list(group_cols or [])
+    h = hash64(key.cast("string")).alias("h")
+    hashes = df.select(*gcols, h).distinct()
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy("h")
+        return (
+            hashes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(*gcols, "rk", "h")
+        )
+    shift = 60 - prefilter_bits
+    bucketed = hashes.withColumn("_b", F.shiftright("h", shift))
+    cnt = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    wcum = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cutoff = (
+        cnt.withColumn("_cum", F.sum("_n").over(wcum))
+        .filter(F.col("_cum") - F.col("_n") < k)
+        .select("_b")
+    )
+    survivors = bucketed.join(F.broadcast(cutoff), "_b", "left_semi")
+    w = Window.orderBy("h")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("rk", "h")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge KMV sketches built with the same hash: union the hash
+    sets and keep the ``k`` smallest — the result equals a direct
+    build over the union of the inputs (the min-wise property)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0].select("h")
+    for s in sketches[1:]:
+        out = out.unionByName(s.select("h"))
+    w = Window.orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("rk", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Unbiased distinct-count estimate from a KMV sketch → one row
+    ``(est,)``: ``(k - 1) * 2^60 / h_(k)`` with ``h_(k)`` the k-th
+    smallest hash; when the sketch holds fewer than ``k`` hashes the
+    count is EXACT (every distinct hash is present).
+
+    The division runs in INTEGER arithmetic — DECIMAL(38,0) numerator
+    ``(k-1) << 60`` floor-divided by the int64 kth value — so the
+    estimate is bit-reproducible in any engine (no float summation
+    or rounding-mode drift)."""
+    agg = sketch.agg(F.max("h").alias("_kth"), F.count(F.lit(1)).alias("_n"))
+    num = F.lit(k - 1).cast("decimal(38,0)") * F.lit(1 << 60).cast("decimal(38,0)")
+    est = F.when(F.col("_n") < k, F.col("_n").cast("bigint")).otherwise(
+        F.floor(num / F.col("_kth").cast("decimal(38,0)")).cast("bigint")
+    )
+    return agg.select(est.alias("est"))
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Jaccard similarity estimate between the key sets behind two KMV
+    sketches (Beyer et al. 2007, public): take the union sketch's ``k``
+    smallest hashes ``U_k`` and count how many are in BOTH input
+    sketches → one row ``(matches, union_k, jaccard_micro)`` with
+    ``jaccard_micro = floor(matches * 1e6 / union_k)`` — pure integer
+    outputs, engine-exact. ``union_k`` < k happens only when the union
+    itself has fewer than k distinct keys (then the estimate is exact).
+
+    This is the set-operation capability HLL lacks: intersection
+    cardinality follows as ``J * |A ∪ B|`` with the union size from
+    :func:`kmv_estimate` on the merged sketch."""
+    union_k = kmv_merge(a, b, k=k).select("h")
+    marked = (
+        union_k.join(a.select(F.col("h").alias("h")).distinct(), "h", "left_semi")
+        .join(b.select("h").distinct(), "h", "left_semi")
+    )
+    u = union_k.agg(F.count(F.lit(1)).alias("union_k"))
+    m = marked.agg(F.count(F.lit(1)).alias("matches"))
+    return (
+        m.withColumn("_k", F.lit(1))
+        .join(u.withColumn("_k", F.lit(1)), "_k")
+        .select(
+            "matches",
+            "union_k",
+            F.floor(F.col("matches") * F.lit(1000000) / F.col("union_k"))
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )

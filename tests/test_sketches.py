@@ -283,3 +283,77 @@ def test_hll_estimate_grouped_matches_per_group_direct(spark):
         sub = df.filter(F.col("g") == g)
         direct = sk.hll_estimate(sk.hll_build(sub, "k", p=9), p=9).collect()[0]["est"]
         assert grouped[g] == direct
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def _py_hash64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_build_is_bottom_k_of_md5_hashes(spark):
+    keys = [f"u{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = sk.kmv_build(df, "k", k=16).collect()
+    expect = sorted(_py_hash64(k) for k in set(keys))[:16]
+    assert [r["h"] for r in sorted(got, key=lambda r: r["rk"])] == expect
+    assert [r["rk"] for r in sorted(got, key=lambda r: r["rk"])] == list(range(1, 17))
+
+
+def test_kmv_prefilter_bits_invariant(spark):
+    df = spark.createDataFrame([(f"x{i}",) for i in range(300)], "k string")
+    a = {(r["rk"], r["h"]) for r in sk.kmv_build(df, "k", k=32, prefilter_bits=4).collect()}
+    b = {(r["rk"], r["h"]) for r in sk.kmv_build(df, "k", k=32, prefilter_bits=14).collect()}
+    assert a == b
+
+
+def test_kmv_merge_equals_direct_union_build(spark):
+    left = spark.createDataFrame([(f"a{i}",) for i in range(80)], "k string")
+    right = spark.createDataFrame([(f"b{i}",) for i in range(80)], "k string")
+    merged = sk.kmv_merge(
+        sk.kmv_build(left, "k", k=24),
+        sk.kmv_build(right, "k", k=24),
+        k=24,
+    )
+    direct = sk.kmv_build(left.unionByName(right), "k", k=24)
+    assert {(r["rk"], r["h"]) for r in merged.collect()} == {
+        (r["rk"], r["h"]) for r in direct.collect()
+    }
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(10)], "k string")
+    s = sk.kmv_build(df, "k", k=64)
+    assert sk.kmv_estimate(s, k=64).collect()[0]["est"] == 10
+
+
+def test_kmv_estimate_within_relative_error(spark):
+    n = 2000
+    df = spark.createDataFrame([(f"v{i}",) for i in range(n)], "k string")
+    est = sk.kmv_estimate(sk.kmv_build(df, "k", k=128), k=128).collect()[0]["est"]
+    assert abs(est - n) / n < 0.3  # ~1/sqrt(k-2) ≈ 9% std err
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    a = spark.createDataFrame([(f"s{i}",) for i in range(100)], "k string")
+    b = spark.createDataFrame([(f"t{i}",) for i in range(100)], "k string")
+    sa = sk.kmv_build(a, "k", k=32)
+    same = sk.kmv_jaccard(sa, sk.kmv_build(a, "k", k=32), k=32).collect()[0]
+    assert same["jaccard_micro"] == 1000000
+    disj = sk.kmv_jaccard(sa, sk.kmv_build(b, "k", k=32), k=32).collect()[0]
+    assert disj["matches"] == 0 and disj["jaccard_micro"] == 0
+
+
+def test_kmv_grouped_bottom_k_per_group(spark):
+    rows = [(g, f"{g}-{i}") for g in ("x", "y") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = sk.kmv_build(df, "k", k=8, group_cols=["g"]).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append((r["rk"], r["h"]))
+    for g in ("x", "y"):
+        expect = sorted(_py_hash64(f"{g}-{i}") for i in range(50))[:8]
+        assert [h for _, h in sorted(by_g[g])] == expect
