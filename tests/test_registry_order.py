@@ -20,7 +20,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries whose implementation changed materially after their last green
 # driver row, re-fronted on purpose to get a fresh row.
-REVERIFY_OK = {"minhash_lsh_pairs_docs"}
+# (r5: minhash_lsh_pairs_docs got its fresh green row in r4 — cleared.)
+REVERIFY_OK: set[str] = set()
 
 
 def _driver_green() -> set[str]:
