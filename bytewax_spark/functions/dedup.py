@@ -865,16 +865,22 @@ def dedup_spans_global(
     1. one explode to (id, pos, span-hash) rows — the hash is computed
        inside the row before exploding, so shuffled rows are 24 bytes
        regardless of span text;
-    2. one shuffle on the span hash for the first-occurrence rank
-       (hot boilerplate spans are skewed keys — rank-1-of-group under
-       AQE skew splitting, same posture as line dedup);
-    3. duplicate ranges come back to their doc via one id shuffle;
-       interval merging and token filtering are per-row array folds
-       (sort ranges, single merge pass, per-token coverage test) —
-       no join against the ranges, no second pass over the corpus.
+    2. per-hash first occurrence via ``min(struct(id, pos))`` — a
+       PARTIALLY aggregable min, so hot boilerplate spans combine
+       map-side and never pile a skewed key onto one reducer (the
+       row_number-window formulation this replaced gave each span hash
+       to exactly one task AND re-evaluated an O(ranges²) interval
+       fold once per token after projection collapse — 52 s at sf1
+       where this shape is ~5 s);
+    3. later occurrences explode to their covered token indices and
+       collect_set to ONE sorted int array per doc (one id shuffle,
+       map-side partial) — the covered set crosses the join as a real
+       column, so nothing upstream can be inlined into the per-token
+       rebuild;
+    4. reassembly is ``array_except(all-indices, covered)`` (hash-set
+       lookup, O(tokens)) + ``element_at`` gather — per-row, no
+       shuffle, no per-token re-evaluation of anything aggregated.
     """
-    from pyspark.sql import Window
-
     out_col = out_col or text_col
     toks = tokenize(text_col)
     base = df.select(F.col(id_col), toks.alias("_toks"))
@@ -888,58 +894,40 @@ def dedup_spans_global(
             )
         ).alias("_pos", "_h"),
     )
-    w = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("_pos"))
-    dup_ranges = (
-        spans.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") > 1)
+    first = spans.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))).alias(
+            "_first"
+        ),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    covered = (
+        spans.join(first.filter(F.col("_c") > 1).select("_h", "_first"), "_h")
+        .filter(
+            F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))
+            != F.col("_first")
+        )
         .select(
             id_col,
-            F.struct(
-                F.col("_pos").alias("s"), (F.col("_pos") + span_len).alias("e")
-            ).alias("_rng"),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(span_len - 1))
+            ).alias("_i"),
         )
         .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("_rng")).alias("_rngs"))
+        .agg(F.array_sort(F.collect_set("_i")).alias("_cov"))
     )
-    # merge overlapping/adjacent ranges with one fold over the sorted
-    # array: accumulate (merged-so-far, current) — classic interval
-    # union, per-row, no shuffle
-    merged = F.aggregate(
-        F.col("_rngs"),
-        F.array().cast("array<struct<s:int,e:int>>"),
-        lambda acc, r: F.when(
-            (F.size(acc) > 0) & (r.getField("s") <= F.element_at(acc, -1).getField("e")),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1).getField("s").alias("s"),
-                        F.greatest(
-                            F.element_at(acc, -1).getField("e"), r.getField("e")
-                        ).alias("e"),
-                    )
-                ),
-            ),
-        ).otherwise(F.concat(acc, F.array(r))),
-    )
-    kept = F.filter(
-        F.transform(
-            F.col("_toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
-        ),
-        lambda s: ~F.exists(
-            F.col("_m"),
-            lambda r: (s.getField("i") >= r.getField("s"))
-            & (s.getField("i") < r.getField("e")),
-        ),
+    kept_idx = F.array_except(
+        F.when(
+            F.size("_toks") > 0, F.sequence(F.lit(0), F.size("_toks") - 1)
+        ).otherwise(F.array().cast("array<int>")),
+        F.coalesce(F.col("_cov"), F.array().cast("array<int>")),
     )
     return (
-        base.join(dup_ranges, id_col, "left")
-        .withColumn(
-            "_m", F.coalesce(merged, F.array().cast("array<struct<s:int,e:int>>"))
-        )
+        base.join(covered, id_col, "left")
         .withColumn(
             out_col,
-            F.array_join(F.transform(kept, lambda s: s.getField("t")), " "),
+            F.array_join(
+                F.transform(kept_idx, lambda i: F.element_at("_toks", i + 1)), " "
+            ),
         )
         .select(id_col, out_col)
     )
