@@ -4607,6 +4607,142 @@ _ORACLES["hll_merge_sources_docs"] = f"""
 """
 
 
+def kmv_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct sketch over event users
+    (functions/sketches.py kmv_build, Bar-Yossef et al. 2002): the 64
+    smallest distinct md5-int64 hashes of user_id -> (rk, h). The
+    global bottom-k avoids a single-partition sort via the
+    range-bucket two-phase rank (hash's top bits are an
+    order-preserving bucket; only ~k survivors reach the final
+    window). Every sketch row is oracle-reproducible."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("kmvb")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return sk.kmv_build(ev, "user_id", k=64)
+
+
+_ORACLES["kmv_sketch_users"] = f"""
+    WITH d AS (
+      SELECT DISTINCT {_SQL_H64.format("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    )
+    SELECT CAST(rk AS INTEGER) AS rk, h
+    FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM d)
+    WHERE rk <= 64
+"""
+
+
+def kmv_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased KMV distinct-count estimate vs the exact count -> one
+    row (est, exact). The estimator (k-1)*2^60/h_(k) runs in
+    DECIMAL(38,0) integer floor-division, so the value is
+    engine-exact; with fewer than k distinct keys the count is exact
+    by construction."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("kmve")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    est = sk.kmv_estimate(sk.kmv_build(ev, "user_id", k=64), k=64)
+    exact = ev.agg(F.count_distinct(F.col("user_id")).alias("exact"))
+    return est.withColumn("_k", F.lit(1)).join(
+        exact.withColumn("_k", F.lit(1)), "_k"
+    ).select("est", "exact")
+
+
+_ORACLES["kmv_estimate_users"] = f"""
+    WITH d AS (
+      SELECT DISTINCT {_SQL_H64.format("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM d)
+      WHERE rk <= 64
+    ),
+    agg AS (SELECT MAX(h) AS kth, COUNT(*) AS n FROM sk)
+    SELECT CASE WHEN n < 64 THEN CAST(n AS BIGINT)
+                ELSE CAST((CAST(63 AS HUGEINT)
+                           * CAST(1152921504606846976 AS HUGEINT)) // kth
+                      AS BIGINT)
+           END AS est,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact
+    FROM agg
+"""
+
+
+def kmv_merge_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-KMV merge path: build a bottom-64 sketch PER SOURCE
+    over document fingerprints (the per-shard sketches a pipeline
+    would persist), merge the shards (union + keep 64 smallest), and
+    return the merged sketch rows (rk, h). By the min-wise property
+    the merge equals a direct global build — which is exactly what the
+    oracle computes, so the equality is driver-verified."""
+    from bytewax_spark.functions import sketches as sk
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("kmvm")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    keyed = docs.select("source", tx.fingerprint("text").alias("fp"))
+    shards = sk.kmv_build(keyed, "fp", k=64, group_cols=["source"])
+    return sk.kmv_merge(shards, k=64)
+
+
+_ORACLES["kmv_merge_sources_docs"] = f"""
+    WITH d AS (
+      SELECT DISTINCT {_SQL_H64.format(
+          "CAST(" + _SQL_H64.format(_SQL_CANON) + " AS VARCHAR)"
+      )} AS h
+      FROM documents
+    )
+    SELECT CAST(rk AS INTEGER) AS rk, h
+    FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM d)
+    WHERE rk <= 64
+"""
+
+
+def kmv_jaccard_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via KMV set operations (Beyer et al. 2007) —
+    the capability HLL lacks: Jaccard similarity between the
+    click-user and purchase-user sets from their bottom-64 sketches
+    alone. Output one row (matches, union_k, jaccard_micro) — pure
+    integer/micro outputs, engine-exact."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("kmvj")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    a = sk.kmv_build(ev.filter(F.col("event_type") == "click"), "user_id", k=64)
+    b = sk.kmv_build(ev.filter(F.col("event_type") == "purchase"), "user_id", k=64)
+    return sk.kmv_jaccard(a, b, k=64)
+
+
+_ORACLES["kmv_jaccard_click_purchase"] = f"""
+    WITH da AS (
+      SELECT DISTINCT {_SQL_H64.format("CAST(user_id AS VARCHAR)")} AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    db AS (
+      SELECT DISTINCT {_SQL_H64.format("CAST(user_id AS VARCHAR)")} AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    a AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+                         FROM da) WHERE rk <= 64),
+    b AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+                         FROM db) WHERE rk <= 64),
+    u AS (SELECT h FROM (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+            FROM (SELECT DISTINCT h FROM (SELECT h FROM a
+                                          UNION ALL SELECT h FROM b))
+          ) WHERE rk <= 64),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS matches FROM u
+          WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+    uk AS (SELECT CAST(COUNT(*) AS BIGINT) AS union_k FROM u)
+    SELECT matches, union_k,
+           CAST(FLOOR(matches * 1000000.0 / union_k) AS BIGINT)
+             AS jaccard_micro
+    FROM m, uk
+"""
+
+
 def hll_stream_batch_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING distinct-count operator
     (streaming/distinct_count_stream) run in batch mode: per
@@ -5879,7 +6015,7 @@ _ORACLES["waterfill_budget_sources"] = r"""
 
 def tokens_per_byte_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-proxy quality by source (functions/text.py
-    tokens_per_byte_micro): BPE-ish tokens per character, micro-
+    tokens_per_byte_micro): BPE-ish tokens per UTF-8 byte, micro-
     quantized per doc BEFORE aggregation (integer-exact), then the
     per-source floor-mean — the no-model screen for token-dense noise
     vs repetitive filler. One map-side-combined aggregation."""
@@ -5895,10 +6031,12 @@ def tokens_per_byte_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["tokens_per_byte_by_source"] = r"""
     WITH per AS (
       SELECT source,
-             CASE WHEN length(text) > 0
+             -- strlen() is DuckDB's UTF-8 BYTE count (Spark side uses
+             -- octet_length) — length() would count characters
+             CASE WHEN strlen(text) > 0
                THEN CAST(FLOOR(1000000.0
                     * len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
-                    / length(text)) AS BIGINT)
+                    / strlen(text)) AS BIGINT)
                ELSE 0 END AS micro
       FROM documents
     )
@@ -5959,6 +6097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "kmv_sketch_users": kmv_sketch_users,
+        "kmv_estimate_users": kmv_estimate_users,
+        "kmv_merge_sources_docs": kmv_merge_sources_docs,
+        "kmv_jaccard_click_purchase": kmv_jaccard_click_purchase,
         "gopher_filter_docs": gopher_filter_docs,
         "waterfill_budget_sources": waterfill_budget_sources,
         "tokens_per_byte_by_source": tokens_per_byte_by_source,

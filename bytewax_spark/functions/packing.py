@@ -99,7 +99,16 @@ def prefix_sum(
     frozen into the plan as literals) plus one total row per bucket.
     Bucketing uses only the leading column, so rows tying on it stay in
     one bucket — the within-bucket window still sorts by the full
-    spec, and cross-bucket order only needs the leading column."""
+    spec, and cross-bucket order only needs the leading column.
+
+    REQUIRES a DETERMINISTIC input DataFrame: the lineage executes
+    more than once (quantile pass, per-bucket totals, final job), so
+    an upstream ``rand()``/unseeded ``sample()``/
+    ``monotonically_increasing_id()`` can move rows between buckets
+    across jobs and silently corrupt the cumulative sums. Persist or
+    checkpoint such an input before calling (this function stays
+    checkpoint-free on purpose — the boundaries ride the plan as
+    literals and survive executor loss)."""
     val = F.col(val_col) if isinstance(val_col, str) else val_col
     items = order_col if isinstance(order_col, list) else [order_col]
     spec = [_order_spec(i) for i in items]

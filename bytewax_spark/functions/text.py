@@ -541,16 +541,18 @@ def gopher_rules(c: Column | str) -> Column:
 
 
 def tokens_per_byte_micro(c: Column | str) -> Column:
-    """Compression-proxy quality signal: BPE-ish tokens per character,
-    int64 micro-units (``10^6 * tokens / chars``; 0 for empty text).
-    Natural prose sits near 0.2 tokens/char; token-dense noise (code
-    spew, delimiter soup, non-language bytes) drives the ratio up and
-    repetitive filler drives it down — a one-expression screen that
-    needs no model. Integer-exact: micro-quantized BEFORE any
-    aggregation, same convention as the retrieval log-ratios."""
+    """Compression-proxy quality signal: BPE-ish tokens per UTF-8
+    byte, int64 micro-units (``10^6 * tokens / bytes``; 0 for empty
+    text). Natural prose sits near 0.2 tokens/byte; token-dense noise
+    (code spew, delimiter soup, non-language bytes) drives the ratio
+    up and repetitive filler drives it down — a one-expression screen
+    that needs no model. The denominator is ``octet_length`` (true
+    encoded bytes, not characters) so multi-byte scripts read
+    correctly. Integer-exact: micro-quantized BEFORE any aggregation,
+    same convention as the retrieval log-ratios."""
     c = F.col(c) if isinstance(c, str) else c
-    n_chars = F.length(c).cast("long")
+    n_bytes = F.octet_length(c).cast("long")
     toks = token_count(c, mode="bpe")
     return F.when(
-        n_chars > 0, F.floor(F.lit(1_000_000) * toks / n_chars).cast("long")
+        n_bytes > 0, F.floor(F.lit(1_000_000) * toks / n_bytes).cast("long")
     ).otherwise(F.lit(0).cast("long"))

@@ -13,8 +13,9 @@ JVM work. What it configures:
 
 - driver-side log level: ``setup_tracing(log_level=...)`` maps to
   ``SparkContext.setLogLevel`` on the active session (and the
-  ``py4j``/``pyspark`` Python loggers), restoring the previous level
-  when the returned guard is dropped or ``.close()``-ed;
+  ``py4j``/``pyspark`` Python loggers). On guard drop/``close()`` the
+  PYTHON logger levels are restored; the JVM log4j level set via
+  ``setLogLevel`` stays (Spark exposes no getter to capture it);
 - an OpenTelemetry exporter IF the ``opentelemetry`` packages are
   importable (not shipped in this container): a tracer provider with
   an OTLP/gRPC exporter for ``OtlpTracingConfig``. Jaeger's dedicated
@@ -94,7 +95,9 @@ class OtlpTracingConfig(TracingConfig):
 
 class _TracingGuard:
     """Keep a reference to this for tracing/log config to stay active;
-    dropping it (or calling ``close()``) restores the previous state."""
+    dropping it (or calling ``close()``) restores the previous Python
+    logger levels and shuts the exporter down (the JVM log4j level is
+    not restorable — Spark has no getter for it)."""
 
     def __init__(self, config: TracingConfig | None, log_level: str | None):
         self.config = config
@@ -175,9 +178,10 @@ def setup_tracing(
     tracing_config: TracingConfig | None = None, log_level: str | None = None
 ) -> _TracingGuard:
     """Set up tracing and logging; keep a reference to the returned
-    guard (dropping it restores previous log levels and shuts the
-    exporter down). Default behavior without arguments: ERROR-level
-    logging only, matching the reference."""
+    guard (dropping it restores previous PYTHON log levels and shuts
+    the exporter down — the JVM level persists, see module docs).
+    Default behavior without arguments: ERROR-level logging only,
+    matching the reference."""
     if tracing_config is None and log_level is None:
         log_level = "ERROR"
     return _TracingGuard(tracing_config, log_level)

@@ -92,10 +92,11 @@ def test_waterfill_rejects_negative_budget(spark):
 
 
 def test_tokens_per_byte_micro(spark):
-    df = spark.createDataFrame([("ab cd!",), ("",)], "text string")
+    df = spark.createDataFrame([("ab cd!",), ("",), ("é",)], "text string")
     got = [r["m"] for r in df.select(tx.tokens_per_byte_micro("text").alias("m")).collect()]
-    # "ab cd!" -> tokens [ab, cd, !] = 3, chars 6 -> 500000
-    assert got == [500_000, 0]
+    # "ab cd!" -> tokens [ab, cd, !] = 3, bytes 6 -> 500000
+    # "é" -> 1 token over 2 UTF-8 BYTES (octet_length, not chars) -> 500000
+    assert got == [500_000, 0, 500_000]
 
 
 def test_centroid_outliers_flags_flipped_vector(spark):
