@@ -4743,6 +4743,65 @@ _ORACLES["kmv_jaccard_click_purchase"] = f"""
 """
 
 
+def kmv_overlap_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap matrix between every two document
+    sources, computed ENTIRELY in sketch space
+    (functions/sketches.py kmv_overlap_matrix): per-source bottom-64
+    KMV sketches over content fingerprints, then per-pair union-sketch
+    Jaccard (Beyer et al. 2007). 20 sources -> 190 pairs from ~1.3k
+    sketch rows — the corpus-size-independent way to audit
+    cross-source duplication at 100 TB."""
+    from bytewax_spark.functions import sketches as sk
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("kmvo")
+    docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    keyed = docs.select("source", tx.fingerprint("text").alias("fp"))
+    shards = sk.kmv_build(keyed, "fp", k=64, group_cols=["source"])
+    return sk.kmv_overlap_matrix(shards, "source", k=64)
+
+
+_ORACLES["kmv_overlap_sources_docs"] = f"""
+    WITH d AS (
+      SELECT DISTINCT source AS g,
+             {_SQL_H64.format(
+                 "CAST(" + _SQL_H64.format(_SQL_CANON) + " AS VARCHAR)"
+             )} AS h
+      FROM documents
+    ),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+        FROM d
+      ) WHERE rk <= 64
+    ),
+    gs AS (SELECT DISTINCT g FROM sk),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g
+    ),
+    tagged AS (
+      SELECT p.ga, p.gb, s.h,
+             MAX(s.g = p.ga) AS in_a, MAX(s.g = p.gb) AS in_b
+      FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+      GROUP BY 1, 2, 3
+    ),
+    u AS (
+      SELECT * FROM (
+        SELECT ga, gb, h, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+        FROM tagged
+      ) WHERE rk <= 64
+    )
+    SELECT ga AS g_a, gb AS g_b,
+           CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS matches,
+           CAST(COUNT(*) AS BIGINT) AS union_k,
+           CAST(FLOOR(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                      * 1000000.0 / COUNT(*)) AS BIGINT) AS jaccard_micro
+    FROM u GROUP BY 1, 2
+"""
+
+
 def hll_stream_batch_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING distinct-count operator
     (streaming/distinct_count_stream) run in batch mode: per
@@ -6112,6 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_estimate_users": kmv_estimate_users,
         "kmv_merge_sources_docs": kmv_merge_sources_docs,
         "kmv_jaccard_click_purchase": kmv_jaccard_click_purchase,
+        "kmv_overlap_sources_docs": kmv_overlap_sources_docs,
         "gopher_filter_docs": gopher_filter_docs,
         "waterfill_budget_sources": waterfill_budget_sources,
         "tokens_per_byte_by_source": tokens_per_byte_by_source,

@@ -49,6 +49,7 @@ __all__ = [
     "kmv_estimate",
     "kmv_jaccard",
     "kmv_merge",
+    "kmv_overlap_matrix",
 ]
 
 
@@ -537,6 +538,74 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
             "matches",
             "union_k",
             F.floor(F.col("matches") * F.lit(1000000) / F.col("union_k"))
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )
+
+
+def kmv_overlap_matrix(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """PAIRWISE overlap matrix between every two groups' key sets,
+    computed ENTIRELY in sketch space from a grouped KMV build
+    (:func:`kmv_build` with ``group_cols=[group_col]``) — the
+    all-pairs generalization of :func:`kmv_jaccard`. Returns one row
+    per unordered group pair ``(g_a, g_b, matches, union_k,
+    jaccard_micro)`` with ``g_a < g_b``.
+
+    For each pair, the union sketch is the ``k`` smallest hashes of
+    the two groups' sketch unions (the min-wise property makes that
+    equal to a direct build over the concatenated groups), ``matches``
+    counts union-sketch hashes present in BOTH group sketches, and
+    ``jaccard_micro = floor(10^6 * matches / union_k)`` — the
+    unbiased bottom-k Jaccard estimator (Beyer et al. 2007, public),
+    integer outputs only.
+
+    Scale shape: this never touches the raw data — ``G`` groups cost
+    ``G*k`` sketch rows in, ``G*(G-1)*k`` tagged rows through one
+    window (each group's sketch replicated to its ``G-1`` pairs via a
+    broadcast pair-list join), ``G²/2`` rows out. A 100-source corpus
+    audit is ~633 k tiny rows regardless of corpus size — the whole
+    point of doing set algebra on sketches instead of keys."""
+    g = F.col(group_col)
+    sk = sketch.select(g.alias("_g"), "h")
+    groups = sk.select("_g").distinct()
+    pairs = (
+        groups.select(F.col("_g").alias("g_a"))
+        .join(groups.select(F.col("_g").alias("g_b")), F.col("g_a") < F.col("g_b"))
+    )
+    # replicate each group's sketch rows onto every pair it belongs to
+    # (broadcast: the pair list is G² tiny rows)
+    tagged = sk.join(
+        F.broadcast(pairs),
+        (F.col("_g") == F.col("g_a")) | (F.col("_g") == F.col("g_b")),
+    ).select(
+        "g_a",
+        "g_b",
+        "h",
+        (F.col("_g") == F.col("g_a")).alias("_in_a"),
+        (F.col("_g") == F.col("g_b")).alias("_in_b"),
+    )
+    # a hash can arrive from both sides of a pair: collapse to one row
+    # carrying both membership flags, then rank the pair's union
+    per_h = tagged.groupBy("g_a", "g_b", "h").agg(
+        F.max("_in_a").alias("_in_a"), F.max("_in_b").alias("_in_b")
+    )
+    w = Window.partitionBy("g_a", "g_b").orderBy("h")
+    union_k = per_h.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return (
+        union_k.groupBy("g_a", "g_b")
+        .agg(
+            F.sum(
+                (F.col("_in_a") & F.col("_in_b")).cast("bigint")
+            ).alias("matches"),
+            F.count(F.lit(1)).alias("union_k"),
+        )
+        .select(
+            "g_a",
+            "g_b",
+            "matches",
+            "union_k",
+            F.floor(F.col("matches") * F.lit(1_000_000) / F.col("union_k"))
             .cast("bigint")
             .alias("jaccard_micro"),
         )

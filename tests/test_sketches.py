@@ -357,3 +357,36 @@ def test_kmv_grouped_bottom_k_per_group(spark):
     for g in ("x", "y"):
         expect = sorted(_py_hash64(f"{g}-{i}") for i in range(50))[:8]
         assert [h for _, h in sorted(by_g[g])] == expect
+
+
+def test_kmv_overlap_matrix_exact_below_k(spark):
+    # three groups with known overlaps, all smaller than k -> the
+    # sketch is the full hash set and the matrix is EXACT Jaccard
+    rows = (
+        [("a", f"k{i}") for i in range(20)]
+        + [("b", f"k{i}") for i in range(10, 30)]  # |a ∩ b| = 10, |a ∪ b| = 30
+        + [("c", f"z{i}") for i in range(5)]  # disjoint from both
+    )
+    df = spark.createDataFrame(rows, "g string, k string")
+    shards = sk.kmv_build(df, "k", k=64, group_cols=["g"])
+    got = {
+        (r["g_a"], r["g_b"]): (r["matches"], r["union_k"], r["jaccard_micro"])
+        for r in sk.kmv_overlap_matrix(shards, "g", k=64).collect()
+    }
+    assert got[("a", "b")] == (10, 30, 333333)
+    assert got[("a", "c")] == (0, 25, 0)
+    assert got[("b", "c")] == (0, 25, 0)
+
+
+def test_kmv_overlap_matrix_truncates_union_at_k(spark):
+    # identical groups larger than k: union sketch holds exactly k
+    # hashes, every one present in both -> jaccard 1.0
+    rows = [(g, f"k{i}") for g in ("x", "y") for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    shards = sk.kmv_build(df, "k", k=16, group_cols=["g"])
+    out = sk.kmv_overlap_matrix(shards, "g", k=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g_a"], r["g_b"]) == ("x", "y")
+    assert r["union_k"] == 16 and r["matches"] == 16
+    assert r["jaccard_micro"] == 1000000
