@@ -5364,6 +5364,100 @@ _ORACLES["outlier_counts_events"] = """
 """
 
 
+def er_canonical_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ENTITY RESOLUTION (record linkage → canonical ids):
+    nation-blocked fuzzy name pairs within edit distance 2
+    (functions/linkage.py fuzzy_self_pairs — threshold Levenshtein +
+    length band, comparator parallelism pinned) feed
+    graph.connected_components, and every customer gets a canonical
+    id = min custkey of its fuzzy cluster (itself when unmatched).
+    The dedup-merge step every master-data pipeline needs after pair
+    generation; transitivity (A~B~C merges even when A!~C) is exactly
+    what the pairwise output can't give."""
+    from bytewax_spark.functions import graph, linkage
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = linkage.fuzzy_self_pairs(
+        cust, "c_custkey", ["c_nationkey"], "c_name", 2, n_slices=8
+    )
+    comp = graph.connected_components(pairs.select("id_a", "id_b"))
+    return cust.join(
+        comp, cust["c_custkey"] == comp["node"], "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("comp"), F.col("c_custkey")).alias("canon_id"),
+    )
+
+
+_ORACLES["er_canonical_customers"] = """
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS ia, b.c_custkey AS ib
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ),
+    sym AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      UNION SELECT ib AS a, ia AS b FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS comp FROM reach GROUP BY 1)
+    SELECT c.c_custkey, COALESCE(p.comp, c.c_custkey) AS canon_id
+    FROM customer c LEFT JOIN comp p ON p.node = c.c_custkey
+"""
+
+
+def ohlc_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick→candle downsampling (functions/timeseries.py
+    ohlc_resample): hourly OHLC bars of event value per event_type —
+    open/close via ONE min/max(struct(ts, event_id, value))
+    aggregation buffer each (map-side combinable, unlike a
+    first_value window; ties impossible — event_id is unique), sum in
+    DECIMAL(18,6) so the bar is partition-order exact."""
+    from bytewax_spark.functions import timeseries as tsf
+
+    ev = _t(spark, sf_dir, "events")
+    return tsf.ohlc_resample(
+        ev, "ts", "value", "1 hour", key_cols=["event_type"], tie_col="event_id"
+    )
+
+
+_ORACLES["ohlc_hourly_by_type"] = """
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+      FROM events
+    ),
+    o AS (
+      SELECT event_type, bucket, value AS open FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type, bucket ORDER BY ts, event_id) AS rn
+        FROM base
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT event_type, bucket, value AS close FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC) AS rn
+        FROM base
+      ) WHERE rn = 1
+    ),
+    a AS (
+      SELECT event_type, bucket, MAX(value) AS high, MIN(value) AS low,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_val
+      FROM base GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.bucket, o.open, a.high, a.low, c.close,
+           a.n_obs, a.sum_val
+    FROM a JOIN o USING (event_type, bucket) JOIN c USING (event_type, bucket)
+"""
+
+
 def decayed_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted value per event type (functions/timeseries.py
     decayed_sum): value · 2^-(age in 30-day half-lives) summed per
@@ -6172,6 +6266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_merge_sources_docs": kmv_merge_sources_docs,
         "kmv_jaccard_click_purchase": kmv_jaccard_click_purchase,
         "kmv_overlap_sources_docs": kmv_overlap_sources_docs,
+        "er_canonical_customers": er_canonical_customers,
+        "ohlc_hourly_by_type": ohlc_hourly_by_type,
         "gopher_filter_docs": gopher_filter_docs,
         "waterfill_budget_sources": waterfill_budget_sources,
         "tokens_per_byte_by_source": tokens_per_byte_by_source,

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["decayed_sum", "gapfill_ffill", "trailing_agg"]
+__all__ = ["decayed_sum", "gapfill_ffill", "ohlc_resample", "trailing_agg"]
 
 
 def trailing_agg(
@@ -163,3 +163,54 @@ def decayed_sum(
     staged = df.withColumn("_micro", micro).withColumn("_shift", shift)
     term = F.expr("shiftright(_micro, _shift)")
     return staged.groupBy(*group_cols).agg(F.sum(term).alias(out_col))
+
+
+def ohlc_resample(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    interval: str = "1 hour",
+    key_cols: list[str] | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Downsample an irregular value stream to OHLC bars — one row per
+    (keys, bucket) with ``open/high/low/close`` plus ``n_obs`` and a
+    DECIMAL-exact ``sum_val``: the classic tick→candle resample, and
+    the general "first/last/extremes per bucket" downsampler for any
+    numeric telemetry.
+
+    open/close are the values at the earliest/latest timestamp in the
+    bucket, tie-broken by ``tie_col`` (a unique id) so the result is
+    deterministic under any partitioning — both compile to ONE
+    ``min(struct(ts, tie, val))`` / ``max(...)`` aggregation buffer,
+    which (unlike a first_value window) combines map-side: at 100 TB
+    each bar shuffles one partially-folded struct per map partition,
+    never the ticks. ``sum_val`` accumulates in DECIMAL(18,6) — float
+    summation drifts with partition order; decimal is engine- and
+    order-exact (rounded to 2 at the end).
+    """
+    keys = list(key_cols or [])
+    bucket = F.date_trunc(
+        {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}.get(
+            interval, interval
+        ),
+        F.col(ts_col),
+    ).alias("bucket")
+    tie = F.col(tie_col) if tie_col else F.lit(0)
+    v = F.col(val_col)
+    edge = F.struct(
+        F.col(ts_col).alias("t"), tie.alias("k"), v.alias("v")
+    )
+    return (
+        df.groupBy(*keys, bucket)
+        .agg(
+            F.min(edge)["v"].alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max(edge)["v"].alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum(v.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_val"),
+        )
+    )

@@ -94,3 +94,39 @@ def test_decayed_sum_partial_agg_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan  # map-side combine before the exchange
     assert "EvalPython" not in plan
+
+
+def test_ohlc_resample_hand_computed(spark):
+    rows = [
+        # one hour bucket, two keys; open/close by (ts, id) order
+        ("a", datetime(2024, 1, 1, 10, 5), 1, 10.0),
+        ("a", datetime(2024, 1, 1, 10, 1), 2, 5.0),   # earliest -> open
+        ("a", datetime(2024, 1, 1, 10, 50), 3, 7.0),  # latest -> close
+        ("a", datetime(2024, 1, 1, 10, 20), 4, 50.0),  # high
+        ("b", datetime(2024, 1, 1, 10, 30), 5, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
+    out = {
+        r["k"]: r
+        for r in timeseries.ohlc_resample(
+            df, "ts", "v", "1 hour", key_cols=["k"], tie_col="id"
+        ).collect()
+    }
+    a = out["a"]
+    assert (a["open"], a["high"], a["low"], a["close"]) == (5.0, 50.0, 5.0, 7.0)
+    assert a["n_obs"] == 4 and a["sum_val"] == 72.0
+    b = out["b"]
+    assert (b["open"], b["close"], b["n_obs"]) == (3.0, 3.0, 1)
+
+
+def test_ohlc_resample_tie_breaks_on_id(spark):
+    # identical timestamps: the tie column decides open/close
+    ts = datetime(2024, 1, 1, 9, 0)
+    df = spark.createDataFrame(
+        [("a", ts, 2, 20.0), ("a", ts, 1, 10.0), ("a", ts, 3, 30.0)],
+        "k string, ts timestamp, id long, v double",
+    )
+    r = timeseries.ohlc_resample(
+        df, "ts", "v", "1 hour", key_cols=["k"], tie_col="id"
+    ).collect()[0]
+    assert r["open"] == 10.0 and r["close"] == 30.0
