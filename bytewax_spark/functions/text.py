@@ -404,21 +404,49 @@ def char_entropy(c: Column | str) -> Column:
     Per-term integer quantization: each character's contribution
     ``-p*log2(p)`` is rounded to micro-bits BEFORE the sum, so the
     total is an exact integer sum — identical in any engine and under
-    any evaluation order (no float-summation-order drift). Cost is
-    O(alphabet * len) per row in pure codegen expressions; empty text
+    any evaluation order (no float-summation-order drift).
+
+    Cost is ONE pass over the sorted char array: run-length encoding
+    inside a single ``aggregate`` fold, the per-run log evaluated
+    lazily only when a run closes (CASE branches are conditional), so
+    the work is O(len·log len) sort + O(len) scan + O(alphabet) logs.
+    The previous formulation filtered the char array once per DISTINCT
+    char — and because the array expression sat inside the lambda
+    body, Catalyst re-evaluated the split itself per element:
+    O(alphabet·len) with an array allocation per distinct char (the
+    same projection-collapse trap fixed in span dedup). Empty text
     → 0."""
     c = F.col(c) if isinstance(c, str) else c
-    chars = F.split(c, "")
+    s = F.array_sort(F.split(c, ""))
     n = F.length(c).cast("double")
-    counts = F.transform(
-        F.array_sort(F.array_distinct(chars)),
-        lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+
+    def contrib(cnt):
+        d = cnt.cast("double")
+        return F.when(cnt > 0, F.round(-(d / n) * F.log2(d / n) * 1_000_000).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+
+    init = F.struct(
+        F.lit("").alias("p"),
+        F.lit(0).cast("bigint").alias("r"),
+        F.lit(0).cast("bigint").alias("e"),
     )
     ent = F.aggregate(
-        counts,
-        F.lit(0).cast("bigint"),
-        lambda acc, cnt: acc
-        + F.round(-(cnt / n) * F.log2(cnt / n) * 1_000_000).cast("bigint"),
+        s,
+        init,
+        lambda acc, ch: F.when(
+            ch == acc.getField("p"),
+            F.struct(
+                ch.alias("p"),
+                (acc.getField("r") + 1).alias("r"),
+                acc.getField("e").alias("e"),
+            ),
+        ).otherwise(
+            F.struct(
+                ch.alias("p"),
+                F.lit(1).cast("bigint").alias("r"),
+                (acc.getField("e") + contrib(acc.getField("r"))).alias("e"),
+            )
+        ),
+        lambda acc: acc.getField("e") + contrib(acc.getField("r")),
     )
     return F.when(F.length(c) > 0, ent).otherwise(F.lit(0).cast("bigint"))
 
