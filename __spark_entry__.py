@@ -5364,6 +5364,36 @@ _ORACLES["outlier_counts_events"] = """
 """
 
 
+def sorted_neighborhood_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage pass (functions/linkage.py
+    sorted_neighborhood_pairs, Hernández & Stolfo 1995): rank
+    customers by name, compare each row to its next 10 neighbors,
+    keep Levenshtein<=2 pairs. The multi-pass complement to
+    nation-blocked matching (fuzzy_name_pairs_customers) — it
+    catches near-duplicate names the nation blocks separate. Global
+    rank is two-phase (sampled string boundaries + per-bucket
+    windows), candidates via an equi-join on rank blocks."""
+    from bytewax_spark.functions import linkage
+
+    cust = _t(spark, sf_dir, "customer")
+    return linkage.sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_name", "c_name", 2, window=10
+    )
+
+
+_ORACLES["sorted_neighborhood_customers"] = """
+    WITH r AS (
+      SELECT c_custkey AS id, c_name AS t,
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rk
+      FROM customer
+    )
+    SELECT DISTINCT LEAST(a.id, b.id) AS id_a, GREATEST(a.id, b.id) AS id_b,
+           CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 10
+    WHERE levenshtein(a.t, b.t) <= 2
+"""
+
+
 def er_canonical_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ENTITY RESOLUTION (record linkage → canonical ids):
     nation-blocked fuzzy name pairs within edit distance 2
@@ -6268,6 +6298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap_sources_docs": kmv_overlap_sources_docs,
         "er_canonical_customers": er_canonical_customers,
         "ohlc_hourly_by_type": ohlc_hourly_by_type,
+        "sorted_neighborhood_customers": sorted_neighborhood_customers,
         "gopher_filter_docs": gopher_filter_docs,
         "waterfill_budget_sources": waterfill_budget_sources,
         "tokens_per_byte_by_source": tokens_per_byte_by_source,

@@ -25,7 +25,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_fuzzy_join", "fuzzy_self_pairs"]
+__all__ = ["blocked_fuzzy_join", "fuzzy_self_pairs", "sorted_neighborhood_pairs"]
 
 
 def blocked_fuzzy_join(
@@ -154,3 +154,120 @@ def fuzzy_self_pairs(
         bc(id_col).alias("id_b"),
         d.alias("dist"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_col: str,
+    text_col: str,
+    max_dist: int,
+    window: int = 10,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995,
+    public): rank all rows by ``(sort_col, id_col)``, compare each row
+    only to its next ``window`` neighbors in that order, keep pairs
+    within Levenshtein ``max_dist`` of ``text_col``. Returns
+    ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+
+    The complement to equi-blocking (:func:`fuzzy_self_pairs`):
+    blocking never compares across blocks, while a sort key built from
+    the match field puts near-duplicates adjacent REGARDLESS of any
+    block attribute — the standard multi-pass ER recipe runs both and
+    unions the pairs.
+
+    Scale shape — no global sort, no non-equi join:
+    1. the global rank is two-phase, the ``prefix_sum`` scheme adapted
+       to ARBITRARY orderable sort keys: order-preserving buckets come
+       from seeded-SAMPLE boundaries frozen into the plan as literals
+       (Spark's own RangePartitioner discipline — the rank is EXACT no
+       matter how lopsided the sample is; boundaries only shape the
+       partitioning), per-bucket ``row_number`` windows, and one
+       bounded collect of per-bucket counts for the offsets — never a
+       single-partition ROW_NUMBER;
+    2. neighbors within ``window`` ranks must sit in the same or the
+       next rank-block of size ``window``, so the left side explodes
+       to 2 rows (its block and the next) and the candidate join is a
+       plain EQUI-shuffle on the block id, filtered to
+       ``0 < rank_b - rank_a <= window`` — O(n·window/block) pairs,
+       never a range-join nested loop;
+    3. the length band + threshold Levenshtein prune as in the
+       blocked joins.
+
+    Requires a deterministic input (the lineage executes more than
+    once — same contract as ``prefix_sum``).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from pyspark.sql import Window
+
+    slim = df.select(F.col(id_col), F.col(sort_col), F.col(text_col))
+    parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    boundaries: list = []
+    if parts > 1:
+        # seeded sample -> driver-side evenly spaced cut points; tiny
+        # and bounded (the sample is capped by fraction of a stats
+        # pass, the boundary list by parts-1 literals)
+        sample = [
+            r[0]
+            for r in slim.select(sort_col)
+            .sample(fraction=min(1.0, 10000 / max(slim.count(), 1)), seed=42)
+            .collect()
+        ]
+        sample.sort()
+        if sample:
+            step = max(len(sample) // parts, 1)
+            boundaries = sorted({sample[i] for i in range(step, len(sample), step)})
+    pid = F.lit(0)
+    for b in boundaries:
+        pid = pid + (F.col(sort_col) >= F.lit(b)).cast("int")
+    bucketed = slim.withColumn("_pid", pid)
+    w = Window.partitionBy("_pid").orderBy(F.col(sort_col), F.col(id_col))
+    local = bucketed.withColumn("_lrk", F.row_number().over(w))
+    counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offset, offsets = 0, {}
+    for p, cnt in counts:
+        offsets[p] = offset
+        offset += cnt
+    off_expr = F.lit(0)
+    for p, o in offsets.items():
+        off_expr = F.when(F.col("_pid") == p, F.lit(o)).otherwise(off_expr)
+    ranked = local.withColumn("_rk", F.col("_lrk") + off_expr).withColumn(
+        "_blk", F.floor((F.col("_rk") - 1) / window)
+    )
+    a = ranked.select(
+        F.col(id_col).alias("_ida"),
+        F.col(text_col).alias("_ta"),
+        F.col("_rk").alias("_rka"),
+        F.explode(
+            F.array(F.col("_blk"), F.col("_blk") + 1)
+        ).alias("_jblk"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("_idb"),
+        F.col(text_col).alias("_tb"),
+        F.col("_rk").alias("_rkb"),
+        F.col("_blk").alias("_jblk"),
+    )
+    d = F.levenshtein(F.col("_ta"), F.col("_tb"), max_dist)
+    pairs = (
+        a.join(b, "_jblk")
+        .filter(
+            (F.col("_rkb") > F.col("_rka"))
+            & (F.col("_rkb") - F.col("_rka") <= window)
+        )
+        .filter(F.abs(F.length("_ta") - F.length("_tb")) <= max_dist)
+        .filter(d >= 0)
+    )
+    return pairs.select(
+        F.least("_ida", "_idb").alias("id_a"),
+        F.greatest("_ida", "_idb").alias("id_b"),
+        d.cast("int").alias("dist"),
+    ).distinct()

@@ -198,3 +198,52 @@ def test_fuzzy_sliced_join_pins_fanout(spark, sf_dir):
     }
     sliced = {(r["id_a"], r["id_b"], r["dist"]) for r in df.collect()}
     assert base == sliced
+
+
+def test_sorted_neighborhood_catches_cross_block_pair(spark):
+    # "ann" and "anna" sort adjacent but sit in DIFFERENT nations —
+    # nation-blocked fuzzy_self_pairs misses them, the sorted pass
+    # finds them; "zzz" is far in sort order and beyond edit distance
+    rows = [
+        (1, 10, "ann"),
+        (2, 20, "anna"),
+        (3, 10, "zzz"),
+    ]
+    df = spark.createDataFrame(rows, "id long, nation int, name string")
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in linkage.fuzzy_self_pairs(df, "id", ["nation"], "name", 2).collect()
+    }
+    assert (1, 2) not in blocked
+    sn = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in linkage.sorted_neighborhood_pairs(
+            df, "id", "name", "name", 2, window=10
+        ).collect()
+    }
+    assert sn[(1, 2)] == 1
+    assert (1, 3) not in sn and (2, 3) not in sn
+
+
+def test_sorted_neighborhood_window_bounds_pairs(spark):
+    # identical texts, but only rank-neighbors within `window` compare:
+    # with window=1 only adjacent ranks pair up
+    rows = [(i, f"n{i:02d}", "same") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "id long, key string, t string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in linkage.sorted_neighborhood_pairs(
+            df, "id", "key", "t", 0, window=1
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 3), (3, 4), (4, 5)}
+
+
+def test_sorted_neighborhood_partition_invariant(spark):
+    rows = [(i, f"name{i:03d}", f"name{i:03d}") for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "id long, key string, t string")
+    one = linkage.sorted_neighborhood_pairs(df, "id", "key", "t", 1, window=3)
+    many = linkage.sorted_neighborhood_pairs(
+        df.repartition(13), "id", "key", "t", 1, window=3
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
