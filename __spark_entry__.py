@@ -4607,6 +4607,69 @@ _ORACLES["hll_merge_sources_docs"] = f"""
 """
 
 
+def minhash_bag_verified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED (term-frequency) near-dup pairs: MinHash-LSH over
+    COUNTED shingles (functions/text.py bag_shingles — 'token#k' for
+    the k-th occurrence), verified with exact MULTISET Jaccard
+    Σmin(tf)/Σmax(tf) >= 0.5. Repetition-sensitive where set-based
+    shingles see "same vocabulary" as identical; counted shingles keep
+    the whole pipeline integer-exact (the float ICWS sampler cannot be
+    oracle-reproduced). Same banded-LSH + verify machinery as
+    minhash_verified_pairs_docs, different shingler."""
+    from bytewax_spark.functions import dedup as dd
+    from bytewax_spark.functions.text import bag_shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.minhash_lsh_verified_pairs(
+        docs, "text", "doc_id", n=1, k=32, bands=4, threshold=0.5,
+        shingler=bag_shingles,
+    )
+
+
+_ORACLES["minhash_bag_verified_docs"] = f"""
+    WITH tok AS (
+      SELECT doc_id, w,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, w) AS occ
+      FROM (SELECT doc_id, UNNEST({_SQL_TOKS}) AS w FROM documents)
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             {_SQL_H64.format("w || '#' || CAST(occ AS VARCHAR)")} AS shingle
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id, i,
+             MIN((((i * 2654435761) % 2147483647) * (shingle % 2147483647)
+                  + ((i * 40503 + 17) % 2147483647)) % 2147483647) AS minhash
+      FROM sh CROSS JOIN (SELECT UNNEST(RANGE(1, 33)) AS i)
+      GROUP BY doc_id, i
+    ),
+    banded AS (
+      SELECT doc_id, (i - 1) // 8 AS band,
+             MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS c
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
+"""
+
+
 def kmv_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-Minimum-Values distinct sketch over event users
     (functions/sketches.py kmv_build, Bar-Yossef et al. 2002): the 64
@@ -6291,6 +6354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "minhash_bag_verified_docs": minhash_bag_verified_docs,
         "kmv_sketch_users": kmv_sketch_users,
         "kmv_estimate_users": kmv_estimate_users,
         "kmv_merge_sources_docs": kmv_merge_sources_docs,

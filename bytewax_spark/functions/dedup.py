@@ -349,6 +349,7 @@ def _minhash_wide(
     n: int,
     k: int,
     extra_cols: tuple[str, ...] = (),
+    shingler=None,
 ) -> DataFrame:
     """(id, mh1..mhK) — K permutation minima as WIDE COLUMNS.
 
@@ -363,9 +364,14 @@ def _minhash_wide(
     No distinct on shingles — duplicates can't change a minimum.
     Docs with zero shingles produce no group, hence no row.
     ``extra_cols`` ride along through the aggregation (e.g. a side
-    marker for incremental dedup)."""
+    marker for incremental dedup). ``shingler`` overrides the shingle
+    expression (default: word n-grams) — e.g. ``text.bag_shingles``
+    for term-frequency-weighted MinHash."""
+    shingles = (
+        shingler(F.col(text_col)) if shingler else word_shingles(text_col, n)
+    )
     sh = df.select(
-        F.col(id_col), *extra_cols, F.explode(word_shingles(text_col, n)).alias("_s")
+        F.col(id_col), *extra_cols, F.explode(shingles).alias("_s")
     ).select(
         id_col, *extra_cols, F.pmod(hash64(F.col("_s")), F.lit(MINHASH_P)).alias("_h")
     )
@@ -441,6 +447,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    shingler=None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH (id_a < id_b).
 
@@ -451,7 +458,7 @@ def minhash_lsh_pairs(
     # band buckets straight from the wide minima columns (_banded):
     # md5 of the band's minima in i-order, comma-joined — per-row
     # expressions, no collect_list, no second aggregation.
-    banded = _banded(df, text_col, id_col, n, k, bands)
+    banded = _banded(df, text_col, id_col, n, k, bands, shingler=shingler)
     # The bucket equi-join is a diamond: both sides are the same banded
     # table. Left as lineage, each join side would re-execute the whole
     # signature pipeline (Spark reuses exchanges only for canonically
@@ -486,6 +493,7 @@ def minhash_lsh_verified_pairs(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     threshold: float = 0.5,
+    shingler=None,
 ) -> DataFrame:
     """MinHash-LSH candidates VERIFIED with exact Jaccard — the full
     production near-dup product (candidates alone over-report; a real
@@ -500,11 +508,16 @@ def minhash_lsh_verified_pairs(
     (``array_distinct`` over the shingle transform) — the exploded
     (id, shingle) form would pay an explode + groupBy/collect shuffle
     just to reassemble what each row already had."""
-    cand = minhash_lsh_pairs(df, text_col, id_col, n, k, bands)
+    cand = minhash_lsh_pairs(df, text_col, id_col, n, k, bands, shingler=shingler)
     sets = df.select(
         F.col(id_col),
         F.array_sort(
-            F.array_distinct(F.transform(word_shingles(text_col, n), hash64))
+            F.array_distinct(
+                F.transform(
+                    shingler(F.col(text_col)) if shingler else word_shingles(text_col, n),
+                    hash64,
+                )
+            )
         ).alias("_toks"),
     )
     da = sets.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
@@ -528,10 +541,11 @@ def _banded(
     k: int,
     bands: int,
     extra_cols: tuple[str, ...] = (),
+    shingler=None,
 ) -> DataFrame:
     """(id[, extra...], band, bucket) LSH rows — the shared banding step."""
     rows_per_band = k // bands
-    wide = _minhash_wide(df, text_col, id_col, n, k, extra_cols)
+    wide = _minhash_wide(df, text_col, id_col, n, k, extra_cols, shingler=shingler)
     band_structs = F.array(
         [
             F.struct(

@@ -21,6 +21,7 @@ __all__ = [
     "token_count",
     "char_ngrams",
     "word_shingles",
+    "bag_shingles",
     "quality_score",
     "lang_id",
     "fingerprint",
@@ -100,6 +101,40 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def bag_shingles(c: Column | str) -> Column:
+    """COUNTED unigram shingles → array<string> of ``token#k`` for the
+    k-th occurrence of each token (``"a a b" → [a#1, a#2, b#1]``).
+    Plain MinHash over these equals MinHash of the weighted
+    (term-frequency) set: multiset Jaccard Σmin(tfₐ,tf_b)/Σmax —
+    repetition-sensitive where set shingles see "same vocabulary" as
+    identical. Integer/string ops only, so any SQL engine reproduces
+    the shingles byte-for-byte (the float ICWS sampler can't promise
+    that).
+
+    One run-length fold over the SORTED token array (occurrence index
+    = position within the token's run) — O(len·log len) in-row, no
+    shuffle, nothing expensive captured inside the lambda."""
+    toks = F.array_sort(tokenize(c))
+    init = F.struct(
+        F.lit("").alias("p"),
+        F.lit(0).alias("k"),
+        F.array().cast("array<string>").alias("a"),
+    )
+
+    def step(acc, t):
+        k = F.when(t == acc.getField("p"), acc.getField("k") + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("p"),
+            k.alias("k"),
+            F.concat(
+                acc.getField("a"),
+                F.array(F.concat_ws("#", t, k.cast("string"))),
+            ).alias("a"),
+        )
+
+    return F.aggregate(toks, init, step, lambda acc: acc.getField("a"))
 
 
 def quality_score(c: Column | str) -> Column:

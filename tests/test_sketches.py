@@ -390,3 +390,33 @@ def test_kmv_overlap_matrix_truncates_union_at_k(spark):
     assert (r["g_a"], r["g_b"]) == ("x", "y")
     assert r["union_k"] == 16 and r["matches"] == 16
     assert r["jaccard_micro"] == 1000000
+
+
+def test_bag_shingles_counts_occurrences(spark):
+    from bytewax_spark.functions.text import bag_shingles
+
+    df = spark.createDataFrame([("a a b",), ("",)], "text string")
+    got = [r["s"] for r in df.select(bag_shingles("text").alias("s")).collect()]
+    assert got[0] == ["a#1", "a#2", "b#1"]
+    assert got[1] == []
+
+
+def test_minhash_bag_distinguishes_repetition(spark):
+    # same vocabulary, different repetition profile: set-based Jaccard
+    # is 1.0, multiset Jaccard is 2/6 — the bag pipeline must report
+    # the multiset value
+    from bytewax_spark.functions import dedup as dd
+    from bytewax_spark.functions.text import bag_shingles
+
+    # bags: {x#1..3, y#1} vs {x#1..3, y#1, z#1} -> multiset J = 4/5
+    # (set-of-token Jaccard would be 2/3; the bag value is what must
+    # come out). High overlap so the LSH bands collide.
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x x x y z")], "doc_id long, text string"
+    )
+    out = dd.minhash_lsh_verified_pairs(
+        df, "text", "doc_id", threshold=0.0, shingler=bag_shingles
+    ).collect()
+    dd.release_signature_caches()
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 0.8) < 1e-9
