@@ -5939,6 +5939,82 @@ _ORACLES["winsorized_mean_by_type"] = """
 """
 
 
+def calibration_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (functions/stats.py calibration_bins):
+    decile-bin event value per user cohort, per bin the observed
+    purchase rate vs mean score — does the score's MAGNITUDE read as
+    a probability, the complement of AUC's ranking check
+    (auc_purchase_by_source). Integer-exact micro means."""
+    from bytewax_spark.functions import stats
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.pmod(F.col("user_id"), F.lit(5)).alias("cohort"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.col("value"),
+        F.col("event_id"),
+    )
+    return stats.calibration_bins(
+        scored, ["cohort"], "value", "y", "event_id", n_bins=10
+    )
+
+
+_ORACLES["calibration_purchase_value"] = """
+    WITH s AS (
+      SELECT user_id % 5 AS cohort, value, event_id,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events
+    ),
+    b AS (
+      SELECT cohort,
+             NTILE(10) OVER (PARTITION BY cohort ORDER BY value, event_id)
+               AS bin,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS s_micro, y
+      FROM s
+    )
+    SELECT cohort, bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos,
+           CAST(SUM(s_micro) // COUNT(*) AS BIGINT) AS score_mean_micro,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_micro
+    FROM b GROUP BY 1, 2
+"""
+
+
+def seasonal_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly census (functions/stats.py
+    seasonal_outlier_counts): each event compares to its OWN
+    (event_type, hour-of-day) bucket, outlier iff |v-mean| > 3 sigma —
+    evaluated as the algebraically cleared integer form
+    (v*n - S)^2 > 9*(Q*n - S^2) on DECIMAL moments, so a sigma test
+    is partition-order exact with no float mean/stddev."""
+    from bytewax_spark.functions import stats
+
+    ev = _t(spark, sf_dir, "events")
+    return stats.seasonal_outlier_counts(
+        ev, ["event_type"], "ts", "value", k_sigma=3
+    )
+
+
+_ORACLES["seasonal_outliers_by_type"] = """
+    WITH b AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(ROUND(value * 1000000) AS HUGEINT) AS v
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, hod, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(v) AS s, SUM(v * v) AS q
+      FROM b GROUP BY 1, 2
+    )
+    SELECT b.event_type, CAST(b.hod AS INTEGER) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST((v * n - s) * (v * n - s) > 9 * (q * n - s * s)
+                         AS INTEGER)) AS BIGINT) AS n_outliers
+    FROM b JOIN m USING (event_type, hod)
+    GROUP BY 1, 2
+"""
+
+
 def auc_purchase_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC of 'value predicts purchase' per user cohort
     (functions/stats.py group_auc): Mann-Whitney U over distinct
@@ -6363,6 +6439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_canonical_customers": er_canonical_customers,
         "ohlc_hourly_by_type": ohlc_hourly_by_type,
         "sorted_neighborhood_customers": sorted_neighborhood_customers,
+        "calibration_purchase_value": calibration_purchase_value,
+        "seasonal_outliers_by_type": seasonal_outliers_by_type,
         "gopher_filter_docs": gopher_filter_docs,
         "waterfill_budget_sources": waterfill_budget_sources,
         "tokens_per_byte_by_source": tokens_per_byte_by_source,

@@ -26,7 +26,18 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["equi_depth_bins", "exact_corr", "group_auc", "outlier_counts", "robust_stats", "standardize", "target_encode", "winsorize"]
+__all__ = [
+    "calibration_bins",
+    "equi_depth_bins",
+    "exact_corr",
+    "group_auc",
+    "outlier_counts",
+    "robust_stats",
+    "seasonal_outlier_counts",
+    "standardize",
+    "target_encode",
+    "winsorize",
+]
 
 
 def robust_stats(
@@ -330,4 +341,103 @@ def group_auc(
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, decimals)
         ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins per group: rank rows by score
+    (equal-population ``ntile`` over a total (score, tiebreak) order),
+    then per bin report how CALIBRATED the score is — observed
+    positive rate vs mean score. Returns one row per (group, bin):
+    ``(bin, n, pos, score_mean_micro, pos_rate_micro)``. AUC
+    (:func:`group_auc`) says whether the score RANKS well; this says
+    whether its magnitude can be read as a probability — the two
+    checks a score column needs before anyone thresholds it.
+
+    Integer-exact: scores micro-quantize before summation and both
+    means are int64 floor-divisions — bit-identical across engines
+    and partitionings. One per-group window + one aggregation."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col), F.col(tiebreak_col)
+    )
+    micro = F.round(F.col(score_col) * 1_000_000).cast("long")
+    y = F.col(label_col).cast("long")
+    binned = df.withColumn("bin", F.ntile(n_bins).over(w)).withColumn(
+        "_s", micro
+    ).withColumn("_y", y)
+    return (
+        binned.groupBy(*group_cols, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("pos"),
+            F.sum("_s").alias("_ssum"),
+        )
+        .select(
+            *group_cols,
+            "bin",
+            "n",
+            "pos",
+            F.floor(F.col("_ssum") / F.col("n")).cast("long").alias(
+                "score_mean_micro"
+            ),
+            F.floor(F.col("pos") * F.lit(1_000_000) / F.col("n"))
+            .cast("long")
+            .alias("pos_rate_micro"),
+        )
+    )
+
+
+def seasonal_outlier_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    k_sigma: int = 3,
+) -> DataFrame:
+    """Seasonal-baseline anomaly census: the baseline for a row is its
+    OWN (group, hour-of-day) bucket — "purchases at 3am" compare to
+    other 3am purchases, not to the daily mix — and a row is an
+    outlier when ``|v - mean| > k·sigma`` for the bucket (population
+    sigma). Returns one row per (group, hour-of-day):
+    ``(hod, n, n_outliers)``.
+
+    ENGINE-EXACT despite being a sigma test: values micro-quantize to
+    integers, the bucket moments (n, S=Σv, Q=Σv²) accumulate in
+    DECIMAL, and the flag evaluates the algebraically cleared form
+    ``(v·n - S)² > k²·(Q·n - S²)`` — pure integer arithmetic, no
+    float mean/stddev whose partition-order drift could flip a
+    borderline row. Two aggregations over one shuffle key (bucket
+    moments, then the flag count); the moments table is broadcast
+    back."""
+    if k_sigma < 1:
+        raise ValueError(f"k_sigma must be >= 1, got {k_sigma}")
+    hod = F.hour(F.col(ts_col)).alias("hod")
+    micro = F.round(F.col(val_col) * 1_000_000).cast("decimal(20,0)")
+    base = df.select(*group_cols, hod, micro.alias("_v"))
+    mom = base.groupBy(*group_cols, "hod").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+    )
+    joined = base.join(F.broadcast(mom), [*group_cols, "hod"])
+    lhs = (F.col("_v") * F.col("_n") - F.col("_s"))
+    flag = (lhs * lhs) > (
+        F.lit(k_sigma * k_sigma)
+        * (F.col("_q") * F.col("_n") - F.col("_s") * F.col("_s"))
+    )
+    return (
+        joined.groupBy(*group_cols, "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(flag.cast("long")).alias("n_outliers"),
+        )
     )

@@ -247,3 +247,43 @@ def test_sorted_neighborhood_partition_invariant(spark):
         df.repartition(13), "id", "key", "t", 1, window=3
     )
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_calibration_bins_hand_computed(spark):
+    # 4 rows, 2 bins: low-score bin has 0 positives, high bin has 2
+    rows = [
+        (1, 0.1, 0, 1),
+        (1, 0.2, 0, 2),
+        (1, 0.8, 1, 3),
+        (1, 0.9, 1, 4),
+    ]
+    df = spark.createDataFrame(rows, "g int, score double, y int, id long")
+    out = {
+        r["bin"]: r
+        for r in stats.calibration_bins(df, ["g"], "score", "y", "id", 2).collect()
+    }
+    assert out[1]["pos"] == 0 and out[1]["pos_rate_micro"] == 0
+    assert out[1]["score_mean_micro"] == 150_000
+    assert out[2]["pos"] == 2 and out[2]["pos_rate_micro"] == 1_000_000
+    assert out[2]["score_mean_micro"] == 850_000
+
+
+def test_seasonal_outliers_flags_spike_in_own_hour(spark):
+    from datetime import datetime
+
+    # hour 3: ten 10.0s and one 1000.0 — a lone spike among k constants
+    # sits at exactly z = sqrt(n-1), so n=11 puts it at sqrt(10) > 3
+    # (n=10 would land EXACTLY on 3 sigma and the strict > keeps it);
+    # hour 4: uniform, no outliers
+    rows = [("a", datetime(2024, 1, 1, 3, i), 10.0) for i in range(10)]
+    rows.append(("a", datetime(2024, 1, 1, 3, 30), 1000.0))
+    rows += [("a", datetime(2024, 1, 1, 4, i), 10.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "t string, ts timestamp, value double")
+    out = {
+        r["hod"]: r
+        for r in stats.seasonal_outlier_counts(
+            df, ["t"], "ts", "value", k_sigma=3
+        ).collect()
+    }
+    assert out[3]["n"] == 11 and out[3]["n_outliers"] == 1
+    assert out[4]["n"] == 5 and out[4]["n_outliers"] == 0

@@ -423,3 +423,45 @@ def test_lsh_pair_stage_parallelism_pinned(spark, sf_dir):
     for qname in ("lsh_cosine_multiprobe_pairs", "lsh_cosine_neardup_pairs"):
         df = entry.queries()[qname](spark, sf_dir)
         assert df.rdd.getNumPartitions() >= parts, qname
+# Draft plan-quality tests for the round-5 operators (to append to
+# tests/test_plan_quality.py once the full suite finishes).
+
+
+def test_sorted_neighborhood_join_is_equi_not_cartesian(spark, sf_dir):
+    from bytewax_spark.functions import linkage
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = linkage.sorted_neighborhood_pairs(
+        cust, "c_custkey", "c_name", "c_name", 2, window=10
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_overlap_pair_join_broadcasts(spark, sf_dir):
+    from bytewax_spark.functions import sketches as sk
+    from bytewax_spark.functions import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = docs.select("source", tx.fingerprint("text").alias("fp"))
+    shards = sk.kmv_build(keyed, "fp", k=64, group_cols=["source"])
+    df = sk.kmv_overlap_matrix(shards, "source", k=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the pair list rides a broadcast; the sketch rows never cartesian
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_aggregate_is_partial(spark, sf_dir):
+    from bytewax_spark.functions import timeseries as tsf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = tsf.ohlc_resample(
+        ev, "ts", "value", "1 hour", key_cols=["event_type"], tie_col="event_id"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # open/close compile into the SAME partial aggregate as the rest —
+    # no window, map-side combine before the exchange
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "Window" not in plan
