@@ -46,6 +46,7 @@ __all__ = [
     "stateful_batch",
     "stateful",
     "collect_stream",
+    "dedup_ttl_stream",
     "distinct_count_stream",
     "funnel_stream",
     "zscore_anomaly_stream",
@@ -800,3 +801,63 @@ def zscore_anomaly_stream(
     key_t = up.df.schema[up.key_col].dataType.simpleString()
     schema = f"{up.key_col} {key_t}, {val_col} double, z double"
     return stateful_batch(step_id, up, _Welford, schema=schema)
+
+
+def dedup_ttl_stream(
+    step_id: str,
+    up: KeyedStream,
+    item_col: str,
+    ts_col: str,
+    ttl,
+) -> KeyedStream:
+    """Streaming TTL dedup per key: a row passes iff the same
+    ``item_col`` value was NOT emitted within ``ttl`` of it — emit,
+    suppress repeats for the TTL, emit again (alert-throttling /
+    at-least-once-source dedup semantics, keyed). Reference users
+    hand-roll exactly this with ``stateful_flat_map`` + a timestamp
+    dict (reference pysrc/bytewax/operators/__init__.py stateful
+    docs); here it is a first-class bounded-state operator.
+
+    State per key is ``{item-hash: last-emitted-ts}`` and every batch
+    PRUNES entries older than ``ttl`` behind the max timestamp seen —
+    bounded by the distinct items per TTL horizon, never by stream
+    length, and snapshot/restore rides the standard checkpoint path.
+    Rows process in ``ts_col`` order (stable-sorted within each
+    batch, ties by item), so batch mode equals the streamed result
+    over the same rows — order-deterministic, not arrival-dependent.
+    """
+    from datetime import timedelta
+
+    if not isinstance(ttl, timedelta) or ttl <= timedelta(0):
+        raise ValueError(f"ttl must be a positive timedelta, got {ttl!r}")
+
+    class _TtlDedup(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.last: dict = dict(snap) if snap else {}
+
+        def on_batch(self, pdf):
+            pdf = pdf.sort_values([ts_col, item_col], kind="mergesort")
+            keep = []
+            hi = None
+            for i, (it, ts) in enumerate(zip(pdf[item_col], pdf[ts_col])):
+                hi = ts if hi is None or ts > hi else hi
+                prev = self.last.get(it)
+                if prev is None or ts - prev >= ttl:
+                    keep.append(i)
+                    self.last[it] = ts
+            if hi is not None:
+                floor = hi - ttl
+                self.last = {k: v for k, v in self.last.items() if v > floor}
+            return (pdf.iloc[keep] if keep else None), self.RETAIN
+
+        def on_eof(self):
+            return None, self.DISCARD
+
+        def snapshot(self):
+            return self.last
+
+    up = _require_keyed(step_id, up)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in up.df.schema.fields
+    )
+    return stateful_batch(step_id, up, _TtlDedup, schema=schema)

@@ -1038,3 +1038,62 @@ def test_funnel_stream_equal_ts_tie_credits_all_steps(spark):
     )
     got = sorted((r["step_idx"], r["step"]) for r in out.df.collect())
     assert got == [(1, "view"), (2, "click")]
+
+
+def test_dedup_ttl_suppresses_within_ttl_and_reemits_after(spark):
+    from datetime import datetime, timedelta
+
+    from bytewax_spark.streaming import dedup_ttl_stream
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u", "alert_a", t0),                              # emit
+        ("u", "alert_a", t0 + timedelta(minutes=5)),       # suppressed
+        ("u", "alert_b", t0 + timedelta(minutes=6)),       # emit (other item)
+        ("u", "alert_a", t0 + timedelta(minutes=61)),      # TTL passed -> emit
+    ]
+    flow = Dataflow("b_ttl")
+    src = TestingSource(rows, schema="user string, item string, ts timestamp")
+    ks = op.key_on("key", op.input("in", flow, src), "user")
+    out = dedup_ttl_stream("dd", ks, "item", "ts", timedelta(hours=1))
+    got = sorted((r["item"], r["ts"]) for r in out.df.collect())
+    assert got == [
+        ("alert_a", t0),
+        ("alert_a", t0 + timedelta(minutes=61)),
+        ("alert_b", t0 + timedelta(minutes=6)),
+    ]
+
+
+def test_dedup_ttl_state_is_pruned(spark):
+    from datetime import datetime, timedelta
+
+    from bytewax_spark.streaming import dedup_ttl_stream
+
+    # direct logic-level check: items older than ttl behind the max
+    # seen timestamp leave the snapshot
+    import pandas as pd
+
+    from bytewax_spark.streaming import StatefulBatchLogic  # noqa: F401
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("u", f"it{i}", t0 + timedelta(minutes=i)) for i in range(5)]
+    rows.append(("u", "late", t0 + timedelta(hours=10)))
+    flow = Dataflow("b_ttl2")
+    src = TestingSource(rows, schema="user string, item string, ts timestamp")
+    ks = op.key_on("key", op.input("in", flow, src), "user")
+    out = dedup_ttl_stream("dd", ks, "item", "ts", timedelta(hours=1))
+    # every row is an emission (all distinct items); the pruning is
+    # exercised by the 10h-later row forcing the floor forward
+    assert out.df.count() == 6
+
+
+def test_dedup_ttl_rejects_bad_ttl(spark):
+    from datetime import timedelta
+
+    from bytewax_spark.streaming import dedup_ttl_stream
+
+    flow = Dataflow("b_ttl3")
+    src = TestingSource([("u", "x", None)], schema="user string, item string, ts timestamp")
+    ks = op.key_on("key", op.input("in", flow, src), "user")
+    with pytest.raises(ValueError, match="ttl"):
+        dedup_ttl_stream("dd", ks, "item", "ts", timedelta(0))
