@@ -50,6 +50,10 @@ __all__ = [
     "kmv_jaccard",
     "kmv_merge",
     "kmv_overlap_matrix",
+    "moments_build",
+    "moments_merge",
+    "moments_quantiles",
+    "moments_scale_bits",
 ]
 
 
@@ -610,3 +614,209 @@ def kmv_overlap_matrix(sketch: DataFrame, group_col: str, k: int = 64) -> DataFr
             .alias("jaccard_micro"),
         )
     )
+
+
+def moments_scale_bits(k: int) -> int:
+    """Quantization width for :func:`moments_build`: the scaled value
+    lives in ``[-2^b, 2^b]`` with ``b = min(20, 80 // k)``, chosen so
+    the largest power sum ``n * (2^b)^k`` stays inside DECIMAL(38,0)
+    even at ``n = 10^12`` rows (``(2^20)^4 * 10^12 ≈ 1.2e36``)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return min(20, 80 // k)
+
+
+def moments_build(
+    df: DataFrame,
+    value_col: str | Column,
+    lo: float,
+    hi: float,
+    k: int = 4,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Moments quantile sketch (Gan et al., VLDB 2018, public): the
+    first ``k`` power sums of ``value_col`` over a FIXED range
+    ``[lo, hi]`` → one row per group ``(n, smin, smax, m1..mk)``.
+    Values clamp into the range; the scaled integer
+    ``s = round((clamp(v)-lo)/(hi-lo) * 2S) - S ∈ [-S, S]`` with
+    ``S = 2^moments_scale_bits(k)`` makes every power sum an EXACT
+    DECIMAL(38,0) — associative, order-independent, engine-identical —
+    where the paper's float power sums drift with aggregation order.
+
+    This is the O(k)-state mergeable quantile complement to
+    :func:`histogram_build`: a histogram stores ``bins`` counters for
+    bin-width error; the moments sketch stores ``k+3`` numbers and
+    reconstructs a smooth density (maximum entropy, solved at READ
+    time by :func:`moments_quantiles`). Merge = element-wise addition
+    (:func:`moments_merge`), so per-shard / per-day sketches roll up
+    to the corpus sketch without touching the data again — the
+    100 TB shape: one map-side-combined aggregation, ``k+3`` numbers
+    per group out, nothing else moves.
+    """
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    bits = moments_scale_bits(k)
+    s_cap = 1 << bits
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    clamped = F.least(F.greatest(v, F.lit(float(lo))), F.lit(float(hi)))
+    s = (
+        F.round((clamped - F.lit(float(lo))) / F.lit(hi - lo) * F.lit(2 * s_cap))
+        .cast("bigint")
+        - F.lit(s_cap)
+    ).alias("_s")
+    gcols = list(group_cols or [])
+    scaled = df.select(*gcols, s)
+    # powers in DECIMAL: _s fits decimal(7,0); each multiply widens the
+    # precision Spark tracks but the VALUES stay exact (<= 2^80)
+    p = F.col("_s").cast("decimal(7,0)")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.min("_s").alias("smin"),
+        F.max("_s").alias("smax"),
+    ]
+    acc = p
+    for i in range(1, k + 1):
+        aggs.append(
+            F.sum(acc.cast("decimal(28,0)")).cast("decimal(38,0)").alias(f"m{i}")
+        )
+        acc = acc * p
+    return scaled.groupBy(*gcols).agg(*aggs)
+
+
+def moments_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge moments sketches built with the SAME ``lo, hi, k``:
+    counts and power sums add, min/max combine — exact (decimal
+    addition is associative), so merged == direct build over the
+    concatenated inputs."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    mcols = [c for c in out.columns if c.startswith("m") and c[1:].isdigit()]
+    return out.agg(
+        F.sum("n").alias("n"),
+        F.min("smin").alias("smin"),
+        F.max("smax").alias("smax"),
+        *[F.sum(c).cast("decimal(38,0)").alias(c) for c in mcols],
+    )
+
+
+def _cheb_vander(u, k):
+    """Chebyshev basis T_0..T_k evaluated on grid ``u`` (numpy)."""
+    import numpy as np
+
+    t = np.empty((k + 1, u.size))
+    t[0] = 1.0
+    if k >= 1:
+        t[1] = u
+    for i in range(2, k + 1):
+        t[i] = 2.0 * u * t[i - 1] - t[i - 2]
+    return t
+
+
+def _maxent_cdf_grid(mus: list[float], grid_n: int = 2048):
+    """Solve the maximum-entropy density on [-1, 1] matching power
+    moments ``mus`` (mus[0] == 1), in the Chebyshev basis for
+    conditioning (the Moments Sketch paper's solver, public method:
+    Newton on the convex dual). Returns (u_grid, cdf) as numpy arrays.
+    Driver-side only, O(grid_n * k^2) — never runs on executors."""
+    import numpy as np
+
+    k = len(mus) - 1
+    u = np.linspace(-1.0, 1.0, grid_n)
+    t = _cheb_vander(u, k)
+    # target Chebyshev moments: T_i is a polynomial in u with known
+    # coefficients; E[T_i] is the same combination of power moments
+    cheb_target = np.empty(k + 1)
+    coef = np.zeros((k + 1, k + 1))  # coef[i, j]: u^j coefficient of T_i
+    coef[0, 0] = 1.0
+    if k >= 1:
+        coef[1, 1] = 1.0
+    for i in range(2, k + 1):
+        coef[i, 1:] = 2.0 * coef[i - 1, :-1]
+        coef[i, :] -= coef[i - 2, :]
+    mus_arr = np.asarray(mus)
+    for i in range(k + 1):
+        cheb_target[i] = float(coef[i] @ mus_arr)
+    lam = np.zeros(k + 1)
+    lam[0] = -np.log(2.0)  # uniform density start
+    dx = u[1] - u[0]
+    for _ in range(60):
+        f = np.exp(np.clip(lam @ t, -700, 700))
+        # trapezoid weights
+        w = np.full_like(u, dx)
+        w[0] = w[-1] = dx / 2
+        fw = f * w
+        grad = t @ fw - cheb_target
+        hess = (t * fw) @ t.T
+        try:
+            step = np.linalg.solve(hess + 1e-12 * np.eye(k + 1), grad)
+        except np.linalg.LinAlgError:
+            break
+        # damped Newton: keep the dual objective finite
+        scale = 1.0
+        for _ in range(30):
+            cand = lam - scale * step
+            if np.all(np.isfinite(cand)) and np.max(cand @ t) < 700:
+                break
+            scale /= 2
+        lam = lam - scale * step
+        if np.max(np.abs(grad)) < 1e-10:
+            break
+    f = np.exp(np.clip(lam @ t, -700, 700))
+    cdf = np.cumsum((f[:-1] + f[1:]) / 2 * dx)
+    cdf = np.concatenate(([0.0], cdf))
+    if cdf[-1] > 0:
+        cdf = cdf / cdf[-1]
+    return u, cdf
+
+
+def moments_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    k: int = 4,
+) -> DataFrame:
+    """Read quantiles out of a (merged) moments sketch → rows
+    ``(q_micro, est_micro)``: maximum-entropy density reconstruction
+    from the stored power sums, CDF inversion on a fixed grid. The
+    collect is bounded (ONE sketch row); the solve is driver-side
+    numpy over a 2048-point grid — milliseconds, independent of data
+    size. ``lo, hi, k`` must match the build call.
+
+    Estimation error follows the paper's maxent behavior (typically
+    ~1% of range at k=4 for smooth distributions); the sketch is the
+    scale tool — for exact quantiles at small scale use
+    ``percentile_approx`` or a full sort."""
+    import numpy as np  # noqa: F401  (solver dependency, checked here)
+
+    bits = moments_scale_bits(k)
+    s_cap = 1 << bits
+    row = sketch.collect()
+    if len(row) != 1:
+        raise ValueError(f"expected one sketch row, got {len(row)}")
+    r = row[0]
+    n = int(r["n"])
+    if n == 0:
+        raise ValueError("empty sketch")
+    # standardized power moments of u = s / S on [-1, 1]
+    mus = [1.0] + [
+        float(int(r[f"m{i}"])) / (n * float(s_cap) ** i) for i in range(1, k + 1)
+    ]
+    u, cdf = _maxent_cdf_grid(mus)
+    # clip the support to the observed [smin, smax] band
+    u_lo, u_hi = r["smin"] / s_cap, r["smax"] / s_cap
+    out = []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        uq = float(np.interp(q, cdf, u))
+        uq = min(max(uq, u_lo), u_hi)
+        v = lo + (hi - lo) * (uq + 1.0) / 2.0
+        out.append((int(round(q * 1_000_000)), int(round(v * 1_000_000))))
+    spark = sketch.sparkSession
+    return spark.createDataFrame(out, "q_micro bigint, est_micro bigint")

@@ -67,6 +67,11 @@ def test_oracle_for_every_query_or_documented():
 
     q = set(entry.queries())
     o = set(entry.oracle_sql())
-    # rows-only (no SQL oracle) queries must be a known, documented set
-    assert q - o == {"kmeans_cells_embeddings"}
+    # rows-only (no SQL oracle) queries must be a known, documented set:
+    # kmeans (iterative refinement) and the maxent quantile solve are
+    # not SQL-expressible; both have accuracy tests in tests/
+    assert q - o == {
+        "kmeans_cells_embeddings",
+        "moments_quantiles_value_events",
+    }
     assert not (o - q), f"oracle entries without a query: {sorted(o - q)}"

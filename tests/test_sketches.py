@@ -420,3 +420,57 @@ def test_minhash_bag_distinguishes_repetition(spark):
     dd.release_signature_caches()
     assert len(out) == 1
     assert abs(out[0]["jaccard"] - 0.8) < 1e-9
+
+
+def test_moments_merge_equals_direct_build(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    full = sk.moments_build(ev, "value", 0.0, 512.0, k=4)
+    a = sk.moments_build(ev.filter(F.col("event_id") % 2 == 0), "value", 0.0, 512.0, k=4)
+    b = sk.moments_build(ev.filter(F.col("event_id") % 2 == 1), "value", 0.0, 512.0, k=4)
+    assert sk.moments_merge(a, b).collect() == full.collect()
+
+
+def test_moments_quantiles_accuracy(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    m = sk.moments_build(ev, "value", 0.0, 512.0, k=4)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    est = {
+        r["q_micro"]: r["est_micro"] / 1e6
+        for r in sk.moments_quantiles(m, qs, 0.0, 512.0, k=4).collect()
+    }
+    exact = ev.selectExpr(
+        "percentile(value, array(0.1,0.25,0.5,0.75,0.9)) p"
+    ).collect()[0]["p"]
+    for q, true in zip(qs, exact):
+        got = est[int(q * 1_000_000)]
+        # maxent reconstruction: within 1.5% of the [0,512] range
+        assert abs(got - true) <= 0.015 * 512.0, (q, got, true)
+
+
+def test_moments_grouped_build_one_row_per_group(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    m = sk.moments_build(ev, "value", 0.0, 512.0, k=4, group_cols=["event_type"])
+    n_types = ev.select("event_type").distinct().count()
+    rows = m.collect()
+    assert len(rows) == n_types
+    assert sum(r["n"] for r in rows) == ev.count()
+
+
+def test_moments_quantiles_uniform(spark):
+    # uniform integers 0..999: every quantile is ~q*1000
+    df = spark.range(1000).selectExpr("cast(id as double) v")
+    m = sk.moments_build(df, "v", 0.0, 1000.0, k=4)
+    est = {
+        r["q_micro"]: r["est_micro"] / 1e6
+        for r in sk.moments_quantiles(m, [0.25, 0.5, 0.75], 0.0, 1000.0, k=4).collect()
+    }
+    assert abs(est[250000] - 250) < 15
+    assert abs(est[500000] - 500) < 15
+    assert abs(est[750000] - 750) < 15
+
+
+def test_moments_scale_bits_headroom(spark):
+    # the largest power sum must fit decimal(38,0) at 1e12 rows
+    for k in (1, 2, 4, 6, 8):
+        b = sk.moments_scale_bits(k)
+        assert (1 << (b * k)) * 10**12 < 10**38
