@@ -6496,6 +6496,99 @@ def moments_quantiles_value_events(spark: SparkSession, sf_dir: str) -> DataFram
     return sk.moments_quantiles(m, qs, 0.0, 512.0, k=4)
 
 
+def nb_train_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature naive-Bayes TRAINING as one aggregation
+    (functions/classify.py nb_train; CCNet / fastText-style corpus
+    filter, Wenzek 2020 / Joulin 2017, public): label = (lang = 'en'),
+    features = md5-hashed token buckets (hashing trick: model capped
+    at 2^16 rows whatever the vocabulary), weight = Laplace-smoothed
+    log-odds QUANTIZED TO INT64 MICRO so downstream score sums are
+    associative and engine-exact. One shuffle of <= 2^bits rows --
+    100 TB of text trains in a single map-side-combined pass.
+
+    The synthetic corpus shares one 31-word vocabulary across langs,
+    so the LABEL is not learnable here -- this query pins the exact
+    training arithmetic; separation on separable data is asserted in
+    tests/test_classify.py."""
+    from bytewax_spark.functions import classify as cl
+
+    flow = _flow("nbt")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return cl.nb_train(docs, "text", (F.col("lang") == "en").cast("int"), bits=16)
+
+
+_ORACLES["nb_train_lang_docs"] = f"""
+    WITH tok AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             {_SQL_H64.format("w")} % 65536 AS bucket
+      FROM (SELECT lang, UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    per AS (
+      SELECT bucket, CAST(SUM(y) AS BIGINT) AS c1,
+             CAST(SUM(1 - y) AS BIGINT) AS c0
+      FROM tok GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0 FROM per)
+    SELECT bucket, c1, c0,
+           CAST(ROUND(1000000.0 * LN(
+             (CAST(c1 + 1 AS DOUBLE) * (n0 + 65536))
+             / (CAST(c0 + 1 AS DOUBLE) * (n1 + 65536))
+           )) AS BIGINT) AS w_micro
+    FROM per, tot
+"""
+
+
+def nb_score_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier INFERENCE over the whole corpus
+    (functions/classify.py nb_score): tokens -> hashed buckets ->
+    broadcast-join the trained model (<= 2^bits rows, always
+    broadcastable) -> per-document int64 weight sum. The only shuffle
+    is the per-document aggregation; scores are bit-identical on any
+    engine because the weights were quantized before summation."""
+    from bytewax_spark.functions import classify as cl
+
+    flow = _flow("nbs")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    model = cl.nb_train(docs, "text", (F.col("lang") == "en").cast("int"), bits=16)
+    return cl.nb_score(docs, model, "text", "doc_id", bits=16)
+
+
+_ORACLES["nb_score_lang_docs"] = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             {_SQL_H64.format("w")} % 65536 AS bucket
+      FROM (SELECT doc_id, lang,
+                   UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    per AS (
+      SELECT bucket, SUM(y) AS c1, SUM(1 - y) AS c0 FROM tok GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0 FROM per),
+    model AS (
+      SELECT bucket,
+             CAST(ROUND(1000000.0 * LN(
+               (CAST(c1 + 1 AS DOUBLE) * (n0 + 65536))
+               / (CAST(c0 + 1 AS DOUBLE) * (n1 + 65536))
+             )) AS BIGINT) AS w_micro
+      FROM per, tot
+    ),
+    s AS (
+      SELECT t.doc_id, SUM(COALESCE(m.w_micro, 0)) AS s
+      FROM tok t LEFT JOIN model m ON t.bucket = m.bucket
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.s, 0) AS BIGINT) AS score_micro,
+           COALESCE(s.s, 0) > 0 AS pred
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6510,6 +6603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "nb_train_lang_docs": nb_train_lang_docs,
+        "nb_score_lang_docs": nb_score_lang_docs,
         "moments_sketch_value_events": moments_sketch_value_events,
         "moments_merge_by_type_events": moments_merge_by_type_events,
         "moments_quantiles_value_events": moments_quantiles_value_events,
