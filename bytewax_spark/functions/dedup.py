@@ -39,6 +39,7 @@ __all__ = [
     "dedup_bloom_incremental",
     "bloom_build",
     "bloom_might_contain",
+    "dedup_keep_best",
     "dedup_lines_global",
     "dedup_spans_global",
     "shingle_docs",
@@ -1028,4 +1029,45 @@ def containment_pairs(
         .withColumn("containment", F.round(inter / F.col("_sa"), 6))
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str | Column,
+    n: int = 3,
+    k: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
+    """Quality-aware near-dup dedup: one survivor per MinHash-LSH
+    cluster, chosen as the HIGHEST ``score_col`` (ties → smallest id)
+    instead of the arbitrary minimum id — "keep the best copy", the
+    curation rule real pipelines want (the canonical page, the longest
+    extraction, the highest quality score; cf. the dedup guidance in
+    Rae et al. 2021 / Lee et al. 2021, public). Returns
+    ``(id_col, cluster_id)`` for the survivors only.
+
+    Composition: :func:`~bytewax_spark.functions.graph.neardup_clusters`
+    (banded LSH → star edges → connected components, O(N·bands)) +
+    one score join + a per-cluster ``row_number`` — the argmax window
+    partitions by cluster, so the added cost over min-id dedup is one
+    id-and-score shuffle, nothing quadratic."""
+    from pyspark.sql import Window
+
+    from .graph import neardup_clusters
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    clusters = neardup_clusters(df, text_col, id_col, n=n, k=k, bands=bands)
+    joined = clusters.join(
+        df.select(F.col(id_col), score.alias("_score")), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_score"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cluster_id")
     )

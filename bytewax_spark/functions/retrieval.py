@@ -34,6 +34,7 @@ __all__ = [
     "tfidf_top_terms",
     "bm25_scores",
     "vocab_coverage",
+    "inverted_index",
 ]
 
 
@@ -353,4 +354,51 @@ def vocab_coverage(
                 F.sum("cnt").over(w).cast("double") / F.col("_tot").cast("double"), 9
             ).alias("coverage"),
         )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Build an inverted index: one row per term ``(term, df_count,
+    cf_count, postings)`` — ``df_count`` documents containing the
+    term, ``cf_count`` total occurrences, ``postings`` a doc-id-sorted
+    ``array<string>`` of ``"id:tf"`` entries (string-encoded so any
+    SQL engine reproduces the rows byte-for-byte). The search-side
+    complement of :func:`bm25_scores`: build once, serve term lookups
+    without touching the corpus.
+
+    Scale shape: one (id, term) partial-count shuffle (same cost class
+    as wordcount), then one groupBy(term). Stopword-grade terms make
+    giant posting arrays — ``max_postings`` caps the ARRAY (keeping
+    the smallest doc ids, deterministic) while ``df_count``/
+    ``cf_count`` stay exact over all occurrences; at web scale pass a
+    cap (or pre-drop stopwords) so no single term row exceeds executor
+    memory."""
+    tf = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    posts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_count"),
+        F.sum("_tf").alias("cf_count"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_id"), F.col("_tf")))
+        ).alias("_p"),
+    )
+    arr = F.col("_p") if max_postings is None else F.slice("_p", 1, max_postings)
+    return posts.select(
+        "term",
+        "df_count",
+        "cf_count",
+        F.transform(
+            arr,
+            lambda s: F.concat_ws(
+                ":", s.getField("_id").cast("string"), s.getField("_tf").cast("string")
+            ),
+        ).alias("postings"),
     )

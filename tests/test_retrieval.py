@@ -534,3 +534,52 @@ def test_trailing_agg_sum_and_count(spark):
         timeseries.trailing_agg(df, "uid", "ts", "v", timedelta(0))
     with pytest.raises(ValueError):
         timeseries.trailing_agg(df, "uid", "ts", "v", timedelta(hours=1), agg="median")
+
+
+def test_inverted_index_counts_and_postings(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")], "doc_id long, text string"
+    )
+    idx = {r["term"]: r for r in retrieval.inverted_index(df, "text", "doc_id").collect()}
+    assert idx["a"]["df_count"] == 2 and idx["a"]["cf_count"] == 3
+    assert idx["a"]["postings"] == ["1:2", "3:1"]
+    assert idx["b"]["postings"] == ["1:1", "2:1"]
+    assert idx["c"]["df_count"] == 1 and idx["c"]["postings"] == ["2:1"]
+
+
+def test_inverted_index_postings_cap_keeps_counts_exact(spark):
+    df = spark.createDataFrame(
+        [(i, "tok") for i in range(10)], "doc_id long, text string"
+    )
+    row = retrieval.inverted_index(df, "text", "doc_id", max_postings=3).collect()[0]
+    assert row["df_count"] == 10 and row["cf_count"] == 10
+    assert row["postings"] == ["0:1", "1:1", "2:1"]  # smallest ids survive
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    # docs 1/2/3 are near-identical (same unigram set), doc 9 distinct;
+    # doc 2 has the highest score so it must be the survivor
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", 10),
+            (2, "epsilon delta alpha beta gamma gamma", 99),
+            (3, "alpha beta gamma delta epsilon", 10),
+            (9, "completely different words here entirely", 1),
+        ],
+        "doc_id long, text string, score long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_keep_best(
+        df, "text", "doc_id", "score", n=1, k=32, bands=4
+    ).collect()}
+    assert 9 in out  # singleton survives
+    dup_survivors = [d for d in out if d != 9]
+    assert dup_survivors == [2]  # highest score, not min id
+
+
+def test_dedup_keep_best_tie_breaks_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "alpha beta gamma", 7), (3, "alpha beta gamma", 7)],
+        "doc_id long, text string, score long",
+    )
+    out = dd.dedup_keep_best(df, "text", "doc_id", "score", n=1, k=32, bands=4).collect()
+    assert [r["doc_id"] for r in out] == [3]
