@@ -6647,6 +6647,39 @@ _ORACLES["inverted_index_docs"] = """
 """
 
 
+def moments_stream_batch_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING moments sketch (streaming/moments_stream) run in
+    batch mode: per event_type, k+3 exact integers of state fold the
+    whole value stream, emitted once at EOF. Exercises the
+    applyInPandas stateful path with the same HALF-UP quantization as
+    the batch build, so every power sum is SQL-oracle exact (Python
+    ints == DECIMAL(38,0) bit-for-bit)."""
+    from bytewax_spark.streaming import moments_stream
+
+    flow = _flow("momsb")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    proj = op.map("proj", ev, {"event_type": "event_type", "value": "value"})
+    ks = op.key_on("key", proj, "event_type")
+    return moments_stream("m", ks, "value", 0.0, 512.0, k=4).df
+
+
+_ORACLES["moments_stream_batch_by_type"] = """
+    WITH s AS (
+      SELECT event_type,
+             CAST(ROUND((LEAST(GREATEST(value, 0.0), 512.0) - 0.0)
+                        / 512.0 * 2097152.0) AS BIGINT) - 1048576 AS s
+      FROM events
+    )
+    SELECT CAST(event_type AS VARCHAR) AS key,
+           COUNT(*) AS n, MIN(s) AS smin, MAX(s) AS smax,
+           CAST(SUM(CAST(s AS HUGEINT)) AS VARCHAR) AS m1,
+           CAST(SUM(CAST(s AS HUGEINT) * s) AS VARCHAR) AS m2,
+           CAST(SUM(CAST(s AS HUGEINT) * s * s) AS VARCHAR) AS m3,
+           CAST(SUM(CAST(s AS HUGEINT) * s * s * s) AS VARCHAR) AS m4
+    FROM s GROUP BY event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6661,6 +6694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "moments_stream_batch_by_type": moments_stream_batch_by_type,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "inverted_index_docs": inverted_index_docs,
         "nb_train_lang_docs": nb_train_lang_docs,

@@ -49,6 +49,7 @@ __all__ = [
     "dedup_ttl_stream",
     "distinct_count_stream",
     "funnel_stream",
+    "moments_stream",
     "zscore_anomaly_stream",
     "frequency_cap_stream",
     "heavy_hitters_stream",
@@ -861,3 +862,89 @@ def dedup_ttl_stream(
         f"{f.name} {f.dataType.simpleString()}" for f in up.df.schema.fields
     )
     return stateful_batch(step_id, up, _TtlDedup, schema=schema)
+
+
+def moments_stream(
+    step_id: str,
+    up: KeyedStream,
+    val_col: str,
+    lo: float,
+    hi: float,
+    k: int = 4,
+) -> KeyedStream:
+    """Streaming moments quantile sketch per key (Gan et al. 2018,
+    public; batch twin: ``functions.sketches.moments_build``): state
+    is ``k + 3`` EXACT integers per key forever — count, scaled
+    min/max, and the first ``k`` power sums of the range-scaled value
+    (Python ints never overflow, matching the batch build's
+    DECIMAL(38,0) bit-for-bit). Read quantiles from the emitted rows
+    with ``functions.sketches.moments_quantiles``.
+
+    Quantization matches the batch side exactly: HALF-UP rounding of
+    ``(clamp(v)-lo)/(hi-lo) * 2S`` (Spark's ``F.round``; Python's
+    banker's ``round`` would disagree on .5 boundaries), ``S = 2 **
+    moments_scale_bits(k)``. Streaming mode emits the key's RUNNING
+    sketch each batch; batch mode emits once at EOF — equal to the
+    grouped batch build, which the tests assert. Power sums emit as
+    strings (the exact value survives any transport width)."""
+    import math
+
+    from bytewax_spark.functions.sketches import moments_scale_bits
+
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    s_cap = 1 << moments_scale_bits(k)
+    emit_each = bool(up.df.isStreaming)
+
+    class _Moments(StatefulBatchLogic):
+        def __init__(self, snap):
+            if snap is not None:
+                self.n, self.smin, self.smax, self.ms = (
+                    snap[0],
+                    snap[1],
+                    snap[2],
+                    [int(m) for m in snap[3]],
+                )
+            else:
+                self.n, self.smin, self.smax, self.ms = 0, None, None, [0] * k
+
+        def _fold(self, pdf):
+            for v in pdf[val_col]:
+                x = min(max(float(v), lo), hi)
+                s = int(math.floor((x - lo) / (hi - lo) * (2 * s_cap) + 0.5)) - s_cap
+                self.n += 1
+                self.smin = s if self.smin is None else min(self.smin, s)
+                self.smax = s if self.smax is None else max(self.smax, s)
+                p = 1
+                for i in range(k):
+                    p *= s
+                    self.ms[i] += p
+
+        def _row(self):
+            return pd.DataFrame(
+                [
+                    (self.n, self.smin, self.smax)
+                    + tuple(str(m) for m in self.ms)
+                ],
+                columns=["n", "smin", "smax"] + [f"m{i+1}" for i in range(k)],
+            )
+
+        def on_batch(self, pdf):
+            self._fold(pdf)
+            if emit_each:
+                return self._row(), self.RETAIN
+            return None, self.RETAIN
+
+        def on_eof(self):
+            if self.n == 0:
+                return None, self.DISCARD
+            return self._row(), self.DISCARD
+
+        def snapshot(self):
+            return (self.n, self.smin, self.smax, [str(m) for m in self.ms])
+
+    up = _require_keyed(step_id, up)
+    key_t = up.df.schema[up.key_col].dataType.simpleString()
+    mcols = ", ".join(f"m{i+1} string" for i in range(k))
+    schema = f"{up.key_col} {key_t}, n long, smin long, smax long, {mcols}"
+    return stateful_batch(step_id, up, _Moments, schema=schema)

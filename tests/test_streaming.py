@@ -1097,3 +1097,60 @@ def test_dedup_ttl_rejects_bad_ttl(spark):
     ks = op.key_on("key", op.input("in", flow, src), "user")
     with pytest.raises(ValueError, match="ttl"):
         dedup_ttl_stream("dd", ks, "item", "ts", timedelta(0))
+
+
+def test_moments_stream_batch_equals_batch_build(spark, sf_dir):
+    from bytewax_spark.functions import sketches as sk
+    from bytewax_spark.streaming import moments_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flow = Dataflow("b_mom")
+    ks = op.key_on("key", op.input("in", flow, ev), "event_type")
+    got = {
+        r["key"]: r
+        for r in moments_stream("m", ks, "value", 0.0, 512.0, k=4).df.collect()
+    }
+    want = {
+        r["event_type"]: r
+        for r in sk.moments_build(
+            ev, "value", 0.0, 512.0, k=4, group_cols=["event_type"]
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for t, w in want.items():
+        g = got[t]
+        assert (g["n"], g["smin"], g["smax"]) == (w["n"], w["smin"], w["smax"])
+        for i in range(1, 5):
+            assert g[f"m{i}"] == str(w[f"m{i}"]), (t, i)
+
+
+def test_moments_stream_state_across_microbatches(spark):
+    from bytewax_spark.streaming import moments_stream
+
+    rows = [("k", float(v)) for v in range(100)]
+    flow = Dataflow("s_mom")
+    src = TestingSource(
+        rows, schema="k string, v double", streaming=True, files=4
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "k")
+    out = moments_stream("m", ks, "v", 0.0, 100.0, k=2)
+    sink = MemorySink("s_mom_out")
+    op.output("out", out, sink)
+    got = drain(spark, flow, "s_mom_out")
+    # running emissions: the LAST one holds the full fold
+    last = got[-1]
+    assert last["n"] == 100
+    total = sum(
+        int((v / 100.0) * (2 * (1 << 20)) + 0.5) - (1 << 20) for v in range(100)
+    )
+    assert last["m1"] == str(total)
+
+
+def test_moments_stream_validates(spark):
+    from bytewax_spark.streaming import moments_stream
+
+    flow = Dataflow("b_momv")
+    src = TestingSource([("k", 1.0)], schema="k string, v double")
+    ks = op.key_on("key", op.input("in", flow, src), "k")
+    with pytest.raises(ValueError):
+        moments_stream("m", ks, "v", 5.0, 5.0)
