@@ -6680,6 +6680,57 @@ _ORACLES["moments_stream_batch_by_type"] = """
 """
 
 
+def bpe_pair_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE tokenizer statistics (functions/tokenizer.py
+    bpe_pair_counts, Sennrich 2016): adjacent character-pair counts
+    weighted by word frequency. The corpus collapses to a distinct-
+    words table first (one wordcount-class shuffle), so 100 TB of text
+    becomes a vocabulary-sized aggregation -- the shape every BPE
+    training round re-runs. Exactly SQL-expressible; the oracle anchor
+    for the iterative trainer (bpe_train_docs)."""
+    from bytewax_spark.functions import tokenizer as tk
+
+    flow = _flow("bpepc")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return tk.bpe_pair_counts(docs, "text")
+
+
+_ORACLES["bpe_pair_counts_docs"] = """
+    WITH w AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY 1
+    ),
+    p AS (
+      SELECT SUBSTRING(word, CAST(i AS INTEGER), 1) AS "left",
+             SUBSTRING(word, CAST(i AS INTEGER) + 1, 1) AS "right",
+             cnt
+      FROM w, UNNEST(GENERATE_SERIES(1, LENGTH(word) - 1)) AS t(i)
+      WHERE LENGTH(word) >= 2
+    )
+    SELECT "left", "right", CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM p GROUP BY 1, 2
+"""
+
+
+def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INDUCTION on the corpus (functions/tokenizer.py
+    bpe_train): 16 merge rounds, each ONE aggregation over the
+    word-frequency table (argmax adjacent pair, ties by count desc /
+    left asc / right asc) + one map-side array fold applying the
+    merge. Driver state per round is a single row. Iterative by
+    nature (each merge changes the next round's statistics), so no
+    SQL oracle -- round-0 statistics are oracle-anchored by
+    bpe_pair_counts_docs and the canonical Sennrich example is
+    asserted merge-for-merge in tests/test_tokenizer.py."""
+    from bytewax_spark.functions import tokenizer as tk
+
+    flow = _flow("bpet")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return tk.bpe_train(docs, "text", n_merges=16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6694,6 +6745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "bpe_pair_counts_docs": bpe_pair_counts_docs,
+        "bpe_train_docs": bpe_train_docs,
         "moments_stream_batch_by_type": moments_stream_batch_by_type,
         "dedup_keep_best_docs": dedup_keep_best_docs,
         "inverted_index_docs": inverted_index_docs,

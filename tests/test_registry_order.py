@@ -73,5 +73,6 @@ def test_oracle_for_every_query_or_documented():
     assert q - o == {
         "kmeans_cells_embeddings",
         "moments_quantiles_value_events",
+        "bpe_train_docs",
     }
     assert not (o - q), f"oracle entries without a query: {sorted(o - q)}"
