@@ -6731,6 +6731,78 @@ def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tk.bpe_train(docs, "text", n_merges=16)
 
 
+def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality contract gate over orders (functions/validate.py
+    expect; the Great-Expectations/Deequ shape, reimplemented as Spark
+    expressions): all expression rules (not_null, in_range, in_set,
+    matches) share ONE aggregation pass; the unique rule is one
+    groupBy and the fk rule one anti-join against customer -- the
+    minimum I/O those semantics allow. Output is one tiny row per
+    rule, so gating a petabyte table costs one scan + one shuffle per
+    relational rule."""
+    from bytewax_spark.functions import validate as dq
+
+    flow = _flow("dqr")
+    orders = op.input("orders", flow, _t(spark, sf_dir, "orders")).df
+    customer = _t(spark, sf_dir, "customer")
+    rep = dq.expect(
+        orders,
+        [
+            ("not_null", "o_orderkey"),
+            ("not_null", "o_custkey"),
+            ("in_range", "o_totalprice", 0.0, 1000000.0),
+            ("in_set", "o_orderstatus", ["O", "F", "P"]),
+            ("matches", "o_orderpriority", r"[1-5]-[A-Z ]+"),
+            ("unique", ["o_orderkey"]),
+            ("fk", "o_custkey", customer, "c_custkey"),
+        ],
+    )
+    return rep.orderBy("rule", "column")
+
+
+_ORACLES["dq_report_orders"] = """
+    WITH r AS (
+      SELECT 'not_null' AS rule, 'o_orderkey' AS "column",
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'not_null', 'o_custkey',
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'in_range', 'o_totalprice',
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'in_set', 'o_orderstatus',
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'matches', 'o_orderpriority',
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT REGEXP_FULL_MATCH(o_orderpriority, '[1-5]-[A-Z ]+')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+             CAST(COALESCE((SELECT SUM(n) FROM (
+               SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+             )), 0) AS BIGINT)
+      UNION ALL
+      SELECT 'fk', 'o_custkey',
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE o.o_custkey IS NOT NULL
+                     AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+    )
+    SELECT rule, "column", violations, violations = 0 AS ok
+    FROM r ORDER BY rule, "column"
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6745,6 +6817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "dq_report_orders": dq_report_orders,
         "bpe_pair_counts_docs": bpe_pair_counts_docs,
         "bpe_train_docs": bpe_train_docs,
         "moments_stream_batch_by_type": moments_stream_batch_by_type,

@@ -1,0 +1,151 @@
+"""Rule-based data-quality gates — assert expectations over a table
+and get a violations report, the contract check a 100 TB pipeline
+runs between stages (the shape popularized by Great Expectations /
+Deequ, both public tools; this is an independent Spark-expression
+implementation).
+
+Each rule compiles to ONE boolean expression evaluated in the same
+single aggregation pass (a violation counter per rule), except
+``unique`` (one groupBy on the rule's columns) and ``fk`` (one
+anti-join against the parent) which are separate single-shuffle jobs
+by nature. The report is tiny — one row per rule — so gating a
+petabyte table costs one scan plus one shuffle per relational rule.
+
+Complement to :func:`bytewax_spark.functions.profiling.profile_table`
+(the census: what IS in the table) — ``expect`` answers "does the
+table satisfy the contract", with exact violation counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["expect", "fk_violations", "unique_violations"]
+
+
+def fk_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Rows of ``child`` whose ``child_key`` has no match in
+    ``parent.parent_key`` (NULL keys are not violations — pair with a
+    ``not_null`` rule to forbid them). One left-anti join; Spark
+    broadcasts the parent side when it is small."""
+    return child.filter(F.col(child_key).isNotNull()).join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+
+
+def unique_violations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key groups appearing more than once → ``(*cols, n)``. One
+    groupBy on the key."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def expect(df: DataFrame, rules: list[tuple], name_col: str = "rule") -> DataFrame:
+    """Evaluate a rule list → one report row per rule:
+    ``(rule, column, violations, ok)``.
+
+    Rule forms (tuples):
+
+    - ``("not_null", col)``
+    - ``("unique", [col, ...])``
+    - ``("in_range", col, lo, hi)``  (inclusive; NULL passes)
+    - ``("matches", col, regex)``  (full-match; NULL passes)
+    - ``("in_set", col, [v, ...])``  (NULL passes)
+    - ``("fk", col, parent_df, parent_col)``
+    - ``("expr", label, bool_column)``  (True = violation)
+
+    All expression rules share ONE aggregation pass; each ``unique``
+    adds one groupBy job and each ``fk`` one anti-join job — the
+    minimum possible I/O for those semantics."""
+    if not rules:
+        raise ValueError("expect needs at least one rule")
+    spark = df.sparkSession
+    expr_aggs: list = []
+    expr_meta: list[tuple[str, str]] = []
+    extra_reports: list[DataFrame] = []
+    for r in rules:
+        kind = r[0]
+        if kind == "not_null":
+            _, c = r
+            expr_aggs.append(F.sum(F.col(c).isNull().cast("long")))
+            expr_meta.append(("not_null", c))
+        elif kind == "in_range":
+            _, c, lo, hi = r
+            bad = F.col(c).isNotNull() & ~F.col(c).between(F.lit(lo), F.lit(hi))
+            expr_aggs.append(F.sum(bad.cast("long")))
+            expr_meta.append(("in_range", c))
+        elif kind == "matches":
+            _, c, pat = r
+            bad = F.col(c).isNotNull() & ~F.col(c).rlike(f"^(?:{pat})$")
+            expr_aggs.append(F.sum(bad.cast("long")))
+            expr_meta.append(("matches", c))
+        elif kind == "in_set":
+            _, c, vals = r
+            bad = F.col(c).isNotNull() & ~F.col(c).isin(list(vals))
+            expr_aggs.append(F.sum(bad.cast("long")))
+            expr_meta.append(("in_set", c))
+        elif kind == "expr":
+            _, label, cond = r
+            expr_aggs.append(F.sum(cond.cast("long")))
+            expr_meta.append(("expr", label))
+        elif kind == "unique":
+            _, cols = r
+            cnt = unique_violations(df, list(cols)).agg(
+                F.coalesce(F.sum(F.col("n")), F.lit(0)).alias("violations")
+            )
+            extra_reports.append(
+                cnt.select(
+                    F.lit("unique").alias(name_col),
+                    F.lit(",".join(cols)).alias("column"),
+                    F.col("violations").cast("long").alias("violations"),
+                )
+            )
+        elif kind == "fk":
+            _, c, parent, pcol = r
+            cnt = fk_violations(df, parent, c, pcol).agg(
+                F.count(F.lit(1)).alias("violations")
+            )
+            extra_reports.append(
+                cnt.select(
+                    F.lit("fk").alias(name_col),
+                    F.lit(c).alias("column"),
+                    F.col("violations").cast("long").alias("violations"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+    reports: list[DataFrame] = []
+    if expr_aggs:
+        wide = df.agg(
+            *[a.alias(f"_v{i}") for i, a in enumerate(expr_aggs)]
+        )
+        longed = wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias(name_col),
+                            F.lit(c).alias("column"),
+                            F.coalesce(F.col(f"_v{i}"), F.lit(0))
+                            .cast("long")
+                            .alias("violations"),
+                        )
+                        for i, (k, c) in enumerate(expr_meta)
+                    ]
+                )
+            ).alias("_r")
+        ).select("_r.*")
+        reports.append(longed)
+    reports.extend(extra_reports)
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.withColumn("ok", F.col("violations") == 0)
