@@ -6803,6 +6803,27 @@ _ORACLES["dq_report_orders"] = """
 """
 
 
+def pq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end (functions/similarity.py
+    pq_train/pq_encode/pq_adc_topk, Jegou 2011): train m=4 subspace
+    codebooks (k-means per subspace -- constant driver state), encode
+    every vector to 4 small ints (a 64-dim float vector becomes 4
+    bytes: the code table is what you keep hot at 100 TB), then
+    asymmetric-distance top-20 from a per-query lookup table frozen as
+    plan literals -- scoring is m array lookups + adds per row, no
+    vector math. Iterative k-means training -> no SQL oracle; recall
+    on separable data is asserted in tests/test_clustering.py and the
+    self-match invariant holds here (vec 0 ranks first)."""
+    from bytewax_spark.functions import similarity as sim
+
+    flow = _flow("pq")
+    emb = op.input("emb", flow, _t(spark, sf_dir, "embeddings")).df
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    books = sim.pq_train(emb, "embedding", "vec_id", m=4, k=8, max_iter=3)
+    codes = sim.pq_encode(emb, "embedding", "vec_id", books)
+    return sim.pq_adc_topk(codes, books, q, k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6817,6 +6838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "pq_topk_vec0": pq_topk_vec0,
         "dq_report_orders": dq_report_orders,
         "bpe_pair_counts_docs": bpe_pair_counts_docs,
         "bpe_train_docs": bpe_train_docs,

@@ -36,6 +36,9 @@ __all__ = [
     "lsh_bucket_col",
     "lsh_buckets",
     "lsh_probe_buckets",
+    "pq_adc_topk",
+    "pq_encode",
+    "pq_train",
     "quantize_embeddings",
     "random_projection",
 ]
@@ -519,4 +522,109 @@ def centroid_outliers(
             F.col("_grp").alias(group_col),
             "cos_centroid",
         )
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 5,
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook (Jégou et al. 2011,
+    public — the workhorse of billion-scale ANN): split the vector
+    into ``m`` contiguous subspaces and k-means each independently →
+    ``codebooks[s]`` = ``k`` centroids of ``dims/m`` floats. Driver
+    state is ``m*k*dims/m = k*dims`` doubles — constant in the table
+    size; training runs ``m`` independent Lloyd's loops over the
+    SLICED column (each iteration one aggregation, same machinery as
+    :func:`~bytewax_spark.functions.clustering.kmeans_fit`)."""
+    from .clustering import kmeans_fit
+
+    dims = len(df.select(F.col(vec_col)).first()[0])
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    d = dims // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col), F.slice(as_double(vec_col), s * d + 1, d).alias("_sub")
+        )
+        books.append(kmeans_fit(sub, "_sub", id_col, k=k, max_iter=max_iter))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "codes",
+) -> DataFrame:
+    """Compress vectors to ``m`` small ints → ``(id_col, out_col:
+    array<int>)``: per subspace, the index of the nearest codebook
+    centroid (squared L2, lowest index ties). A 64-dim float vector
+    becomes 8 bytes at m=8/k<=256 — the 100 TB move: the code table
+    is ~32x smaller than the vectors, small enough to keep hot.
+    Map-side literal expressions only; nothing shuffles."""
+    from .clustering import _dist2
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    v = as_double(vec_col)
+    codes = []
+    for s in range(m):
+        sub = F.slice(v, s * d + 1, d)
+        scored = F.array(
+            [
+                F.struct(_dist2(sub, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(codebooks[s])
+            ]
+        )
+        codes.append(F.array_min(scored).getField("i"))
+    return df.select(F.col(id_col), F.array(*codes).alias(out_col))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes → ``(id_col,
+    adc_dist2)`` ascending: the query stays full-precision, each
+    subspace contributes a PRECOMPUTED distance from a lookup table
+    ``lut[s][c] = ||q_s - codebook[s][c]||²`` (m*k driver floats,
+    frozen as plan literals), so scoring a row is ``m`` array lookups
+    + adds — no vector arithmetic per row, the reason PQ search is
+    memory-bandwidth-bound, not FLOP-bound. TakeOrdered(k) ends the
+    plan: no global sort."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    if len(query_vec) != m * d:
+        raise ValueError(
+            f"query dims {len(query_vec)} != codebook dims {m * d}"
+        )
+    luts = []
+    for s in range(m):
+        qs = [float(x) for x in query_vec[s * d : (s + 1) * d]]
+        luts.append(
+            [
+                sum((a - b) ** 2 for a, b in zip(qs, c))
+                for c in codebooks[s]
+            ]
+        )
+    dist = None
+    for s in range(m):
+        lut = F.array([F.lit(x) for x in luts[s]])
+        term = F.element_at(lut, F.element_at(F.col(codes_col), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    return (
+        codes.select(F.col(id_col), F.round(dist, 6).alias("adc_dist2"))
+        .orderBy(F.col("adc_dist2").asc(), F.col(id_col))
+        .limit(k)
     )

@@ -105,3 +105,61 @@ def test_ivf_index_lifecycle_prunes_partitions(spark, sf_dir):
         assert sorted(map(tuple, full.collect())) == sorted(
             map(tuple, brute.collect())
         )
+
+
+def test_pq_roundtrip_on_clustered_data(spark):
+    """PQ on separable data: 4 well-separated 8-dim clusters; ADC
+    search from a cluster member must retrieve that cluster."""
+    from bytewax_spark.functions import similarity as sim
+
+    import itertools
+    rows = []
+    rid = 0
+    centers = [
+        [0.0] * 8,
+        [10.0] * 8,
+        [0.0] * 4 + [10.0] * 4,
+        [10.0] * 4 + [0.0] * 4,
+    ]
+    for ci, c in enumerate(centers):
+        for j in range(25):
+            vec = [x + ((rid * 7 + d * 3) % 5) * 0.1 for d, x in enumerate(c)]
+            rows.append((rid, ci, vec))
+            rid += 1
+    df = spark.createDataFrame(rows, "vec_id long, cl int, embedding array<double>")
+    books = sim.pq_train(df, "embedding", "vec_id", m=2, k=4, max_iter=4)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    codes = sim.pq_encode(df, "embedding", "vec_id", books)
+    got = codes.collect()
+    assert all(0 <= c < 4 for r in got for c in r["codes"])
+    q = rows[0][2]  # a member of cluster 0
+    top = sim.pq_adc_topk(codes, books, q, k=25)
+    top_ids = [r["vec_id"] for r in top.collect()]
+    same_cluster = {r[0] for r in rows if r[1] == 0}
+    recall = len(set(top_ids) & same_cluster) / 25
+    assert recall >= 0.9, (recall, top_ids[:10])
+    assert top_ids[0] == 0  # the query itself is nearest
+
+
+def test_pq_train_validates_dims(spark):
+    from bytewax_spark.functions import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest
+    with pytest.raises(ValueError):
+        sim.pq_train(df, "embedding", "vec_id", m=2, k=2)
+
+
+def test_pq_adc_query_dim_check(spark):
+    from bytewax_spark.functions import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    books = sim.pq_train(df, "embedding", "vec_id", m=2, k=1, max_iter=1)
+    codes = sim.pq_encode(df, "embedding", "vec_id", books)
+    import pytest
+    with pytest.raises(ValueError):
+        sim.pq_adc_topk(codes, books, [1.0, 2.0])

@@ -74,5 +74,6 @@ def test_oracle_for_every_query_or_documented():
         "kmeans_cells_embeddings",
         "moments_quantiles_value_events",
         "bpe_train_docs",
+        "pq_topk_vec0",
     }
     assert not (o - q), f"oracle entries without a query: {sorted(o - q)}"
