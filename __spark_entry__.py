@@ -6824,6 +6824,45 @@ def pq_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(codes, books, q, k=20)
 
 
+def simhash_neighbor_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-neighbor pairs within Hamming distance 3
+    (functions/dedup.py simhash_neighbor_pairs; Manku 2007): the
+    pigeonhole block trick -- fingerprints within distance d must
+    agree exactly on one of d+1 contiguous blocks, so candidates come
+    from d+1 equality self-joins (LSH-bucket shape, one shuffle each,
+    never N^2), then popcount-on-XOR verifies exact distance. Matches
+    the brute-force pair set exactly (verified in tests); the oracle
+    IS the brute force -- integer bit arithmetic both sides."""
+    from bytewax_spark.functions import dedup
+
+    flow = _flow("shnp")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return dedup.simhash_neighbor_pairs(docs, "text", "doc_id", bits=16, max_hamming=3)
+
+
+_ORACLES["simhash_neighbor_pairs_docs"] = f"""
+    WITH th AS (
+      SELECT doc_id, ({_SQL_H64.format('w')}) % 65536 AS h
+      FROM (SELECT doc_id, UNNEST(LIST_DISTINCT({_SQL_TOKS})) AS w FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id, b AS bit,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS b)
+      GROUP BY doc_id, b
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6838,6 +6877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "simhash_neighbor_pairs_docs": simhash_neighbor_pairs_docs,
         "pq_topk_vec0": pq_topk_vec0,
         "dq_report_orders": dq_report_orders,
         "bpe_pair_counts_docs": bpe_pair_counts_docs,

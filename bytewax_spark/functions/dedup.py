@@ -45,6 +45,7 @@ __all__ = [
     "shingle_docs",
     "ngram_jaccard_pairs",
     "containment_pairs",
+    "simhash_neighbor_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_lsh_verified_pairs",
@@ -1070,4 +1071,86 @@ def dedup_keep_best(
         joined.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .select(id_col, "cluster_id")
+    )
+
+
+def simhash_neighbor_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance (Manku,
+    Jain & Das Sarma 2007, public — Google's web-dedup design):
+    ``(id_a, id_b, hamming)`` for every pair of documents whose
+    ``bits``-bit SimHash fingerprints differ in at most
+    ``max_hamming`` bits. Extends :func:`simhash` (exact-equal
+    grouping = hamming 0) to tolerance > 0 WITHOUT an all-pairs join.
+
+    The pigeonhole block trick: split the fingerprint into
+    ``max_hamming + 1`` contiguous blocks — two fingerprints within
+    distance ``max_hamming`` must agree EXACTLY on at least one block
+    (at most ``max_hamming`` blocks can contain a differing bit).
+    Candidates therefore come from ``max_hamming + 1`` equality
+    self-joins on (block index, block value) — LSH-bucket shape, one
+    shuffle each, never N². Exact Hamming verification via popcount
+    on the XOR keeps only true neighbors; duplicates across blocks
+    collapse with one distinct.
+
+    Everything is integer bit arithmetic on the fingerprints, so a
+    SQL oracle reproduces every pair bit-for-bit."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(
+            f"max_hamming+1={n_blocks} blocks exceed bits={bits}"
+        )
+    # block widths need not be equal — the pigeonhole argument only
+    # needs max_hamming+1 disjoint blocks covering the fingerprint
+    base, rem = divmod(bits, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    fp = simhash(df, text_col, id_col, bits=bits)
+    blocks = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("simhash", offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "simhash", "_b.blk", "_b.val")
+    a = blocks.select(
+        F.col("blk"),
+        F.col("val"),
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("_fa"),
+    )
+    b = blocks.select(
+        F.col("blk"),
+        F.col("val"),
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("_fb"),
+    )
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -767,3 +767,40 @@ def test_containment_max_doc_freq_drops_boilerplate(spark):
     )
     strict = dd.containment_pairs(df, "text", "doc_id", n=3, threshold=0.3, max_doc_freq=2)
     assert strict.count() == 0
+
+
+def test_simhash_neighbor_pairs_complete_vs_brute_force(spark, sf_dir):
+    """The pigeonhole candidate generation must find EVERY pair within
+    the Hamming budget (it can never miss: <= d differing bits leave
+    one of d+1 blocks untouched)."""
+    from pyspark.sql import functions as F
+
+    from bytewax_spark.functions import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    got = dd.simhash_neighbor_pairs(docs, "text", "doc_id", bits=16, max_hamming=2)
+    fp = dd.simhash(docs, "text", "doc_id", bits=16)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"))
+    bf = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_simhash_neighbor_pairs_validates(spark):
+    import pytest
+
+    from bytewax_spark.functions import dedup as dd
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dd.simhash_neighbor_pairs(df, "text", "doc_id", bits=4, max_hamming=4)
+    with pytest.raises(ValueError):
+        dd.simhash_neighbor_pairs(df, "text", "doc_id", max_hamming=-1)
