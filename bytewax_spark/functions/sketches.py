@@ -53,6 +53,7 @@ __all__ = [
     "moments_build",
     "moments_merge",
     "moments_quantiles",
+    "moments_quantiles_grouped",
     "moments_scale_bits",
 ]
 
@@ -820,3 +821,52 @@ def moments_quantiles(
         out.append((int(round(q * 1_000_000)), int(round(v * 1_000_000))))
     spark = sketch.sparkSession
     return spark.createDataFrame(out, "q_micro bigint, est_micro bigint")
+
+
+def moments_quantiles_grouped(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    k: int = 4,
+) -> DataFrame:
+    """Per-group quantile readout from a grouped moments sketch →
+    rows ``(*group_cols, q_micro, est_micro)``. Collects the sketch
+    (one row PER GROUP — bounded by the group count, never the data)
+    and runs the maxent solve per group driver-side; the per-group
+    work is the same milliseconds-scale grid solve as
+    :func:`moments_quantiles`."""
+    import numpy as np
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use moments_quantiles)")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+    bits = moments_scale_bits(k)
+    s_cap = 1 << bits
+    out = []
+    for r in sketch.collect():
+        n = int(r["n"])
+        if n == 0:
+            continue
+        mus = [1.0] + [
+            float(int(r[f"m{i}"])) / (n * float(s_cap) ** i)
+            for i in range(1, k + 1)
+        ]
+        u, cdf = _maxent_cdf_grid(mus)
+        u_lo, u_hi = r["smin"] / s_cap, r["smax"] / s_cap
+        key = tuple(r[g] for g in group_cols)
+        for q in qs:
+            uq = min(max(float(np.interp(q, cdf, u)), u_lo), u_hi)
+            v = lo + (hi - lo) * (uq + 1.0) / 2.0
+            out.append(
+                key + (int(round(q * 1_000_000)), int(round(v * 1_000_000)))
+            )
+    gschema = ", ".join(
+        f"{g} {dict(sketch.dtypes)[g]}" for g in group_cols
+    )
+    return sketch.sparkSession.createDataFrame(
+        out, f"{gschema}, q_micro bigint, est_micro bigint"
+    )

@@ -474,3 +474,22 @@ def test_moments_scale_bits_headroom(spark):
     for k in (1, 2, 4, 6, 8):
         b = sk.moments_scale_bits(k)
         assert (1 << (b * k)) * 10**12 < 10**38
+
+
+def test_moments_quantiles_grouped_accuracy(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    m = sk.moments_build(ev, "value", 0.0, 512.0, k=4, group_cols=["event_type"])
+    got = {}
+    for r in sk.moments_quantiles_grouped(
+        m, ["event_type"], [0.5], 0.0, 512.0, k=4
+    ).collect():
+        got[r["event_type"]] = r["est_micro"] / 1e6
+    exact = {
+        r["event_type"]: r["p50"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, true in exact.items():
+        assert abs(got[t] - true) <= 0.02 * 512.0, (t, got[t], true)
