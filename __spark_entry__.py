@@ -6863,6 +6863,44 @@ _ORACLES["simhash_neighbor_pairs_docs"] = f"""
 """
 
 
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup over the corpus (functions/text.py
+    normalize_text; the C4/CCNet normalization pass): typographic
+    quotes/dashes/spaces -> ASCII via one-pass translate, zero-width +
+    control characters stripped, whitespace collapsed. Pure JVM
+    expressions at parquet scan rate -- the cheapest possible shape
+    for a full-corpus rewrite; every step mirrored 1:1 in the DuckDB
+    oracle (translate + RE2 regexp_replace)."""
+    from bytewax_spark.functions import text as tx
+
+    flow = _flow("norm")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return docs.select(
+        "doc_id", tx.normalize_text("text").alias("normalized")
+    )
+
+
+# the same character tables as functions/text.py, spelled for RE2 /
+# DuckDB translate (actual codepoints, built from escapes so the file
+# stays printable-ASCII)
+_NORM_FROM_SQL = "\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u2032\u2033\u00a0\u2002\u2003\u2009\u202f\u3000\u2013\u2014\u2015\u2212"
+_NORM_TO_SQL = "\u0027\u0027\u0027\u0027\u0022\u0022\u0022\u0027\u0022\u0020\u0020\u0020\u0020\u0020\u0020\u002d\u002d\u002d\u002d"
+
+_ORACLES["normalize_text_docs"] = f"""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(
+                   TRANSLATE(text, '{{_NORM_FROM_SQL}}', '{{_NORM_TO_SQL}}'),
+                   '[\\x{{{{200b}}}}\\x{{{{200c}}}}\\x{{{{200d}}}}\\x{{{{2060}}}}\\x{{{{feff}}}}\\x{{{{00ad}}}}]', '', 'g'),
+                 '[\\x{{{{0000}}}}-\\x{{{{0008}}}}\\x{{{{000b}}}}\\x{{{{000c}}}}\\x{{{{000e}}}}-\\x{{{{001f}}}}\\x{{{{007f}}}}-\\x{{{{009f}}}}]', '', 'g'),
+               '\\x{{{{2026}}}}', '...', 'g'),
+             '\\s+', ' ', 'g')) AS normalized
+    FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6877,6 +6915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "normalize_text_docs": normalize_text_docs,
         "simhash_neighbor_pairs_docs": simhash_neighbor_pairs_docs,
         "pq_topk_vec0": pq_topk_vec0,
         "dq_report_orders": dq_report_orders,

@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "normalize_text",
     "hash64",
     "tokenize",
     "token_count",
@@ -619,3 +620,46 @@ def tokens_per_byte_micro(c: Column | str) -> Column:
     return F.when(
         n_bytes > 0, F.floor(F.lit(1_000_000) * toks / n_bytes).cast("long")
     ).otherwise(F.lit(0).cast("long"))
+
+
+
+# single-char typographic fixes: curly quotes/primes -> straight,
+# NBSP-family spaces -> plain space, en/em/horizontal-bar dashes and
+# the minus sign -> '-'
+_NORM_FROM = (
+    "\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u2032\u2033"
+    "\u00a0\u2002\u2003\u2009\u202f\u3000"
+    "\u2013\u2014\u2015\u2212"
+)
+_NORM_TO = (
+    "\u0027\u0027\u0027\u0027\u0022\u0022\u0022\u0027\u0022"
+    "\u0020\u0020\u0020\u0020\u0020\u0020"
+    "\u002d\u002d\u002d\u002d"
+)
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical text cleanup (the C4/CCNet-style normalization pass,
+    public recipe): typographic quotes/primes/dashes/spaces -> ASCII
+    (single-char ``translate`` -- one pass, no regex), zero-width and
+    soft-hyphen characters stripped, C0/C1 control characters
+    stripped, the ellipsis character -> ``...``, whitespace runs
+    collapsed to one space, trimmed. Pure JVM expressions at scan
+    rate; every step mirrored 1:1 in the SQL oracle.
+
+    Unicode NFC is intentionally out of scope (Spark exposes no
+    builtin normalizer; a Pandas-UDF pass with
+    ``unicodedata.normalize`` is the documented escape hatch when a
+    corpus needs it)."""
+    c = F.col(c) if isinstance(c, str) else c
+    t = F.translate(c, _NORM_FROM, _NORM_TO)
+    # zero-width space/joiners, word joiner, BOM, soft hyphen: delete
+    t = F.regexp_replace(t, "[\u200b\u200c\u200d\u2060\ufeff\u00ad]", "")
+    # C0 controls (minus tab/newline/CR, which the whitespace collapse
+    # handles) and DEL..C1
+    t = F.regexp_replace(
+        t, "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f]", ""
+    )
+    t = F.regexp_replace(t, "\u2026", "...")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)

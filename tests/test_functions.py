@@ -804,3 +804,22 @@ def test_simhash_neighbor_pairs_validates(spark):
         dd.simhash_neighbor_pairs(df, "text", "doc_id", bits=4, max_hamming=4)
     with pytest.raises(ValueError):
         dd.simhash_neighbor_pairs(df, "text", "doc_id", max_hamming=-1)
+
+
+def test_normalize_text_typographic_and_controls(spark):
+    rows = [
+        ("“Hello” — it’s a   test…​ done\x07",),
+        ("  plain  text  ",),
+        ("", ),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r["t"] for r in df.select(text.normalize_text("text").alias("t")).collect()]
+    assert got[0] == '"Hello" - it\'s a test... done'
+    assert got[1] == "plain text"
+    assert got[2] == ""
+
+
+def test_normalize_text_nbsp_and_dashes(spark):
+    df = spark.createDataFrame([("a b–c−d­e",)], "text string")
+    got = df.select(text.normalize_text("text").alias("t")).collect()[0]["t"]
+    assert got == "a b-c-de"
