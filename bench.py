@@ -341,6 +341,19 @@ EXTENDED_QUERIES = [
     # -join parallelism)
     "link_prediction_parts",
     "adamic_adar_parts",
+    # round-5 additions: mergeable moments sketch (batch + stream-in-
+    # batch), NB classifier train+score, inverted index, keep-best
+    # dedup, SimHash hamming pairs, text normalization, DQ gates, BPE
+    # round-0 statistics
+    "moments_sketch_value_events",
+    "moments_stream_batch_by_type",
+    "nb_score_lang_docs",
+    "inverted_index_docs",
+    "dedup_keep_best_docs",
+    "simhash_neighbor_pairs_docs",
+    "normalize_text_docs",
+    "dq_report_orders",
+    "bpe_pair_counts_docs",
 ]
 
 _DUCKDB_TABLES = [
@@ -355,7 +368,12 @@ _DUCKDB_TABLES = [
 # containment's oracle is the NAIVE shingle self-join (fine at the
 # sf0.01 gate; quadratic on hot shingles at sf0.1) — the Spark side
 # runs the prefix-filtered exact algorithm and stands alone.
-_DUCKDB_SKIP = {"neardup_clusters_docs", "containment_pairs_docs"}
+_DUCKDB_SKIP = {
+    "neardup_clusters_docs",
+    "containment_pairs_docs",
+    # embeds the same recursive reachability CTE as neardup_clusters
+    "dedup_keep_best_docs",
+}
 
 # additionally skipped at sf >= 1: the wedge-join oracles materialize
 # ~2e9 intermediate rows there (the capped part co-occurrence graph has
