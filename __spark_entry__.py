@@ -6901,6 +6901,54 @@ _ORACLES["normalize_text_docs"] = f"""
 """
 
 
+def countmin_join_size_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation in sketch space
+    (functions/sketches.py countmin_join_size, Cormode &
+    Muthukrishnan 2005): |events JOIN orders ON user| estimated as
+    the min-over-depths bucket-wise inner product of the two count-min
+    sketches -- 2*depth*width counter rows answer "will this join
+    explode?" without touching either table. One-sided (est >= true),
+    integer arithmetic end to end; the oracle reproduces every
+    counter and the inner product exactly."""
+    from bytewax_spark.functions import sketches as sk
+
+    flow = _flow("cmjs")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    orders = _t(spark, sf_dir, "orders")
+    a = sk.countmin_build(ev, "user_id", width=512, depth=4)
+    b = sk.countmin_build(orders, "o_custkey", width=512, depth=4)
+    return sk.countmin_join_size(a, b)
+
+
+_SQL_CM_POS = """
+      SELECT {key} AS k, d.d AS depth,
+             CASE d.d
+               WHEN 0 THEN ('0x' || SUBSTR(MD5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 512
+               WHEN 1 THEN ('0x' || SUBSTR(MD5(CAST({key} AS VARCHAR)), 9, 8))::BIGINT % 512
+               WHEN 2 THEN ('0x' || SUBSTR(MD5(CAST({key} AS VARCHAR)), 17, 8))::BIGINT % 512
+               ELSE ('0x' || SUBSTR(MD5(CAST({key} AS VARCHAR)), 25, 8))::BIGINT % 512
+             END AS bucket
+      FROM {table} CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS d) d
+"""
+
+_ORACLES["countmin_join_size_users"] = f"""
+    WITH ca AS (
+      SELECT depth, bucket, COUNT(*) AS ca FROM ({_SQL_CM_POS.format(key="user_id", table="events")})
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT depth, bucket, COUNT(*) AS cb FROM ({_SQL_CM_POS.format(key="o_custkey", table="orders")})
+      GROUP BY 1, 2
+    ),
+    ip AS (
+      SELECT ca.depth, SUM(ca.ca * cb.cb) AS p
+      FROM ca JOIN cb ON ca.depth = cb.depth AND ca.bucket = cb.bucket
+      GROUP BY 1
+    )
+    SELECT CAST(MIN(p) AS BIGINT) AS est FROM ip
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6915,6 +6963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "countmin_join_size_users": countmin_join_size_users,
         "normalize_text_docs": normalize_text_docs,
         "simhash_neighbor_pairs_docs": simhash_neighbor_pairs_docs,
         "pq_topk_vec0": pq_topk_vec0,

@@ -37,6 +37,7 @@ __all__ = [
     "bloom_merge",
     "countmin_build",
     "countmin_estimate",
+    "countmin_join_size",
     "countmin_merge",
     "countmin_positions",
     "hll_build",
@@ -870,3 +871,29 @@ def moments_quantiles_grouped(
     return sketch.sparkSession.createDataFrame(
         out, f"{gschema}, q_micro bigint, est_micro bigint"
     )
+
+
+def countmin_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
+    """Estimate the inner join's output cardinality from two count-min
+    sketches BEFORE running the join (Alon-Matias-Szegedy style
+    inner-product estimation over CM sketches — Cormode & Muthukrishnan
+    2005 §4.2, public): ``|A ⋈ B| = Σ_key cntA(k)·cntB(k)`` is upper-
+    bounded by the bucket-wise inner product of each depth row; the
+    estimate is the MIN over depths (always ``>= true``, same
+    one-sided guarantee as the point estimator). Returns one row
+    ``(est,)``.
+
+    Both sketches must share ``width``/``depth``/key hashing. The
+    whole estimate reads ``2·depth·width`` counter rows — the
+    join-planning question ("will this join explode?") answered
+    without touching either table."""
+    prod = (
+        a.select("depth", "bucket", F.col("cnt").alias("_ca"))
+        .join(
+            b.select("depth", "bucket", F.col("cnt").alias("_cb")),
+            ["depth", "bucket"],
+        )
+        .groupBy("depth")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    return prod.agg(F.min("_ip").cast("bigint").alias("est"))

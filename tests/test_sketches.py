@@ -493,3 +493,27 @@ def test_moments_quantiles_grouped_accuracy(spark, sf_dir):
     assert set(got) == set(exact)
     for t, true in exact.items():
         assert abs(got[t] - true) <= 0.02 * 512.0, (t, got[t], true)
+
+
+def test_countmin_join_size_upper_bounds_true(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    a = sk.countmin_build(ev, "user_id", width=512, depth=4)
+    b = sk.countmin_build(orders, "o_custkey", width=512, depth=4)
+    est = sk.countmin_join_size(a, b).collect()[0]["est"]
+    true = ev.join(
+        orders, ev["user_id"] == orders["o_custkey"]
+    ).count()
+    assert est >= true
+    # wide sketch: estimate should be within 2x at this cardinality
+    assert est <= 2 * max(true, 1)
+
+
+def test_countmin_join_size_exact_when_no_collisions(spark):
+    a_df = spark.createDataFrame([(i % 4,) for i in range(40)], "k int")
+    b_df = spark.createDataFrame([(i % 2,) for i in range(10)], "k int")
+    a = sk.countmin_build(a_df, "k", width=4096, depth=4)
+    b = sk.countmin_build(b_df, "k", width=4096, depth=4)
+    est = sk.countmin_join_size(a, b).collect()[0]["est"]
+    true = a_df.join(b_df, "k").count()
+    assert est == true
