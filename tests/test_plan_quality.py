@@ -465,3 +465,44 @@ def test_ohlc_aggregate_is_partial(spark, sf_dir):
     # no window, map-side combine before the exchange
     assert "partial_min" in plan and "partial_max" in plan
     assert "Window" not in plan
+
+
+def test_moments_build_partial_agg_single_row_exchange(spark, sf_dir):
+    """The moments sketch must combine map-side: partial power sums
+    before the exchange, scan pruned to the value column."""
+    plan = _plan(spark, "moments_sketch_value_events", sf_dir)
+    assert "partial_sum" in plan and "partial_min" in plan
+    assert "ReadSchema: struct<value:double>" in plan
+    assert "EvalPython" not in plan
+
+
+def test_nb_score_broadcasts_model(spark, sf_dir):
+    """The classifier model join must broadcast (<= 2^bits rows by
+    construction) — a shuffled model join would re-shuffle every token
+    occurrence of a 100 TB corpus."""
+    plan = _plan(spark, "nb_score_lang_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_normalize_text_is_scan_rate(spark, sf_dir):
+    """Normalization is a pure projection: no exchange, no Python."""
+    plan = _plan(spark, "normalize_text_docs", sf_dir)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_simhash_neighbor_pairs_no_cartesian(spark, sf_dir):
+    """Pigeonhole candidates come from equality joins — a cartesian /
+    nested-loop product would be the N^2 shape the design avoids."""
+    plan = _plan(spark, "simhash_neighbor_pairs_docs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dq_expression_rules_one_pass(spark, sf_dir):
+    """All expression rules share one aggregation over the scan: the
+    orders table appears in exactly 3 scans (expr rules + unique +
+    fk), not once per rule."""
+    plan = _plan(spark, "dq_report_orders", sf_dir)
+    assert plan.count("Scan parquet") - plan.count("customer.parquet") == 3
