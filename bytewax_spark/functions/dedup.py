@@ -1094,9 +1094,16 @@ def simhash_neighbor_pairs(
     (at most ``max_hamming`` blocks can contain a differing bit).
     Candidates therefore come from ``max_hamming + 1`` equality
     self-joins on (block index, block value) — LSH-bucket shape, one
-    shuffle each, never N². Exact Hamming verification via popcount
-    on the XOR keeps only true neighbors; duplicates across blocks
-    collapse with one distinct.
+    shuffle each, never N².
+
+    The whole comparison pipeline runs over DISTINCT fingerprints,
+    not documents (Manku's design point): duplicate-heavy corpora
+    collapse many documents onto one fingerprint, so candidate
+    generation + popcount verification cost |distinct fps|-shaped
+    work, and document pairs materialize only at the end by expanding
+    each surviving fingerprint pair through the fingerprint→ids
+    membership table (plus per-fingerprint member cliques at
+    hamming 0) — output-bound, which no pair enumeration can beat.
 
     Everything is integer bit arithmetic on the fingerprints, so a
     SQL oracle reproduces every pair bit-for-bit."""
@@ -1112,10 +1119,10 @@ def simhash_neighbor_pairs(
     base, rem = divmod(bits, n_blocks)
     widths = [base + 1] * rem + [base] * (n_blocks - rem)
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    fp = simhash(df, text_col, id_col, bits=bits)
-    blocks = fp.select(
-        F.col(id_col),
-        F.col("simhash"),
+    members = simhash(df, text_col, id_col, bits=bits)
+    fps = members.select("simhash").distinct()
+    blocks = fps.select(
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -1129,28 +1136,45 @@ def simhash_neighbor_pairs(
                 ]
             )
         ).alias("_b"),
-    ).select(id_col, "simhash", "_b.blk", "_b.val")
-    a = blocks.select(
-        F.col("blk"),
-        F.col("val"),
-        F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("_fa"),
-    )
-    b = blocks.select(
-        F.col("blk"),
-        F.col("val"),
-        F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("_fb"),
-    )
-    cand = (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_fa", "_fb")
+    ).select("simhash", "_b.blk", "_b.val")
+    fa = blocks.select("blk", "val", F.col("simhash").alias("_fa"))
+    fb = blocks.select("blk", "val", F.col("simhash").alias("_fb"))
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("int")
+    fpairs = (
+        fa.join(fb, ["blk", "val"])
+        .filter(F.col("_fa") < F.col("_fb"))
+        .select("_fa", "_fb", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    # cross-fingerprint doc pairs: expand both sides through the
+    # membership table, normalize id order (fingerprint order and id
+    # order need not agree)
+    ma = members.select(F.col("simhash").alias("_fa"), F.col(id_col).alias("_ia"))
+    mb = members.select(F.col("simhash").alias("_fb"), F.col(id_col).alias("_ib"))
+    cross = (
+        fpairs.join(ma, "_fa")
+        .join(mb, "_fb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
     )
+    # same-fingerprint doc pairs: each fingerprint's member clique at
+    # hamming 0
+    same = (
+        ma.join(
+            members.select(
+                F.col("simhash").alias("_fa"), F.col(id_col).alias("_ib")
+            ),
+            "_fa",
+        )
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
