@@ -6949,6 +6949,38 @@ _ORACLES["countmin_join_size_users"] = f"""
 """
 
 
+def sample_stream_batch_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING bounded-state uniform sample (streaming/
+    sample_stream) run in batch mode: per event_type, the 16 distinct
+    users whose md5 hash sorts lowest -- the deterministic reservoir
+    (membership depends only on the item, never arrival order, so
+    streamed == batch == re-run). O(n) state per key forever; the
+    oracle is the per-key bottom-k rank over distinct items."""
+    from bytewax_spark.streaming import sample_stream
+
+    flow = _flow("sampsb")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    proj = op.map("proj", ev, {"event_type": "event_type", "user_id": "user_id"})
+    ks = op.key_on("key", proj, "event_type")
+    return sample_stream("s", ks, "user_id", n=16).df
+
+
+_ORACLES["sample_stream_batch_by_type"] = f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id,
+             {_SQL_H64.format("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rk
+      FROM d
+    )
+    SELECT CAST(event_type AS VARCHAR) AS key, user_id, CAST(rk AS INTEGER) AS rk
+    FROM rk WHERE rk <= 16
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6963,6 +6995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "sample_stream_batch_by_type": sample_stream_batch_by_type,
         "countmin_join_size_users": countmin_join_size_users,
         "normalize_text_docs": normalize_text_docs,
         "simhash_neighbor_pairs_docs": simhash_neighbor_pairs_docs,

@@ -50,6 +50,7 @@ __all__ = [
     "distinct_count_stream",
     "funnel_stream",
     "moments_stream",
+    "sample_stream",
     "zscore_anomaly_stream",
     "frequency_cap_stream",
     "heavy_hitters_stream",
@@ -948,3 +949,77 @@ def moments_stream(
     mcols = ", ".join(f"m{i+1} string" for i in range(k))
     schema = f"{up.key_col} {key_t}, n long, smin long, smax long, {mcols}"
     return stateful_batch(step_id, up, _Moments, schema=schema)
+
+
+def sample_stream(
+    step_id: str,
+    up: KeyedStream,
+    item_col: str,
+    n: int = 32,
+    salt: str = "",
+) -> KeyedStream:
+    """Streaming uniform sample per key with O(n) state FOREVER: keep
+    the ``n`` items whose salted md5 hash sorts lowest (min-wise /
+    bottom-k sampling — the deterministic reservoir: membership
+    depends only on (item, salt), never on arrival order, so streamed
+    == batch == re-run, unlike an RNG reservoir). The bounded-state
+    "show me examples per key" operator: distinct-item volume never
+    grows the state past ``n`` (hash, item) pairs per key.
+
+    Hashing matches ``functions.text.hash64`` (md5-derived), so batch
+    mode equals ``functions.sampling.sample_exact_n`` run per key —
+    SQL-oracle exact. Streaming emits the key's CURRENT sample each
+    micro-batch; batch mode emits once at EOF, one row per kept item
+    ``(key, item, rk)`` with ``rk`` the 1-based hash rank."""
+    import hashlib
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def _h(item) -> int:
+        d = hashlib.md5((salt + str(item)).encode()).hexdigest()
+        return int(d[:15], 16)
+
+    emit_each = bool(up.df.isStreaming)
+
+    class _Sample(StatefulBatchLogic):
+        def __init__(self, snap):
+            # state: list of (hash, item) sorted ascending, <= n long
+            self.kept = [tuple(x) for x in snap] if snap else []
+
+        def _fold(self, pdf):
+            changed = False
+            for it in pdf[item_col]:
+                pair = (_h(it), it)
+                if pair in self.kept:
+                    continue
+                self.kept.append(pair)
+                changed = True
+            if changed:
+                self.kept = sorted(set(self.kept))[:n]
+
+        def _rows(self):
+            return pd.DataFrame(
+                [(it, i + 1) for i, (_, it) in enumerate(self.kept)],
+                columns=[item_col, "rk"],
+            )
+
+        def on_batch(self, pdf):
+            self._fold(pdf)
+            if emit_each:
+                return self._rows(), self.RETAIN
+            return None, self.RETAIN
+
+        def on_eof(self):
+            if not self.kept:
+                return None, self.DISCARD
+            return self._rows(), self.DISCARD
+
+        def snapshot(self):
+            return [list(p) for p in self.kept]
+
+    up = _require_keyed(step_id, up)
+    key_t = up.df.schema[up.key_col].dataType.simpleString()
+    item_t = up.df.schema[item_col].dataType.simpleString()
+    schema = f"{up.key_col} {key_t}, {item_col} {item_t}, rk int"
+    return stateful_batch(step_id, up, _Sample, schema=schema)

@@ -1154,3 +1154,59 @@ def test_moments_stream_validates(spark):
     ks = op.key_on("key", op.input("in", flow, src), "k")
     with pytest.raises(ValueError):
         moments_stream("m", ks, "v", 5.0, 5.0)
+
+
+def test_sample_stream_batch_equals_bottom_k(spark, sf_dir):
+    from bytewax_spark.functions.text import hash64 as h64
+    from bytewax_spark.streaming import sample_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flow = Dataflow("b_samp")
+    proj = op.map(
+        "proj", op.input("in", flow, ev), {"event_type": "event_type", "user_id": "user_id"}
+    )
+    ks = op.key_on("key", proj, "event_type")
+    got = sample_stream("s", ks, "user_id", n=8).df.collect()
+    # batch ground truth: per type, the 8 distinct users with lowest hash
+    want = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("_h", h64(F.col("user_id").cast("string")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("_h", "user_id")
+    want_rows = {
+        (r["event_type"], r["user_id"], r["rk"])
+        for r in want.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .collect()
+    }
+    assert {(r["key"], r["user_id"], r["rk"]) for r in got} == want_rows
+
+
+def test_sample_stream_state_bounded_across_batches(spark):
+    from bytewax_spark.streaming import sample_stream
+
+    rows = [("k", i) for i in range(200)]
+    flow = Dataflow("s_samp")
+    src = TestingSource(rows, schema="k string, item long", streaming=True, files=5)
+    ks = op.key_on("key", op.input("in", flow, src), "k")
+    out = sample_stream("s", ks, "item", n=4)
+    sink = MemorySink("s_samp_out")
+    op.output("out", out, sink)
+    got = drain(spark, flow, "s_samp_out")
+    # every emission is <= 4 rows; the final sample has exactly 4
+    assert got, "no emissions"
+    last_rks = [r["rk"] for r in got if r["rk"] is not None][-4:]
+    assert sorted(last_rks) == [1, 2, 3, 4]
+
+
+def test_sample_stream_validates(spark):
+    from bytewax_spark.streaming import sample_stream
+
+    flow = Dataflow("b_sampv")
+    src = TestingSource([("k", 1)], schema="k string, item long")
+    ks = op.key_on("key", op.input("in", flow, src), "k")
+    with pytest.raises(ValueError):
+        sample_stream("s", ks, "item", n=0)
