@@ -6981,6 +6981,51 @@ _ORACLES["sample_stream_batch_by_type"] = f"""
 """
 
 
+def table_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two versions of the events table
+    (functions/cdc.py table_diff): one full-outer join on the key,
+    null-safe struct equality over the compared columns -- one row per
+    affected key (added/removed/changed), unchanged keys emit nothing.
+    The dataset-release regression gate. Versions are derived
+    deterministically here (drop different id slices; bump purchase
+    values in the new version) so the oracle reproduces the diff
+    exactly."""
+    from bytewax_spark.functions.cdc import table_diff
+
+    flow = _flow("tdiff")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    before = ev.filter(F.col("event_id") % 11 != 0)
+    after = ev.filter(F.col("event_id") % 13 != 0).withColumn(
+        "value",
+        F.when(F.col("event_type") == "purchase", F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    return table_diff(before, after, "event_id", compare_cols=["event_type", "value"])
+
+
+_ORACLES["table_diff_events"] = """
+    WITH b AS (SELECT event_id, event_type, value FROM events WHERE event_id % 11 <> 0),
+    a AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN value + 1 ELSE value END AS value
+      FROM events WHERE event_id % 13 <> 0
+    )
+    SELECT COALESCE(b.event_id, a.event_id) AS event_id,
+           CASE WHEN b.event_id IS NULL THEN 'added'
+                WHEN a.event_id IS NULL THEN 'removed'
+                WHEN b.event_type IS DISTINCT FROM a.event_type
+                  OR b.value IS DISTINCT FROM a.value THEN 'changed'
+           END AS change
+    FROM b FULL OUTER JOIN a ON b.event_id = a.event_id
+    WHERE CASE WHEN b.event_id IS NULL THEN 'added'
+               WHEN a.event_id IS NULL THEN 'removed'
+               WHEN b.event_type IS DISTINCT FROM a.event_type
+                 OR b.value IS DISTINCT FROM a.value THEN 'changed'
+          END IS NOT NULL
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6995,6 +7040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "table_diff_events": table_diff_events,
         "sample_stream_batch_by_type": sample_stream_batch_by_type,
         "countmin_join_size_users": countmin_join_size_users,
         "normalize_text_docs": normalize_text_docs,

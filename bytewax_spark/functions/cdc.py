@@ -21,7 +21,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_snapshot", "scd2"]
+__all__ = ["latest_snapshot", "scd2", "table_diff"]
 
 
 def latest_snapshot(
@@ -69,4 +69,51 @@ def scd2(
         df.withColumn(valid_from, F.col(ts_col))
         .withColumn(valid_to, nxt)
         .withColumn(current, nxt.isNull())
+    )
+
+
+def table_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: Sequence[str] | str,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff — what changed between two versions of a table →
+    one row per affected key ``(*key_cols, change)`` with ``change ∈
+    {added, removed, changed}``; unchanged keys emit nothing. The
+    regression gate for dataset releases ("what did this pipeline
+    change?") and the input to incremental downstream refresh.
+
+    One full-outer join on the key; ``compare_cols`` (default: all
+    non-key columns present on BOTH sides) compare null-safely via a
+    struct equality — a single expression, no per-column joins. Cost
+    is the same one shuffle a join of the two snapshots costs, with
+    only keys + compared columns shuffled (column-pruned scans)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        compare_cols = [
+            c
+            for c in before.columns
+            if c not in key_cols and c in after.columns
+        ]
+    compare_cols = list(compare_cols)
+    b = before.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_vb"),
+        F.lit(1).alias("_inb"),
+    )
+    a = after.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_va"),
+        F.lit(1).alias("_ina"),
+    )
+    j = b.join(a, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_inb").isNull(), F.lit("added"))
+        .when(F.col("_ina").isNull(), F.lit("removed"))
+        .when(~F.col("_vb").eqNullSafe(F.col("_va")), F.lit("changed"))
+    )
+    return (
+        j.select(*key_cols, change.alias("change"))
+        .filter(F.col("change").isNotNull())
     )

@@ -69,3 +69,29 @@ def test_scd2_point_in_time_join(spark):
     )
     got = j.collect()
     assert len(got) == 1 and got[0]["val"] == "a1"  # version valid at 01:30
+
+
+def test_table_diff_add_remove_change(spark):
+    from bytewax_spark.functions.cdc import table_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id long, name string, v long",
+    )
+    after = spark.createDataFrame(
+        [(2, "b", 20), (3, "C", 30), (4, None, 40), (5, "e", 50)],
+        "id long, name string, v long",
+    )
+    got = {r["id"]: r["change"] for r in table_diff(before, after, "id").collect()}
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    # key 2 identical, key 4 null-safe identical: absent
+
+
+def test_table_diff_compare_cols_subset(spark):
+    from bytewax_spark.functions.cdc import table_diff
+
+    before = spark.createDataFrame([(1, "x", 1)], "id long, a string, b long")
+    after = spark.createDataFrame([(1, "x", 999)], "id long, a string, b long")
+    assert table_diff(before, after, "id", compare_cols=["a"]).count() == 0
+    got = table_diff(before, after, "id", compare_cols=["b"]).collect()
+    assert [(r["id"], r["change"]) for r in got] == [(1, "changed")]
