@@ -142,3 +142,58 @@ def test_bloom_probe_join_is_broadcastable(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+_vals = st.lists(
+    st.floats(min_value=0.0, max_value=100.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_vals)
+def test_moments_power_sums_match_python(spark, vals):
+    """The decimal power sums equal exact Python-int arithmetic under
+    the same HALF-UP quantization — the engine-exactness claim."""
+    import math
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    row = sk.moments_build(df, "v", 0.0, 100.0, k=4).collect()[0]
+    s_cap = 1 << sk.moments_scale_bits(4)
+    scaled = [
+        int(math.floor(min(max(v, 0.0), 100.0) / 100.0 * 2 * s_cap + 0.5)) - s_cap
+        for v in vals
+    ]
+    assert row["n"] == len(vals)
+    assert row["smin"] == min(scaled) and row["smax"] == max(scaled)
+    for i in range(1, 5):
+        assert int(row[f"m{i}"]) == sum(s**i for s in scaled), (i, vals)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_vals, _vals)
+def test_moments_merge_commutes_and_matches_concat(spark, va, vb):
+    a = spark.createDataFrame([(float(v),) for v in va], "v double")
+    b = spark.createDataFrame([(float(v),) for v in vb], "v double")
+    both = spark.createDataFrame([(float(v),) for v in va + vb], "v double")
+    sa = sk.moments_build(a, "v", 0.0, 100.0, k=3)
+    sb = sk.moments_build(b, "v", 0.0, 100.0, k=3)
+    direct = sk.moments_build(both, "v", 0.0, 100.0, k=3).collect()
+    assert sk.moments_merge(sa, sb).collect() == direct
+    assert sk.moments_merge(sb, sa).collect() == direct
+
+
+@settings(max_examples=4, deadline=None)
+@given(_keys, _keys)
+def test_countmin_join_size_never_underestimates(spark, ka, kb):
+    from collections import Counter as C
+
+    a_df = spark.createDataFrame([(k,) for k in ka], "k string")
+    b_df = spark.createDataFrame([(k,) for k in kb], "k string")
+    a = sk.countmin_build(a_df, "k", width=32, depth=4)
+    b = sk.countmin_build(b_df, "k", width=32, depth=4)
+    est = sk.countmin_join_size(a, b).collect()[0]["est"]
+    ca, cb = C(ka), C(kb)
+    true = sum(ca[k] * cb[k] for k in ca)
+    assert est >= true
