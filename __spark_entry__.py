@@ -7026,6 +7026,38 @@ _ORACLES["table_diff_events"] = """
 """
 
 
+def skew_report_lineitem_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (functions/profiling.py skew_report):
+    the 10 heaviest lineitem supplier keys with row share (ppm) and
+    skew factor (cnt * n_keys / n_rows, micro-units; 1e6 = uniform) --
+    the pre-join question "does this key need salting?" answered with
+    one map-side-combined count, a broadcast one-row total, and
+    TakeOrdered(10). Integer floor divisions keep every number
+    engine-exact."""
+    from bytewax_spark.functions.profiling import skew_report
+
+    flow = _flow("skew")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem")).df
+    return skew_report(li, "l_suppkey", top=10)
+
+
+_ORACLES["skew_report_lineitem_suppkey"] = """
+    WITH c AS (
+      SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys FROM c),
+    r AS (
+      SELECT l_suppkey, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey ASC) AS rank
+      FROM c
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, l_suppkey, cnt,
+           CAST((cnt * 1000000) // n_rows AS BIGINT) AS share_micro,
+           CAST((cnt * 1000000 * n_keys) // n_rows AS BIGINT) AS skew_micro
+    FROM r, t WHERE rank <= 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7040,6 +7072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "skew_report_lineitem_suppkey": skew_report_lineitem_suppkey,
         "table_diff_events": table_diff_events,
         "sample_stream_batch_by_type": sample_stream_batch_by_type,
         "countmin_join_size_users": countmin_join_size_users,

@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "skew_report"]
 
 
 def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
@@ -66,4 +66,44 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
             f"stack({len(cols)}, {stack}) AS "
             "(column, n_rows, n_nulls, n_distinct, min_len, max_len, avg_len_micro)"
         )
+    )
+
+
+def skew_report(
+    df: DataFrame, key_col: str | Sequence[str], top: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnosis — run BEFORE a big join/groupBy to
+    know whether the key needs salting: the ``top`` heaviest keys with
+    ``(rank, <key cols>, cnt, share_micro, skew_micro)``.
+    ``share_micro`` = key's row share in ppm; ``skew_micro`` =
+    ``cnt * n_keys / n_rows`` in micro-units — 1e6 means perfectly
+    uniform, 50e6 means this key carries 50x its fair share (the
+    partition that stalls the stage). Scale: one map-side-combined
+    count per key, one broadcast one-row total, TakeOrdered(top) — no
+    global sort."""
+    from pyspark.sql import functions as F
+
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    cnt = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(
+        F.sum("cnt").alias("_rows"), F.count(F.lit(1)).alias("_keys")
+    )
+    ranked = (
+        cnt.orderBy(F.desc("cnt"), *[F.asc(k) for k in keys])
+        .limit(top)
+        .join(F.broadcast(tot))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), *[F.asc(k) for k in keys])
+    # integer floor division (`div`) — a double divide + cast would
+    # round on one engine and truncate on the other
+    return ranked.select(
+        F.row_number().over(w).alias("rank"),
+        *keys,
+        "cnt",
+        F.expr("(cnt * 1000000L) div _rows").alias("share_micro"),
+        F.expr("(cnt * 1000000L * _keys) div _rows").alias("skew_micro"),
     )

@@ -130,3 +130,26 @@ def test_ohlc_resample_tie_breaks_on_id(spark):
         df, "ts", "v", "1 hour", key_cols=["k"], tie_col="id"
     ).collect()[0]
     assert r["open"] == 10.0 and r["close"] == 30.0
+
+
+def test_skew_report_uniform_and_hot_key(spark):
+    from bytewax_spark.functions.profiling import skew_report
+
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    rep = skew_report(df, "k", top=3).collect()
+    assert rep[0]["k"] == "hot" and rep[0]["rank"] == 1
+    assert rep[0]["cnt"] == 90
+    assert rep[0]["share_micro"] == 900_000  # 90/100 rows
+    assert rep[0]["skew_micro"] == 9_900_000  # 90 * 11 keys / 100 rows
+    assert len(rep) == 3
+
+
+def test_skew_report_validates(spark):
+    import pytest
+
+    from bytewax_spark.functions.profiling import skew_report
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        skew_report(df, "k", top=0)
