@@ -6945,7 +6945,8 @@ _ORACLES["countmin_join_size_users"] = f"""
       FROM ca JOIN cb ON ca.depth = cb.depth AND ca.bucket = cb.bucket
       GROUP BY 1
     )
-    SELECT CAST(MIN(p) AS BIGINT) AS est FROM ip
+    SELECT CAST(CASE WHEN COUNT(*) < 4 THEN 0 ELSE MIN(p) END
+           AS BIGINT) AS est FROM ip
 """
 
 
@@ -7058,6 +7059,198 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease banding (functions/text.py readability_micro,
+    Flesch 1948): per-doc score in integer micros from three pure
+    regex counts (words, sentence enders, vowel groups), every ratio
+    floor-divided before subtraction so the score is engine-exact.
+    Scan-rate expressions — no shuffle, no UDF; at 100 TB this runs at
+    parquet-read speed with only (doc_id, score) emerging."""
+    from bytewax_spark.functions.text import readability_micro
+
+    flow = _flow("read")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return docs.select(
+        "doc_id", readability_micro("text").alias("readability_micro")
+    )
+
+
+_ORACLES["readability_docs"] = """
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\\S+')) AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN w > 0 THEN 206835000
+                - CAST(floor(1015000 * w / s) AS BIGINT)
+                - CAST(floor(84600000 * y / w) AS BIGINT)
+                ELSE 0 END AS readability_micro
+    FROM c
+"""
+
+
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel/MAD outlier census per event type (functions/stats.py
+    mad_outliers): |x − median| > 3·1.4826·MAD of the row's own group.
+    Two exact-percentile aggregations + two key-sharing joins; medians
+    rounded to 6 decimals before comparison so the census is
+    bit-stable across engines."""
+    from bytewax_spark.functions.stats import mad_outliers
+
+    flow = _flow("mad")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return mad_outliers(ev, ["event_type"], "value", k=3.0)
+
+
+_ORACLES["mad_outliers_events"] = """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT e.event_type, med.median, abs(e.value - med.median) AS dev
+      FROM events e JOIN med USING (event_type)
+    ),
+    m AS (
+      SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, COUNT(*) AS n, any_value(d.median) AS median,
+           any_value(m.mad) AS mad,
+           round(3.0 * 1.4826 * any_value(m.mad), 6) AS threshold,
+           CAST(SUM(CASE WHEN d.dev > round(3.0 * 1.4826 * m.mad, 6)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN m USING (event_type) GROUP BY 1
+"""
+
+
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (functions/validate.py k_anonymity, Sweeney
+    2002) of the (nation, market segment) quasi-identifier at k=10:
+    one keyed count shuffle + a one-row verdict — the
+    re-identification gate a 100 TB release runs before export."""
+    from bytewax_spark.functions.validate import k_anonymity
+
+    flow = _flow("kanon")
+    cust = op.input("cust", flow, _t(spark, sf_dir, "customer")).df
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+_ORACLES["k_anonymity_customers"] = """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(10 AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_groups, MIN(n) AS min_group_size,
+           CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+           CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+    FROM g
+"""
+
+
+def event_trigrams_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (functions/behavior.py event_ngrams):
+    length-3 windows of consecutive event types per (ts, event_id)-
+    ordered user stream, kept when seen >= 2 times — the order-2
+    Markov extension of the transition matrix. One per-user window
+    sort (never global) + one map-side-combined pattern count."""
+    from bytewax_spark.functions.behavior import event_ngrams
+
+    flow = _flow("tri")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return event_ngrams(
+        ev, "user_id", "ts", "event_type", "event_id", n=3, min_count=2
+    )
+
+
+_ORACLES["event_trigrams_users"] = """
+    WITH s AS (
+      SELECT event_type AS step_1,
+             lead(event_type, 1) OVER w AS step_2,
+             lead(event_type, 2) OVER w AS step_3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step_1, step_2, step_3, COUNT(*) AS occurrences
+    FROM s WHERE step_3 IS NOT NULL
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+"""
+
+
+def pareto_suppliers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto contribution analysis (functions/profiling.py
+    pareto_report): the smallest supplier set carrying 80% of lineitem
+    revenue. Revenue is floor-quantized to int64 micros PER ROW before
+    any aggregation, so sums and shares are order- and engine-exact;
+    the cumulative window runs over the supplier table (distinct-key
+    bounded), never the fact table."""
+    from bytewax_spark.functions.profiling import pareto_report
+
+    flow = _flow("pareto")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem")).df
+    rev = li.select(
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 1e6
+        )
+        .cast("long")
+        .alias("rev_micro"),
+    )
+    return pareto_report(rev, "l_suppkey", "rev_micro", coverage_micro=800_000)
+
+
+_ORACLES["pareto_suppliers_revenue"] = """
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0)
+                 AS BIGINT)) AS BIGINT) AS total
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT SUM(total) AS g FROM s),
+    r AS (
+      SELECT l_suppkey, total,
+             ROW_NUMBER() OVER (ORDER BY total DESC, l_suppkey ASC) AS rank,
+             SUM(total) OVER (ORDER BY total DESC, l_suppkey ASC) AS cum
+      FROM s
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, l_suppkey, total,
+           CAST((CAST(total AS HUGEINT) * 1000000) // g AS BIGINT) AS share_micro,
+           CAST((CAST(cum AS HUGEINT) * 1000000) // g AS BIGINT) AS cum_share_micro
+    FROM r, t
+    WHERE (CAST(cum AS HUGEINT) * 1000000) // g
+        - (CAST(total AS HUGEINT) * 1000000) // g < 800000
+"""
+
+
+def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running unique-user count per day (functions/timeseries.py
+    cumulative_distinct): an entity counts once, at its first-seen
+    day, so "distinct to date" is a prefix sum of first-seen counts —
+    no running COUNT(DISTINCT), no per-day id state. One id-keyed
+    min-combine shuffle; the prefix sum runs over the calendar."""
+    from bytewax_spark.functions.timeseries import cumulative_distinct
+
+    flow = _flow("cumd")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return cumulative_distinct(ev, "user_id", "ts", bucket="day")
+
+
+_ORACLES["cumulative_distinct_users_daily"] = """
+    WITH f AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS bucket_ts
+      FROM events GROUP BY 1
+    ),
+    d AS (SELECT bucket_ts, COUNT(*) AS new_entities FROM f GROUP BY 1)
+    SELECT bucket_ts, new_entities,
+           CAST(SUM(new_entities) OVER (ORDER BY bucket_ts) AS BIGINT) AS cum_entities
+    FROM d
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7072,6 +7265,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "readability_docs": readability_docs,
+        "mad_outliers_events": mad_outliers_events,
+        "k_anonymity_customers": k_anonymity_customers,
+        "event_trigrams_users": event_trigrams_users,
+        "pareto_suppliers_revenue": pareto_suppliers_revenue,
+        "cumulative_distinct_users_daily": cumulative_distinct_users_daily,
         "skew_report_lineitem_suppkey": skew_report_lineitem_suppkey,
         "table_diff_events": table_diff_events,
         "sample_stream_batch_by_type": sample_stream_batch_by_type,

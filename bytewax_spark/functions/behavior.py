@@ -31,7 +31,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cohort_retention", "event_transitions", "funnel", "sessionize"]
+__all__ = [
+    "cohort_retention",
+    "event_ngrams",
+    "event_transitions",
+    "funnel",
+    "sessionize",
+]
 
 
 def funnel(
@@ -174,6 +180,42 @@ def event_transitions(
     return lagged.groupBy("src", "dst").agg(
         F.count(F.lit(1)).alias("transitions")
     )
+
+
+def event_ngrams(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    n: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Order-``n`` behavioral sequence mining: count length-``n``
+    windows of consecutive event types within each user's
+    ``(ts, tiebreak)``-ordered stream — the sequential-pattern
+    generalization of :func:`event_transitions` (``n = 2`` reproduces
+    it). Returns ``(step_1 .. step_n, occurrences)`` for patterns seen
+    at least ``min_count`` times — the "what do users do before X"
+    table that feeds next-action models and UX funnels.
+
+    ``n − 1`` ``lead`` calls over ONE per-user window (a single sort
+    per user partition, never global), then a map-side-combined
+    groupBy on the pattern tuple. Patterns never cross users."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    steps = [F.col(type_col).alias("step_1")] + [
+        F.lead(F.col(type_col), i).over(w).alias(f"step_{i + 1}")
+        for i in range(1, n)
+    ]
+    grams = df.select(*steps).filter(F.col(f"step_{n}").isNotNull())
+    out = grams.groupBy(*[f"step_{i + 1}" for i in range(n)]).agg(
+        F.count(F.lit(1)).alias("occurrences")
+    )
+    if min_count > 1:
+        out = out.filter(F.col("occurrences") >= min_count)
+    return out
 
 
 def sessionize(

@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "skew_report"]
+__all__ = ["pareto_report", "profile_table", "skew_report"]
 
 
 def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
@@ -106,4 +106,54 @@ def skew_report(
         "cnt",
         F.expr("(cnt * 1000000L) div _rows").alias("share_micro"),
         F.expr("(cnt * 1000000L * _keys) div _rows").alias("skew_micro"),
+    )
+
+
+def pareto_report(
+    df: "DataFrame",
+    key_col,
+    val_col: str,
+    coverage_micro: int = 800_000,
+) -> "DataFrame":
+    """Pareto / contribution analysis: the smallest set of keys (by
+    descending total of ``val_col``, an int64 measure — quantize floats
+    to micros upstream) whose cumulative share reaches
+    ``coverage_micro`` ppm of the grand total — "which 20% of suppliers
+    carry 80% of revenue". Returns the covering prefix as
+    ``(rank, <keys>, total, share_micro, cum_share_micro)``; the last
+    row is the one that crosses the threshold.
+
+    Scale: one map-side-combined sum per key (the only full-data
+    shuffle), then the cumulative window runs over the KEY table —
+    bounded by distinct-key count, not row count. Ordering is total
+    ``(sum desc, key asc)`` so the report is deterministic under ties;
+    all shares are integer ``div`` so both engines agree bitwise."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    if not 0 < coverage_micro <= 1_000_000:
+        raise ValueError(f"coverage_micro must be in (0, 1e6], got {coverage_micro}")
+    sums = df.groupBy(*keys).agg(F.sum(F.col(val_col)).alias("total"))
+    tot = sums.agg(F.sum("total").alias("_g"))
+    w = Window.orderBy(F.desc("total"), *[F.asc(k) for k in keys])
+    order = "order by total desc, " + ", ".join(f"{k} asc" for k in keys)
+    # totals are int64 micros, so total*1e6 overflows int64 — widen to
+    # DECIMAL(38,0) for the share numerators (exact, engine-portable)
+    ranked = sums.join(F.broadcast(tot)).select(
+        F.row_number().over(w).alias("rank"),
+        *keys,
+        "total",
+        F.expr(
+            "CAST((CAST(total AS DECIMAL(38,0)) * 1000000) div _g AS LONG)"
+        ).alias("share_micro"),
+        F.expr(
+            f"CAST((CAST(sum(total) over ({order}) AS DECIMAL(38,0))"
+            " * 1000000) div _g AS LONG)"
+        ).alias("cum_share_micro"),
+    )
+    # keep rows whose PRECEDING cumulative is still below the target —
+    # the crossing row is included, everything after it is not
+    return ranked.filter(
+        F.col("cum_share_micro") - F.col("share_micro") < coverage_micro
     )

@@ -886,7 +886,13 @@ def countmin_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
     Both sketches must share ``width``/``depth``/key hashing. The
     whole estimate reads ``2·depth·width`` counter rows — the
     join-planning question ("will this join explode?") answered
-    without touching either table."""
+    without touching either table.
+
+    The sketch tables are sparse (empty buckets have no row), so a
+    depth with NO overlapping buckets vanishes from the bucket join —
+    its inner product is 0, which forces the min (and the true join
+    size) to 0; the final agg checks for missing depth rows instead
+    of trusting ``min`` over the surviving ones."""
     prod = (
         a.select("depth", "bucket", F.col("cnt").alias("_ca"))
         .join(
@@ -896,4 +902,11 @@ def countmin_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
         .groupBy("depth")
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
     )
-    return prod.agg(F.min("_ip").cast("bigint").alias("est"))
+    return prod.agg(
+        F.coalesce(
+            F.when(F.count(F.lit(1)) < depth, F.lit(0)).otherwise(F.min("_ip")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("est")
+    )

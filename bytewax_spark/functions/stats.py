@@ -31,6 +31,7 @@ __all__ = [
     "equi_depth_bins",
     "exact_corr",
     "group_auc",
+    "mad_outliers",
     "outlier_counts",
     "robust_stats",
     "seasonal_outlier_counts",
@@ -97,6 +98,53 @@ def outlier_counts(
             F.sum((v < F.col("lo_fence")).cast("long")).alias("lo_outliers"),
             F.sum((v > F.col("hi_fence")).cast("long")).alias("hi_outliers"),
         )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    k: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group MAD outlier census — the robust z-score alternative
+    to the Tukey fences in ``outlier_counts`` (MAD resists up to 50%
+    contamination where the IQR breaks at 25%): rows with
+    ``|x − median| > k · 1.4826 · MAD`` of their OWN group, where
+    ``MAD = median(|x − median|)`` (1.4826 makes MAD consistent with
+    σ under normality; Hampel's rule is ``k = 3``). Returns group cols
+    + ``(n, median, mad, threshold, n_outliers)``.
+
+    Two exact-percentile aggregations (median, then MAD of the
+    deviations) and two joins back on the group key — every shuffle
+    shares the key so AQE coalesces. The median/MAD are rounded to
+    ``decimals`` before the comparison so the census is bit-stable
+    across engines; a degenerate group (MAD = 0) flags every row off
+    the median, the standard Hampel convention."""
+    g = list(group_cols)
+    v = F.col(val_col)
+    med = df.groupBy(*g).agg(
+        F.round(F.percentile(v, F.lit(0.5)), decimals).alias("median")
+    )
+    dev = df.join(med, g).select(
+        *g, "median", F.abs(v - F.col("median")).alias("_dev")
+    )
+    mad = dev.groupBy(*g).agg(
+        F.round(F.percentile(F.col("_dev"), F.lit(0.5)), decimals).alias("mad")
+    )
+    thr = F.round(F.lit(k) * F.lit(1.4826) * F.col("mad"), decimals)
+    return (
+        dev.join(mad, g)
+        .select(*g, "median", "mad", "_dev", thr.alias("threshold"))
+        .groupBy(*g, "median", "mad", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_dev") > F.col("threshold")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+        .select(*g, "n", "median", "mad", "threshold", "n_outliers")
     )
 
 

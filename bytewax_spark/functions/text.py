@@ -36,6 +36,7 @@ __all__ = [
     "char_entropy",
     "skipgram_pairs",
     "gopher_rules",
+    "readability_micro",
     "tokens_per_byte_micro",
     "STOPWORDS",
     "PII_PATTERNS",
@@ -602,6 +603,39 @@ def gopher_rules(c: Column | str) -> Column:
         r_stopwords.alias("r_stopwords"),
         passes.alias("passes"),
     )
+
+
+def readability_micro(c: Column | str) -> Column:
+    """Flesch reading-ease score in int64 micro-units — the classic
+    readability screen (Flesch 1948; Kincaid 1975 regression family)
+    used to band corpora by audience level. Counts are pure regexes:
+    words = ``\\S+`` runs, sentences = ``[.!?]+`` runs (min 1),
+    syllables ≈ ``[aeiouy]+`` vowel groups over the lowered text (the
+    standard cheap approximation — whitespace and punctuation break
+    groups, so summing per-word equals one pass over the text).
+
+    ``206.835 − 1.015·(W/S) − 84.6·(Y/W)`` with each ratio term
+    floor-divided to a whole micro BEFORE subtraction, so the score is
+    engine- and order-exact (IEEE division of exact int64 operands is
+    correctly rounded, so ``floor`` agrees across engines at these
+    magnitudes; ~90+ = very easy, <30 = academic; token-dense noise
+    goes deeply negative). NULL/wordless text scores 0. Pure
+    expressions at scan rate — no shuffle, no UDF."""
+    c = F.col(c) if isinstance(c, str) else c
+    words = F.size(F.regexp_extract_all(c, F.lit(r"\S+"), F.lit(0))).cast("long")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    syll = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    score = (
+        F.lit(206_835_000).cast("long")
+        - F.floor(F.lit(1_015_000) * words / sents).cast("long")
+        - F.floor(F.lit(84_600_000) * syll / words).cast("long")
+    )
+    return F.when(words > 0, score).otherwise(F.lit(0).cast("long"))
 
 
 def tokens_per_byte_micro(c: Column | str) -> Column:

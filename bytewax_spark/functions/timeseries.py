@@ -214,3 +214,38 @@ def ohlc_resample(
             .alias("sum_val"),
         )
     )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Running distinct-entity count per time bucket — "total unique
+    users to date" — WITHOUT a running COUNT(DISTINCT) (which no
+    engine supports over a window and which would hold every id in
+    window state): an entity contributes exactly once, at its
+    first-seen bucket, so the cumulative distinct count is the prefix
+    sum of first-seen counts. Returns
+    ``(bucket_ts, new_entities, cum_entities)``.
+
+    Scale: one groupBy on the entity id (min-combine, the only
+    full-data shuffle), one count per bucket, and the prefix sum runs
+    over the BUCKET table — bounded by the calendar, not the data.
+    Exactly the two-phase shape of packing.prefix_sum, but the bucket
+    count is small enough for a plain window."""
+    from pyspark.sql import Window
+
+    first = df.groupBy(id_col).agg(
+        F.date_trunc(bucket, F.min(F.col(ts_col))).alias("bucket_ts")
+    )
+    daily = first.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).alias("new_entities")
+    )
+    w = Window.orderBy("bucket_ts").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "bucket_ts",
+        "new_entities",
+        F.sum("new_entities").over(w).alias("cum_entities"),
+    )

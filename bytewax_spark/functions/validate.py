@@ -18,10 +18,38 @@ table satisfy the contract", with exact violation counts.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "fk_violations", "unique_violations"]
+__all__ = ["expect", "fk_violations", "k_anonymity", "unique_violations"]
+
+
+def k_anonymity(df: DataFrame, quasi_cols: Sequence[str], k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (Sweeney 2002,
+    public definition): a release is k-anonymous when every
+    quasi-identifier combination is shared by at least ``k`` rows —
+    smaller groups re-identify individuals by linkage. Returns ONE row:
+    ``(k, n_rows, n_groups, min_group_size, violating_groups,
+    rows_at_risk)`` where ``rows_at_risk`` counts rows in sub-``k``
+    groups (the rows that would need suppression or generalization).
+
+    One groupBy on the quasi-identifier (map-side combined) and one
+    aggregation over the group-size table — the audit of a petabyte
+    release costs a single keyed shuffle, and the verdict is one row."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    n = F.col("_n")
+    return sizes.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum(n).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min(n).alias("min_group_size"),
+        F.sum((n < k).cast("long")).alias("violating_groups"),
+        F.sum(F.when(n < k, n).otherwise(F.lit(0))).alias("rows_at_risk"),
+    )
 
 
 def fk_violations(

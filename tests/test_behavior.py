@@ -181,3 +181,62 @@ def test_sessionize_validates_gap(spark):
     ev = _ev(spark, [(1, _ts("2024-01-01T00:00"), "a", 1)])
     with pytest.raises(ValueError):
         bh.sessionize(ev, "user_id", "ts", "event_id", timedelta(0))
+
+
+def test_event_ngrams_trigrams_by_hand(spark):
+    # u1: a b a b a -> trigrams (a,b,a) x2, (b,a,b) x1
+    # u2: a b a     -> (a,b,a) x1; patterns never cross users
+    rows = [
+        (1, _ts("2024-01-01T00:00:01"), "a", 1),
+        (1, _ts("2024-01-01T00:00:02"), "b", 2),
+        (1, _ts("2024-01-01T00:00:03"), "a", 3),
+        (1, _ts("2024-01-01T00:00:04"), "b", 4),
+        (1, _ts("2024-01-01T00:00:05"), "a", 5),
+        (2, _ts("2024-01-01T00:00:01"), "a", 6),
+        (2, _ts("2024-01-01T00:00:02"), "b", 7),
+        (2, _ts("2024-01-01T00:00:03"), "a", 8),
+    ]
+    out = {
+        (r.step_1, r.step_2, r.step_3): r.occurrences
+        for r in bh.event_ngrams(
+            _ev(spark, rows), "user_id", "ts", "event_type", "event_id", n=3
+        ).collect()
+    }
+    assert out == {("a", "b", "a"): 3, ("b", "a", "b"): 1}
+
+
+def test_event_ngrams_n2_matches_transitions(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:01"), "x", 1),
+        (1, _ts("2024-01-01T00:00:02"), "y", 2),
+        (1, _ts("2024-01-01T00:00:03"), "x", 3),
+        (2, _ts("2024-01-01T00:00:01"), "y", 4),
+        (2, _ts("2024-01-01T00:00:02"), "x", 5),
+    ]
+    ev = _ev(spark, rows)
+    bi = {
+        (r.step_1, r.step_2): r.occurrences
+        for r in bh.event_ngrams(
+            ev, "user_id", "ts", "event_type", "event_id", n=2
+        ).collect()
+    }
+    tr = {
+        (r.src, r.dst): r.transitions
+        for r in bh.event_transitions(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert bi == tr
+
+
+def test_event_ngrams_min_count_filters(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:01"), "a", 1),
+        (1, _ts("2024-01-01T00:00:02"), "b", 2),
+        (1, _ts("2024-01-01T00:00:03"), "c", 3),
+    ]
+    out = bh.event_ngrams(
+        _ev(spark, rows), "user_id", "ts", "event_type", "event_id",
+        n=3, min_count=2,
+    ).collect()
+    assert out == []

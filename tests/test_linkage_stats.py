@@ -287,3 +287,40 @@ def test_seasonal_outliers_flags_spike_in_own_hour(spark):
     }
     assert out[3]["n"] == 11 and out[3]["n_outliers"] == 1
     assert out[4]["n"] == 5 and out[4]["n_outliers"] == 0
+
+
+def test_mad_outliers_hand_computed(spark):
+    # group g: values 1..9 plus a wild 100 -> median 5.5, deviations
+    # [4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,94.5] -> MAD 2.5,
+    # threshold 3*1.4826*2.5 = 11.1195 -> only 100 is flagged
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 10)] + [("g", 100.0)],
+        "k string, v double",
+    )
+    row = stats.mad_outliers(df, ["k"], "v", k=3.0).collect()[0]
+    assert row.n == 10
+    assert row.median == 5.5
+    assert row.mad == 2.5
+    assert abs(row.threshold - 11.1195) < 1e-9
+    assert row.n_outliers == 1
+
+
+def test_mad_outliers_zero_mad_flags_off_median(spark):
+    # constant group with one deviant: MAD = 0 -> every row off the
+    # median is an outlier (Hampel convention)
+    df = spark.createDataFrame(
+        [("g", 7.0)] * 5 + [("g", 8.0)], "k string, v double"
+    )
+    row = stats.mad_outliers(df, ["k"], "v").collect()[0]
+    assert row.mad == 0.0 and row.n_outliers == 1
+
+
+def test_mad_outliers_groups_are_independent(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 10)] + [("a", 100.0)]
+        + [("b", 1000.0)] * 4,
+        "k string, v double",
+    )
+    rows = {r.k: r for r in stats.mad_outliers(df, ["k"], "v").collect()}
+    assert rows["a"].n_outliers == 1
+    assert rows["b"].n_outliers == 0 and rows["b"].mad == 0.0

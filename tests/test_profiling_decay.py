@@ -153,3 +153,63 @@ def test_skew_report_validates(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError):
         skew_report(df, "k", top=0)
+
+
+def test_pareto_report_hand_computed(spark):
+    # totals: a=50, b=30, c=15, d=5 (grand 100). 80% coverage ->
+    # a (50%), b (cum 80% -- crossing row included), c/d excluded
+    df = spark.createDataFrame(
+        [("a", 50), ("b", 30), ("c", 15), ("d", 5)], "k string, v long"
+    )
+    from bytewax_spark.functions.profiling import pareto_report
+
+    rows = pareto_report(df, "k", "v", coverage_micro=800_000).collect()
+    got = [(r.rank, r.k, r.total, r.share_micro, r.cum_share_micro) for r in rows]
+    assert got == [
+        (1, "a", 50, 500_000, 500_000),
+        (2, "b", 30, 300_000, 800_000),
+    ]
+
+
+def test_pareto_report_ties_break_on_key(spark):
+    df = spark.createDataFrame(
+        [("z", 10), ("a", 10), ("m", 10)], "k string, v long"
+    )
+    from bytewax_spark.functions.profiling import pareto_report
+
+    rows = pareto_report(df, "k", "v", coverage_micro=1_000_000).collect()
+    assert [r.k for r in rows] == ["a", "m", "z"]
+
+
+def test_pareto_report_big_totals_no_overflow(spark):
+    # int64-micro totals near 2^53..2^60: the share numerator needs
+    # DECIMAL(38,0) -- a raw int64 multiply would overflow
+    big = 4_000_000_000_000_000_000  # 4e18, near the int64 ceiling
+    df = spark.createDataFrame(
+        [("a", big), ("b", big // 4)], "k string, v long"
+    )
+    from bytewax_spark.functions.profiling import pareto_report
+
+    rows = pareto_report(df, "k", "v", coverage_micro=900_000).collect()
+    assert rows[0].share_micro == 800_000
+    assert rows[-1].cum_share_micro == 1_000_000
+
+
+def test_cumulative_distinct_first_seen_semantics(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.timeseries import cumulative_distinct
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5)),
+        (1, datetime(2024, 1, 2, 5)),   # repeat user: must NOT recount
+        (2, datetime(2024, 1, 1, 9)),
+        (3, datetime(2024, 1, 3, 1)),
+        (3, datetime(2024, 1, 3, 2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        str(r.bucket_ts.date()): (r.new_entities, r.cum_entities)
+        for r in cumulative_distinct(df, "user_id", "ts").collect()
+    }
+    assert out == {"2024-01-01": (2, 2), "2024-01-03": (1, 3)}

@@ -117,3 +117,29 @@ def test_centroid_outliers_respects_groups(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     out = sim.centroid_outliers(df, "embedding", "vec_id", "label", threshold=0.99)
     assert out.count() == 0
+
+
+def test_readability_micro_hand_computed(spark):
+    # "The cat sat." -> W=3 (\S+ runs), S=1 ([.!?]+ runs),
+    # Y=3 ([aeiouy]+ groups: e, a, a) ->
+    # 206835000 - 1015000*3//1 - 84600000*3//3 = 119190000 (119.19)
+    df = spark.createDataFrame([("The cat sat.",), ("",), (None,)], "text string")
+    got = [
+        r["m"] for r in df.select(tx.readability_micro("text").alias("m")).collect()
+    ]
+    assert got == [119_190_000, 0, 0]
+
+
+def test_readability_micro_orders_by_difficulty(spark):
+    easy = "The dog ran. The dog sat. The dog ate."
+    hard = (
+        "Notwithstanding institutional heterogeneity considerations, "
+        "epistemological ramifications predominantly characterize "
+        "interdisciplinary methodological paradigms."
+    )
+    df = spark.createDataFrame([(easy,), (hard,)], "text string")
+    a, b = [
+        r["m"] for r in df.select(tx.readability_micro("text").alias("m")).collect()
+    ]
+    assert a > b  # simple prose reads easier than academic sludge
+    assert a > 80_000_000 and b < 30_000_000

@@ -75,3 +75,29 @@ def test_fk_violations_null_keys_pass(spark):
     parent = spark.createDataFrame([(1,)], "p long")
     got = dq.fk_violations(child, parent, "k", "p").collect()
     assert [r["k"] for r in got] == [9]
+
+
+def test_k_anonymity_counts_sub_k_groups(spark):
+    df = spark.createDataFrame(
+        # quasi (zip, age): group (1, 30) has 3 rows, (1, 40) has 1,
+        # (2, 30) has 2 -> at k=3: 2 violating groups, 3 rows at risk
+        [(1, 30), (1, 30), (1, 30), (1, 40), (2, 30), (2, 30)],
+        "zip int, age int",
+    )
+    row = dq.k_anonymity(df, ["zip", "age"], k=3).collect()[0]
+    assert row.k == 3 and row.n_rows == 6 and row.n_groups == 3
+    assert row.min_group_size == 1
+    assert row.violating_groups == 2
+    assert row.rows_at_risk == 3
+
+
+def test_k_anonymity_all_anonymous_at_k1(spark):
+    df = spark.createDataFrame([(1,), (2,)], "zip int")
+    row = dq.k_anonymity(df, ["zip"], k=1).collect()[0]
+    assert row.violating_groups == 0 and row.rows_at_risk == 0
+
+
+def test_k_anonymity_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1,)], "zip int")
+    with pytest.raises(ValueError):
+        dq.k_anonymity(df, ["zip"], k=0)
