@@ -7059,6 +7059,238 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def _hits_oracle(iters: int = 2, scale: int = 10**9) -> str:
+    """Unrolled fixed-point HITS (graph.py hits): L1-normalized
+    hub/authority alternation, HUGEINT numerators — bit-identical to
+    the Spark loop."""
+    sql = f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    ra{t} AS (
+      SELECT e.d AS node, SUM(h.hub) AS ra
+      FROM e JOIN h{t - 1} h ON e.s = h.node GROUP BY 1
+    ),
+    a{t} AS (
+      SELECT n.node,
+             CAST(COALESCE((CAST(r.ra AS HUGEINT) * {scale})
+                  // (SELECT SUM(ra) FROM ra{t}), 0) AS BIGINT) AS auth
+      FROM nodes n LEFT JOIN ra{t} r ON n.node = r.node
+    ),
+    rh{t} AS (
+      SELECT e.s AS node, SUM(a.auth) AS rh
+      FROM e JOIN a{t} a ON e.d = a.node GROUP BY 1
+    ),
+    h{t} AS (
+      SELECT n.node,
+             CAST(COALESCE((CAST(r.rh AS HUGEINT) * {scale})
+                  // (SELECT SUM(rh) FROM rh{t}), 0) AS BIGINT) AS hub
+      FROM nodes n LEFT JOIN rh{t} r ON n.node = r.node
+    )"""
+    return (
+        sql
+        + f"\n    SELECT h.node, h.hub, a.auth FROM h{iters} h"
+        + f" JOIN a{iters} a ON h.node = a.node"
+    )
+
+
+def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (functions/graph.py hits, Kleinberg 1999)
+    over the DIRECTED supplier→customer purchase graph: hub mass
+    lands on suppliers serving well-served customers, authority on
+    customers served by broad suppliers. Two L1-normalized rounds in
+    fixed-point integers (DECIMAL(38,0) norm numerators) — per round
+    two |E|-long shuffles, plan kept flat by checkpoints."""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.hits(edges, iters=2, scale=10**9)
+
+
+_ORACLES["hits_purchase_graph"] = _hits_oracle()
+
+
+def gini_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of event value per event type (functions/
+    stats.py gini): exact rank-formula index on the per-group
+    ascending sort, micro-quantized values and DECIMAL(38,0) sums —
+    bit-identical across engines. One per-group window rank + one
+    aggregation; groups sort independently, never globally."""
+    from bytewax_spark.functions.stats import gini
+
+    flow = _flow("gini")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+    )
+    return gini(q, ["event_type"], "v_micro")
+
+
+_ORACLES["gini_value_by_type"] = """
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS i
+      FROM q
+    )
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS total,
+           CAST(CASE WHEN SUM(x) > 0 THEN
+             ((2 * SUM(CAST(i AS HUGEINT) * x)
+               - (COUNT(*) + 1) * SUM(CAST(x AS HUGEINT))) * 1000000)
+             // (COUNT(*) * SUM(CAST(x AS HUGEINT)))
+           ELSE 0 END AS BIGINT) AS gini_micro
+    FROM r GROUP BY 1
+"""
+
+
+def funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel (functions/behavior.py funnel,
+    within=1 hour): each hop must land within an hour of the user's
+    previous-step time — the "converted within the hour" business
+    question. Same single-plan left-join chain as the unbounded
+    funnel; the bound only tightens the join condition."""
+    from datetime import timedelta
+
+    from bytewax_spark.functions.behavior import funnel
+
+    flow = _flow("fun1h")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within=timedelta(hours=1),
+    )
+
+
+_ORACLES["funnel_within_hour"] = """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT t1.user_id, MIN(e.ts) AS t
+      FROM t1 JOIN events e
+        ON e.user_id = t1.user_id AND e.event_type = 'click'
+       AND e.ts >= t1.t AND e.ts <= t1.t + INTERVAL 1 HOUR
+      GROUP BY 1
+    ),
+    t3 AS (
+      SELECT t2.user_id, MIN(e.ts) AS t
+      FROM t2 JOIN events e
+        ON e.user_id = t2.user_id AND e.event_type = 'purchase'
+       AND e.ts >= t2.t AND e.ts <= t2.t + INTERVAL 1 HOUR
+      GROUP BY 1
+    )
+    SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step,
+           (SELECT COUNT(*) FROM t1) AS users
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM t2)
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM t3)
+"""
+
+
+def vwap_monthly_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly volume-weighted average line price (functions/
+    timeseries.py vwap): Σ(price·qty)/Σqty per ship month, price
+    floor-quantized to micros per row, weighted sums in DECIMAL(38,0)
+    — order- and engine-exact. One map-side-combined aggregation."""
+    from bytewax_spark.functions.timeseries import vwap
+
+    flow = _flow("vwap")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem")).df
+    m = li.select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return vwap(m, ["ship_month"], "l_extendedprice", "l_quantity")
+
+
+_ORACLES["vwap_monthly_lineitem"] = """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume,
+           CAST(SUM(CAST(floor(l_extendedprice * 1000000) AS HUGEINT)
+                    * CAST(l_quantity AS BIGINT))
+                // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vwap_micro
+    FROM lineitem GROUP BY 1
+"""
+
+
+def feature_prop_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style neighborhood mean aggregation (functions/
+    graph.py feature_prop, Hamilton 2017): propagate account-balance
+    micros one hop over the undirected supplier↔customer purchase
+    graph — each node reads the count/sum/integer-micro mean of its
+    neighbors' feature. One |E|-long equi-join + one keyed sum;
+    vectors/payloads never shuffle, only int64 messages."""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"),
+        F.floor(F.col("s_acctbal") * 1_000_000).cast("long").alias("feat"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 1_000_000).alias("node"),
+        F.floor(F.col("c_acctbal") * 1_000_000).cast("long").alias("feat"),
+    )
+    return graph.feature_prop(edges, supp.union(cust), directed=False)
+
+
+_ORACLES["feature_prop_acctbal"] = """
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+    f AS (
+      SELECT s_suppkey AS node,
+             CAST(floor(s_acctbal * 1000000) AS BIGINT) AS feat
+      FROM supplier
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             CAST(floor(c_acctbal * 1000000) AS BIGINT)
+      FROM customer
+    )
+    SELECT e.d AS node, COUNT(*) AS n_nbrs,
+           CAST(SUM(f.feat) AS BIGINT) AS nbr_sum,
+           CAST((SUM(CAST(f.feat AS HUGEINT)) * 1000000) // COUNT(*)
+                AS BIGINT) AS nbr_mean_micro
+    FROM e JOIN f ON e.s = f.node
+    GROUP BY 1
+"""
+
+
 def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease banding (functions/text.py readability_micro,
     Flesch 1948): per-doc score in integer micros from three pure
@@ -7265,6 +7497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "hits_purchase_graph": hits_purchase_graph,
+        "gini_value_by_type": gini_value_by_type,
+        "funnel_within_hour": funnel_within_hour,
+        "vwap_monthly_lineitem": vwap_monthly_lineitem,
+        "feature_prop_acctbal": feature_prop_acctbal,
         "readability_docs": readability_docs,
         "mad_outliers_events": mad_outliers_events,
         "k_anonymity_customers": k_anonymity_customers,

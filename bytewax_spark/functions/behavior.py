@@ -46,6 +46,7 @@ def funnel(
     ts_col: str,
     type_col: str,
     steps: Sequence[str],
+    within=None,
 ) -> DataFrame:
     """Ordered-step funnel: for each step i, count users whose FIRST
     qualifying step-i event occurs at-or-after their first qualifying
@@ -57,6 +58,12 @@ def funnel(
     so out-of-order conversions don't count (the standard funnel
     definition). Equal timestamps count as ordered (``>=``) — ties
     within one event-time tick are credited.
+
+    ``within`` (a ``timedelta``, optional) bounds each HOP: step i
+    only qualifies when it lands within ``within`` of the user's
+    step-(i-1) time — the "converted within the hour" product
+    question. The bound is per-hop, not whole-journey; it tightens the
+    join condition without changing the plan shape.
 
     Implementation: aggregate first-step times per user (one shuffle on
     the user key), then for each later step an inner join of the
@@ -81,11 +88,19 @@ def funnel(
     for i, step in enumerate(steps[1:], start=2):
         ev = df.filter(ty == step).select(u.alias(user_col), t.alias("_ts"))
         prev = f"_t{i - 1}"
+        cond = (per_user[user_col] == ev[user_col]) & (
+            F.col("_ts") >= F.col(prev)
+        )
+        if within is not None:
+            secs = int(within.total_seconds())
+            cond = cond & (
+                F.col("_ts")
+                <= F.col(prev) + F.expr(f"INTERVAL {secs} SECONDS")
+            )
         per_user = (
             per_user.join(
                 ev,
-                on=(per_user[user_col] == ev[user_col])
-                & (F.col("_ts") >= F.col(prev)),
+                on=cond,
                 how="left",
             )
             .drop(ev[user_col])

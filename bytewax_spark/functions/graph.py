@@ -32,6 +32,7 @@ __all__ = [
     "adamic_adar",
     "common_neighbors",
     "connected_components",
+    "hits",
     "kcore",
     "label_propagation",
     "neardup_clusters",
@@ -577,3 +578,131 @@ def adamic_adar(
         (wedges["id_a"] == und["u"]) & (wedges["id_b"] == und["v"]),
         "left_anti",
     ).select("id_a", "id_b", "aa_micro")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    scale: int = 10**9,
+) -> DataFrame:
+    """(node, hub, auth) — HITS hubs-and-authorities (Kleinberg 1999)
+    over a directed edge list in FIXED-POINT integer arithmetic:
+    each round recomputes authority(v) = Σ hub(u) over in-edges then
+    hub(u) = Σ auth(v) over out-edges, L1-normalized back to total
+    mass ``scale`` with integer div (the classic L2 norm needs a
+    square root — L1 keeps every operation int64/DECIMAL exact, and
+    only the norm choice differs, not the ranking). Bit-identical on
+    any engine or partition order, same rationale as :func:`pagerank`.
+    Normalization numerators widen to DECIMAL(38,0) — ``raw · scale``
+    overflows int64 on high-degree graphs.
+
+    Scale shape: per round, two equi-joins of the edge list against a
+    (node, value) table and two groupBy sums — shuffle volume is |E|
+    longs per half-round; the 1-row L1 total is broadcast; the edge
+    list is pinned once; per-round localCheckpoint keeps the plan
+    flat. Nodes with no in-edges read auth 0 (no out-edges: hub 0)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(iters):
+        raw_a = e.join(hub, e["_s"] == hub["node"]).groupBy(
+            F.col("_d").alias("node")
+        ).agg(F.sum("hub").alias("_ra"))
+        tot_a = raw_a.agg(F.sum("_ra").alias("_ta"))
+        auth = (
+            nodes.join(raw_a, "node", "left")
+            .join(F.broadcast(tot_a))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(
+                        f"CAST((CAST(_ra AS DECIMAL(38,0)) * {scale})"
+                        " div _ta AS LONG)"
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        raw_h = e.join(auth, e["_d"] == auth["node"]).groupBy(
+            F.col("_s").alias("node")
+        ).agg(F.sum("auth").alias("_rh"))
+        tot_h = raw_h.agg(F.sum("_rh").alias("_th"))
+        hub = (
+            nodes.join(raw_h, "node", "left")
+            .join(F.broadcast(tot_h))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(
+                        f"CAST((CAST(_rh AS DECIMAL(38,0)) * {scale})"
+                        " div _th AS LONG)"
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def feature_prop(
+    edges: DataFrame,
+    feats: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    feat_col: str = "feat",
+    directed: bool = False,
+) -> DataFrame:
+    """One round of neighborhood feature aggregation — the mean-
+    aggregator primitive GNN pipelines (GraphSAGE, Hamilton 2017) run
+    per layer, as a dataflow: for every node, the count / sum /
+    integer-micro mean of its neighbors' int64 feature (quantize
+    floats upstream). ``directed=False`` symmetrizes, aggregating over
+    all touching edges; ``directed=True`` aggregates over in-edges
+    (message flows src→dst). Returns ``(node, n_nbrs, nbr_sum,
+    nbr_mean_micro)`` for nodes with ≥1 qualifying edge.
+
+    One equi-join of the edge list against the feature table on the
+    message side + one groupBy(node) sum — shuffle volume is |E|
+    longs per round, the same shape as :func:`pagerank`; stack calls
+    for multi-hop. The mean numerator widens to DECIMAL(38,0) so
+    high-degree hubs can't overflow ``sum · 10⁶``."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    fts = feats.select(
+        F.col(node_col).alias("_fn"), F.col(feat_col).cast("long").alias("_fv")
+    )
+    return (
+        e.join(fts, e["_s"] == fts["_fn"])
+        .groupBy(F.col("_d").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum("_fv").alias("nbr_sum"),
+        )
+        .select(
+            "node",
+            "n_nbrs",
+            "nbr_sum",
+            F.expr(
+                "CAST((CAST(nbr_sum AS DECIMAL(38,0)) * 1000000)"
+                " div n_nbrs AS LONG)"
+            ).alias("nbr_mean_micro"),
+        )
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "ngram_nll",
     "tfidf_top_terms",
     "bm25_scores",
+    "rrf_fuse",
     "vocab_coverage",
     "inverted_index",
 ]
@@ -401,4 +402,43 @@ def inverted_index(
                 ":", s.getField("_id").cast("string"), s.getField("_tf").cast("string")
             ),
         ).alias("postings"),
+    )
+
+
+def rrf_fuse(
+    rankings,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009 —
+    the standard hybrid-search combiner): merge N independent rankings
+    (lexical BM25, dense cosine, ...) into one by
+    ``score = Σ 1/(k + rank_i)``, summed over the lists that contain
+    the id. ``k = 60`` is the published default; each reciprocal is
+    floor-quantized to int64 micros BEFORE summation so the fused
+    score is engine- and order-exact. Returns
+    ``(id, n_lists, rrf_micro)``.
+
+    One unionAll of the (id, contribution) lists + one
+    map-side-combined sum — fusing rankings of any length costs a
+    single keyed shuffle of the RANK TABLES, never the corpora
+    behind them."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"1000000 div ({k} + {rank_col})").cast("long").alias("_c"),
+        )
+        for r in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionAll(p)
+    return allc.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("_c").alias("rrf_micro"),
     )

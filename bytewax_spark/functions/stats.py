@@ -32,7 +32,9 @@ __all__ = [
     "exact_corr",
     "group_auc",
     "mad_outliers",
+    "mutual_information",
     "outlier_counts",
+    "psi",
     "robust_stats",
     "seasonal_outlier_counts",
     "standardize",
@@ -488,4 +490,159 @@ def seasonal_outlier_counts(
             F.count(F.lit(1)).alias("n"),
             F.sum(flag.cast("long")).alias("n_outliers"),
         )
+    )
+
+
+def gini(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+) -> DataFrame:
+    """Per-group Gini concentration index in integer micro-units (0 =
+    perfectly equal, 1e6 → one member holds everything) over a
+    NON-NEGATIVE int64 measure (quantize floats to micros upstream) —
+    the inequality complement to :func:`~bytewax_spark.functions.
+    profiling.pareto_report`'s coverage view. Uses the exact
+    rank formula on the ascending sort,
+    ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)``, all sums widened to
+    DECIMAL(38,0) so the index is bit-identical on any engine or
+    partition order (equal values commute in Σ i·x_i, so tie order
+    can't change the answer). Returns group cols + ``(n, total,
+    gini_micro)``; an all-zero group reads 0.
+
+    One per-group window rank (groups sort independently — never a
+    global sort) and one aggregation."""
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy(F.col(val_col))
+    ranked = df.select(
+        *g,
+        F.col(val_col).cast("decimal(38,0)").alias("_x"),
+        F.row_number().over(w).cast("long").alias("_i"),
+    )
+    agg = ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_i").cast("decimal(38,0)") * F.col("_x")).alias("_six"),
+    )
+    return agg.select(
+        *g,
+        "n",
+        F.col("_sx").cast("long").alias("total"),
+        F.when(
+            F.col("_sx") > 0,
+            F.expr(
+                "CAST(((2 * _six - (n + 1) * _sx) * 1000000)"
+                " div (CAST(n AS DECIMAL(38,0)) * _sx) AS LONG)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("gini_micro"),
+    )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information between two categorical columns in integer
+    micro-nats — "how much does knowing X tell you about Y" (0 =
+    independent): ``MI = Σ_xy (c_xy/N)·ln(c_xy·N / (c_x·c_y))``. Each
+    cell's log term is quantized to int64 micros BEFORE the weighted
+    sum (the PMI/DSIR trick), numerators widened to DECIMAL(38,0), so
+    the score is engine- and order-exact. Returns one row
+    ``(n, n_cells, mi_micro)``.
+
+    One groupBy on the (x, y) pair — the marginals re-aggregate the
+    CELL table, never the data — plus two broadcast-sized joins back.
+    The mixing audit ("is source predictive of language?") for a
+    100 TB corpus costs one keyed shuffle."""
+    cxy = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_cxy"))
+    cx = cxy.groupBy("_x").agg(F.sum("_cxy").alias("_cx"))
+    cy = cxy.groupBy("_y").agg(F.sum("_cxy").alias("_cy"))
+    tot = cxy.agg(F.sum("_cxy").alias("_n"))
+    cells = (
+        cxy.join(cx, "_x")
+        .join(cy, "_y")
+        .join(F.broadcast(tot))
+        .select(
+            "_cxy",
+            F.round(
+                F.log(
+                    (F.col("_cxy") * F.col("_n")).cast("double")
+                    / (F.col("_cx").cast("double") * F.col("_cy"))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("_lm"),
+            "_n",
+        )
+    )
+    return cells.agg(
+        F.first("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.expr(
+            "CAST(SUM(CAST(_cxy AS DECIMAL(38,0)) * _lm)"
+            " div FIRST(_n) AS LONG)"
+        ).alias("mi_micro"),
+    )
+
+
+def psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    bin_col: str,
+) -> DataFrame:
+    """Population stability index between a reference and a current
+    sample of a pre-binned column — THE drift gate ML monitoring runs
+    between training and serving distributions (rule of thumb:
+    < 0.1 stable, > 0.25 shifted):
+    ``PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)``. Shares are integer ppm,
+    the log ratio is micro-quantized before the product (exact-int
+    trick as :func:`mutual_information`), so the index is bit-stable.
+    Bins present on only one side make raw PSI infinite — they are
+    EXCLUDED from the sum and reported as ``only_ref`` / ``only_cur``
+    counts instead (the common practical convention; pre-smooth
+    upstream if you want them priced in). Returns one row
+    ``(n_bins, psi_micro, only_ref, only_cur)``.
+
+    Two map-side-combined bin counts + a full-outer join of two
+    BIN tables — drift-checking a petabyte serving log costs two
+    scans and a tiny join."""
+    rc = ref.groupBy(F.col(bin_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_cr")
+    )
+    cc = cur.groupBy(F.col(bin_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_cc")
+    )
+    nr = rc.agg(F.sum("_cr").alias("_nr"))
+    nc = cc.agg(F.sum("_cc").alias("_nc"))
+    joined = (
+        rc.join(cc, "_b", "full_outer")
+        .join(F.broadcast(nr))
+        .join(F.broadcast(nc))
+    )
+    both = F.col("_cr").isNotNull() & F.col("_cc").isNotNull()
+    p_ppm = F.expr("CAST(_cr AS DECIMAL(38,0)) * 1000000 div _nr")
+    q_ppm = F.expr("CAST(_cc AS DECIMAL(38,0)) * 1000000 div _nc")
+    # ln(p/q) on the exact count ratio (shares' denominators cancel)
+    ln_micro = (
+        F.round(
+            F.log(
+                (F.col("_cr") * F.col("_nc")).cast("double")
+                / (F.col("_cc").cast("double") * F.col("_nr"))
+            )
+            * 1_000_000
+        ).cast("bigint")
+    )
+    cells = joined.select(
+        both.alias("_both"),
+        F.when(both, (p_ppm - q_ppm) * ln_micro).alias("_term"),
+        F.col("_cr").isNotNull().alias("_hr"),
+        F.col("_cc").isNotNull().alias("_hc"),
+    )
+    return cells.agg(
+        F.sum(F.col("_both").cast("long")).alias("n_bins"),
+        F.expr("CAST(SUM(_term) div 1000000 AS LONG)").alias("psi_micro"),
+        F.sum((F.col("_hr") & ~F.col("_hc")).cast("long")).alias("only_ref"),
+        F.sum((~F.col("_hr") & F.col("_hc")).cast("long")).alias("only_cur"),
     )

@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["decayed_sum", "gapfill_ffill", "ohlc_resample", "trailing_agg"]
+__all__ = [
+    "cumulative_distinct",
+    "decayed_sum",
+    "gapfill_ffill",
+    "ohlc_resample",
+    "trailing_agg",
+    "vwap",
+]
 
 
 def trailing_agg(
@@ -248,4 +255,35 @@ def cumulative_distinct(
         "bucket_ts",
         "new_entities",
         F.sum("new_entities").over(w).alias("cum_entities"),
+    )
+
+
+def vwap(
+    df: DataFrame,
+    group_cols,
+    price_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """Volume-weighted average price per group — the fill-quality /
+    fair-value benchmark line: ``Σ(price·qty) / Σ(qty)`` in integer
+    micro-units. The price is floor-quantized to int64 micros PER ROW
+    and the weighted sum accumulates in DECIMAL(38,0), so the result
+    is order- and engine-exact (float Σpq is not). Returns group cols
+    + ``(volume, vwap_micro)``; pair a ``date_trunc`` bucket in
+    ``group_cols`` for the per-bar series. One map-side-combined
+    aggregation."""
+    g = list(group_cols)
+    p_micro = F.floor(F.col(price_col) * F.lit(1_000_000)).cast("decimal(38,0)")
+    q = F.col(qty_col).cast("long")
+    return (
+        df.groupBy(*g)
+        .agg(
+            F.sum(p_micro * q).alias("_pq"),
+            F.sum(q).alias("volume"),
+        )
+        .select(
+            *g,
+            "volume",
+            F.expr("CAST(_pq div volume AS LONG)").alias("vwap_micro"),
+        )
     )

@@ -240,3 +240,56 @@ def test_event_ngrams_min_count_filters(spark):
         n=3, min_count=2,
     ).collect()
     assert out == []
+
+
+def test_funnel_within_bounds_each_hop(spark):
+    from datetime import timedelta
+
+    # u1 clicks 30 min after view (inside 1h); u2 clicks 2h after (out)
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), "view", 1),
+        (1, _ts("2024-01-01T00:30:00"), "click", 2),
+        (2, _ts("2024-01-01T00:00:00"), "view", 3),
+        (2, _ts("2024-01-01T02:00:00"), "click", 4),
+    ]
+    out = {
+        r.step: r.users
+        for r in bh.funnel(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click"], within=timedelta(hours=1),
+        ).collect()
+    }
+    assert out == {"view": 2, "click": 1}
+
+
+def test_funnel_within_is_per_hop_not_whole_journey(spark):
+    from datetime import timedelta
+
+    # each hop 50 min apart: total 100 min > 1h but every hop < 1h
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), "view", 1),
+        (1, _ts("2024-01-01T00:50:00"), "click", 2),
+        (1, _ts("2024-01-01T01:40:00"), "purchase", 3),
+    ]
+    out = {
+        r.step: r.users
+        for r in bh.funnel(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within=timedelta(hours=1),
+        ).collect()
+    }
+    assert out == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_without_within_unchanged(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), "view", 1),
+        (1, _ts("2024-01-05T00:00:00"), "click", 2),
+    ]
+    out = {
+        r.step: r.users
+        for r in bh.funnel(
+            _ev(spark, rows), "user_id", "ts", "event_type", ["view", "click"]
+        ).collect()
+    }
+    assert out == {"view": 1, "click": 1}

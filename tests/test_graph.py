@@ -334,3 +334,76 @@ def test_adamic_adar_excludes_adjacent_and_sums(spark):
 
     w = round(1_000_000 / math.log(2))
     assert got == {(1, 3): 2 * w, (2, 4): 2 * w}
+
+
+def test_hits_star_graph_by_hand(spark):
+    # hubs 1,2,3 all point at authority 10; hub 1 also points at 11.
+    # round 1: ra(10)=3s, ra(11)=s (s=scale) -> auth 10 = 3/4, 11 = 1/4
+    # rh(1)=auth10+auth11=s, rh(2)=rh(3)=auth10=3s/4 -> hubs 4/10, 3/10, 3/10
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11)], "src long, dst long"
+    )
+    out = {r.node: (r.hub, r.auth) for r in graph.hits(edges, iters=1).collect()}
+    s = 10**9
+    assert out[10] == (0, 750_000_000)
+    assert out[11] == (0, 250_000_000)
+    assert out[1] == (400_000_000, 0)
+    assert out[2] == (300_000_000, 0)
+    assert out[3] == (300_000_000, 0)
+
+
+def test_hits_mass_conserved_each_round(spark):
+    edges = spark.createDataFrame(
+        [(1, 4), (2, 4), (2, 5), (3, 5), (4, 1)], "src long, dst long"
+    )
+    rows = graph.hits(edges, iters=2).collect()
+    s = 10**9
+    # L1 normalization: totals within div-truncation of scale
+    assert abs(sum(r.hub for r in rows) - s) < len(rows)
+    assert abs(sum(r.auth for r in rows) - s) < len(rows)
+
+
+def test_hits_rejects_zero_iters(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        graph.hits(edges, iters=0)
+
+
+def test_feature_prop_undirected_mean(spark):
+    # 1-2, 2-3 path; feats 1:10, 2:20, 3:60
+    # node 2 sees {1,3}: sum 70, mean 35; node 1 sees {2}: 20; node 3: 20
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    feats = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 60)], "node long, feat long"
+    )
+    out = {
+        r.node: (r.n_nbrs, r.nbr_sum, r.nbr_mean_micro)
+        for r in graph.feature_prop(edges, feats).collect()
+    }
+    assert out[2] == (2, 70, 35_000_000)
+    assert out[1] == (1, 20, 20_000_000)
+    assert out[3] == (1, 20, 20_000_000)
+
+
+def test_feature_prop_directed_in_edges_only(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    feats = spark.createDataFrame([(1, 7), (2, 9)], "node long, feat long")
+    out = {
+        r.node: r.nbr_mean_micro
+        for r in graph.feature_prop(edges, feats, directed=True).collect()
+    }
+    # only 2 receives a message (1 -> 2); 1 has no in-edges
+    assert out == {2: 7_000_000}
+
+
+def test_feature_prop_negative_feats_truncate_like_div(spark):
+    # sum -7 over 2 neighbors: -7*1e6 div 2 truncates toward zero
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    feats = spark.createDataFrame(
+        [(1, -3), (2, -4), (3, 0)], "node long, feat long"
+    )
+    out = {
+        r.node: r.nbr_mean_micro
+        for r in graph.feature_prop(edges, feats, directed=True).collect()
+    }
+    assert out[3] == -3_500_000

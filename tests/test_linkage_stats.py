@@ -324,3 +324,28 @@ def test_mad_outliers_groups_are_independent(spark):
     rows = {r.k: r for r in stats.mad_outliers(df, ["k"], "v").collect()}
     assert rows["a"].n_outliers == 1
     assert rows["b"].n_outliers == 0 and rows["b"].mad == 0.0
+
+
+def test_gini_extremes(spark):
+    # perfectly equal -> 0; one-holder (n=4) -> (n-1)/n = 0.75
+    df = spark.createDataFrame(
+        [("eq", 5), ("eq", 5), ("eq", 5), ("eq", 5),
+         ("one", 0), ("one", 0), ("one", 0), ("one", 100)],
+        "k string, v long",
+    )
+    out = {r.k: r.gini_micro for r in stats.gini(df, ["k"], "v").collect()}
+    assert out["eq"] == 0
+    assert out["one"] == 750_000
+
+
+def test_gini_known_value(spark):
+    # x = [1, 2, 3, 4]: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40 = 0.25
+    df = spark.createDataFrame([("g", v) for v in [3, 1, 4, 2]], "k string, v long")
+    row = stats.gini(df, ["k"], "v").collect()[0]
+    assert row.n == 4 and row.total == 10
+    assert row.gini_micro == 250_000
+
+
+def test_gini_zero_total_reads_zero(spark):
+    df = spark.createDataFrame([("z", 0), ("z", 0)], "k string, v long")
+    assert stats.gini(df, ["k"], "v").collect()[0].gini_micro == 0

@@ -213,3 +213,16 @@ def test_cumulative_distinct_first_seen_semantics(spark):
         for r in cumulative_distinct(df, "user_id", "ts").collect()
     }
     assert out == {"2024-01-01": (2, 2), "2024-01-03": (1, 3)}
+
+
+def test_vwap_hand_computed(spark):
+    from bytewax_spark.functions.timeseries import vwap
+
+    # (price, qty): (10, 2), (20, 1) -> pq = 40e6, vol 3 -> 13333333
+    df = spark.createDataFrame(
+        [("a", 10.0, 2), ("a", 20.0, 1), ("b", 5.0, 4)],
+        "k string, p double, q long",
+    )
+    out = {r.k: (r.volume, r.vwap_micro) for r in vwap(df, ["k"], "p", "q").collect()}
+    assert out["a"] == (3, 13_333_333)
+    assert out["b"] == (4, 5_000_000)
