@@ -7059,6 +7059,147 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def rrf_hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search by reciprocal-rank fusion (functions/retrieval.py
+    rrf_fuse, Cormack 2009): the lexical BM25 top-10 for
+    ('spark','hash','window') fused with the dense cosine top-10 for
+    query vector vec_id=0 (doc_id ≡ vec_id in the test corpus) at the
+    published k=60. Reciprocals floor-quantized to micros before the
+    sum — engine-exact. Fusing costs one keyed shuffle of the two
+    10-row rank tables; the corpora are only touched by the two
+    upstream rankers."""
+    from pyspark.sql import Window
+
+    from bytewax_spark.functions.retrieval import bm25_scores, rrf_fuse
+    from bytewax_spark.functions import similarity as sim
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_scores(docs, "text", "doc_id", ["spark", "hash", "window"], k=10)
+    bm_r = bm.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    cz = sim.cosine_topk(emb, "embedding", "vec_id", qv, k=10)
+    cz_r = cz.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([bm_r, cz_r], "id", "rank", k=60)
+
+
+_ORACLES["rrf_hybrid_search_docs"] = f"""
+    WITH bmr AS (
+      SELECT doc_id AS id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM ({_ORACLES["bm25_search_docs"]})
+    ),
+    czr AS (
+      SELECT vec_id AS id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+      FROM ({_ORACLES["cosine_topk_vec0"]})
+    ),
+    u AS (
+      SELECT id, 1000000 // (60 + rank) AS c FROM bmr
+      UNION ALL
+      SELECT id, 1000000 // (60 + rank) FROM czr
+    )
+    SELECT id, COUNT(*) AS n_lists, CAST(SUM(c) AS BIGINT) AS rrf_micro
+    FROM u GROUP BY 1
+"""
+
+
+def mi_lang_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source
+    (functions/stats.py mutual_information): the corpus-mixing audit
+    "is source predictive of language?" in integer micro-nats — cell
+    log terms micro-quantized before the DECIMAL-exact weighted sum.
+    One keyed shuffle on the (lang, source) pair; marginals
+    re-aggregate the cell table."""
+    from bytewax_spark.functions.stats import mutual_information
+
+    flow = _flow("mi")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return mutual_information(docs, "lang", "source")
+
+
+_ORACLES["mi_lang_source_docs"] = """
+    WITH cxy AS (
+      SELECT lang AS x, source AS y, COUNT(*) AS cxy
+      FROM documents GROUP BY 1, 2
+    ),
+    cx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM cxy GROUP BY 1),
+    cy AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM cxy GROUP BY 1),
+    t AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cxy),
+    cells AS (
+      SELECT cxy,
+             CAST(ROUND(LN(CAST(cxy * n AS DOUBLE)
+                           / (CAST(cx AS DOUBLE) * cy)) * 1000000)
+                  AS BIGINT) AS lm,
+             n
+      FROM cxy JOIN cx USING (x) JOIN cy USING (y), t
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n, COUNT(*) AS n_cells,
+           CAST(SUM(CAST(cxy AS HUGEINT) * lm) // any_value(n)
+                AS BIGINT) AS mi_micro
+    FROM cells
+"""
+
+
+def psi_click_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (functions/stats.py psi) between the
+    click and purchase value distributions, binned into width-50
+    bands — the training-vs-serving drift gate. Shares in exact ppm,
+    log ratios micro-quantized; one-sided bins excluded and counted.
+    Two map-side bin counts + one tiny bin-table join."""
+    from bytewax_spark.functions.stats import psi
+
+    flow = _flow("psi")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    band = F.floor(F.col("value") / 50).cast("long").alias("band")
+    ref = ev.filter(F.col("event_type") == "click").select(band)
+    cur = ev.filter(F.col("event_type") == "purchase").select(band)
+    return psi(ref, cur, "band")
+
+
+_ORACLES["psi_click_purchase_value"] = """
+    WITH rc AS (
+      SELECT CAST(floor(value / 50) AS BIGINT) AS b, COUNT(*) AS cr
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    cc AS (
+      SELECT CAST(floor(value / 50) AS BIGINT) AS b, COUNT(*) AS cc
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM rc),
+    nc AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM cc),
+    j AS (
+      SELECT rc.cr, cc.cc,
+             (CAST(rc.cr AS HUGEINT) * 1000000) // nr AS p_ppm,
+             (CAST(cc.cc AS HUGEINT) * 1000000) // nc AS q_ppm,
+             CAST(ROUND(LN(CAST(rc.cr * nc AS DOUBLE)
+                           / (CAST(cc.cc AS DOUBLE) * nr)) * 1000000)
+                  AS BIGINT) AS lm
+      FROM rc FULL OUTER JOIN cc ON rc.b = cc.b, nr, nc
+    )
+    SELECT CAST(SUM(CASE WHEN cr IS NOT NULL AND cc IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bins,
+           CAST(SUM(CASE WHEN cr IS NOT NULL AND cc IS NOT NULL
+                    THEN (p_ppm - q_ppm) * lm END) // 1000000
+                AS BIGINT) AS psi_micro,
+           CAST(SUM(CASE WHEN cr IS NOT NULL AND cc IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS only_ref,
+           CAST(SUM(CASE WHEN cr IS NULL AND cc IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS only_cur
+    FROM j
+"""
+
+
 def _hits_oracle(iters: int = 2, scale: int = 10**9) -> str:
     """Unrolled fixed-point HITS (graph.py hits): L1-normalized
     hub/authority alternation, HUGEINT numerators — bit-identical to
@@ -7497,6 +7638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "rrf_hybrid_search_docs": rrf_hybrid_search_docs,
+        "mi_lang_source_docs": mi_lang_source_docs,
+        "psi_click_purchase_value": psi_click_purchase_value,
         "hits_purchase_graph": hits_purchase_graph,
         "gini_value_by_type": gini_value_by_type,
         "funnel_within_hour": funnel_within_hour,

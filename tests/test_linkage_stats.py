@@ -349,3 +349,36 @@ def test_gini_known_value(spark):
 def test_gini_zero_total_reads_zero(spark):
     df = spark.createDataFrame([("z", 0), ("z", 0)], "k string, v long")
     assert stats.gini(df, ["k"], "v").collect()[0].gini_micro == 0
+
+
+def test_mutual_information_independent_is_zero(spark):
+    # X and Y independent uniform: every cell c_xy*N == c_x*c_y -> ln 1 = 0
+    rows = [(x, y) for x in ("a", "b") for y in ("u", "v") for _ in range(5)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    row = stats.mutual_information(df, "x", "y").collect()[0]
+    assert row.n == 20 and row.n_cells == 4 and row.mi_micro == 0
+
+
+def test_mutual_information_perfect_dependence_ln2(spark):
+    # Y == f(X), two equiprobable values: MI = ln 2 = 0.693147 nats
+    rows = [("a", "u")] * 5 + [("b", "v")] * 5
+    df = spark.createDataFrame(rows, "x string, y string")
+    row = stats.mutual_information(df, "x", "y").collect()[0]
+    assert abs(row.mi_micro - 693_147) <= 1
+
+
+def test_psi_identical_distributions_zero(spark):
+    ref = spark.createDataFrame([(b,) for b in [1, 1, 2, 2, 3, 3]], "b long")
+    row = stats.psi(ref, ref, "b").collect()[0]
+    assert row.psi_micro == 0 and row.only_ref == 0 and row.only_cur == 0
+    assert row.n_bins == 3
+
+
+def test_psi_shift_is_positive_and_one_sided_bins_counted(spark):
+    ref = spark.createDataFrame([(1,)] * 8 + [(2,)] * 2, "b long")
+    cur = spark.createDataFrame([(1,)] * 2 + [(2,)] * 6 + [(3,)] * 2, "b long")
+    row = stats.psi(ref, cur, "b").collect()[0]
+    # hand check: p=(0.8,0.2), q=(0.2,0.6) over shared bins
+    # 0.6*ln(4) + 0.4*ln(3) = 0.831777 + 0.439445 = 1.271221
+    assert abs(row.psi_micro - 1_271_221) <= 5
+    assert row.n_bins == 2 and row.only_ref == 0 and row.only_cur == 1

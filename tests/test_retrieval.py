@@ -583,3 +583,39 @@ def test_dedup_keep_best_tie_breaks_min_id(spark):
     )
     out = dd.dedup_keep_best(df, "text", "doc_id", "score", n=1, k=32, bands=4).collect()
     assert [r["doc_id"] for r in out] == [3]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from bytewax_spark.functions.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame([(10, 1), (11, 2)], "id long, rank long")
+    r2 = spark.createDataFrame([(11, 1), (12, 2)], "id long, rank long")
+    out = {
+        r.id: (r.n_lists, r.rrf_micro)
+        for r in rrf_fuse([r1, r2], k=60).collect()
+    }
+    # 1e6//61 = 16393, 1e6//62 = 16129
+    assert out[10] == (1, 16393)
+    assert out[11] == (2, 16393 + 16129)
+    assert out[12] == (1, 16129)
+
+
+def test_rrf_fuse_consensus_beats_single_top(spark):
+    from bytewax_spark.functions.retrieval import rrf_fuse
+
+    # id 5 is rank 2 in BOTH lists; ids 1 and 9 are rank 1 in one list
+    r1 = spark.createDataFrame([(1, 1), (5, 2)], "id long, rank long")
+    r2 = spark.createDataFrame([(9, 1), (5, 2)], "id long, rank long")
+    out = {r.id: r.rrf_micro for r in rrf_fuse([r1, r2]).collect()}
+    assert out[5] > out[1] == out[9]
+
+
+def test_rrf_fuse_validates_inputs(spark):
+    import pytest
+    from bytewax_spark.functions.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    r = spark.createDataFrame([(1, 1)], "id long, rank long")
+    with pytest.raises(ValueError):
+        rrf_fuse([r], k=0)
