@@ -7059,6 +7059,188 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def table_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group table checksum (functions/
+    validate.py table_checksum): bit_xor of md5-derived row hashes
+    over the int/string key columns, plus the row count — the
+    migration verifier that says "byte-equal or not" per return flag
+    from one map-side-combined aggregation, before table_diff names
+    the differing keys."""
+    from bytewax_spark.functions.validate import table_checksum
+
+    flow = _flow("cksum")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem")).df
+    return table_checksum(
+        li,
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+        group_cols=["l_returnflag"],
+    )
+
+
+_ORACLES["table_checksum_lineitem"] = """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(bit_xor(('0x' || SUBSTR(MD5(concat_ws(chr(31),
+                CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                l_returnflag, l_linestatus)), 1, 15))::BIGINT)
+             AS BIGINT) AS checksum
+    FROM lineitem GROUP BY 1
+"""
+
+
+def bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter semi-join report (functions/dedup.py
+    bloom_build/bloom_might_contain word form): the order keys of
+    high-value orders compress to a 64 Ki-bit filter that rides the
+    PLAN as an array literal, so the fact table is filtered at scan
+    rate with zero shuffle and no join — the Spark-side equivalent of
+    the runtime filters warehouses inject. One row:
+    ``(n_candidates, n_true, n_false_pos)`` — the exact-confirm join
+    only ever sees the candidates, and false negatives are impossible
+    by construction."""
+    from bytewax_spark.functions import dedup as dd
+
+    flow = _flow("bsemi")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem")).df
+    orders = _t(spark, sf_dir, "orders")
+    members = (
+        orders.filter(F.col("o_totalprice") > 480000)
+        .select("o_orderkey")
+        .distinct()
+    )
+    words = dd.bloom_build(members, "o_orderkey", m_bits=65536, n_hashes=4)
+    probe = dd.bloom_might_contain(
+        words, F.col("l_orderkey"), m_bits=65536, n_hashes=4
+    )
+    m = members.withColumn("_is", F.lit(1))
+    return (
+        li.join(m, li["l_orderkey"] == m["o_orderkey"], "left")
+        .agg(
+            F.sum(probe.cast("long")).alias("n_candidates"),
+            F.sum((F.col("_is") == 1).cast("long")).alias("n_true"),
+            F.sum((probe & F.col("_is").isNull()).cast("long")).alias(
+                "n_false_pos"
+            ),
+        )
+    )
+
+
+_ORACLES["bloom_semijoin_lineitem"] = """
+    WITH d AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+    m AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 480000),
+    bloom AS (
+      SELECT DISTINCT
+             ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1 + 8 * d.d, 8))::BIGINT
+               % 65536 AS pos
+      FROM m, d
+    ),
+    lk AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    lp AS (
+      SELECT lk.l_orderkey,
+             ('0x' || SUBSTR(MD5(CAST(lk.l_orderkey AS VARCHAR)), 1 + 8 * d.d, 8))::BIGINT
+               % 65536 AS pos
+      FROM lk, d
+    ),
+    hits AS (
+      SELECT lp.l_orderkey,
+             SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = COUNT(*) AS hit
+      FROM lp LEFT JOIN bloom b USING (pos) GROUP BY 1
+    )
+    SELECT CAST(SUM(CASE WHEN h.hit THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN m.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN h.hit AND m.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos
+    FROM lineitem l
+    JOIN hits h ON l.l_orderkey = h.l_orderkey
+    LEFT JOIN m ON l.l_orderkey = m.o_orderkey
+"""
+
+
+def benford_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (functions/stats.py benford) of
+    lineitem extended price per return flag — the fabricated-numbers
+    forensic screen. Digits come from the STRING of the
+    cents-quantized int64 (engine-portable, unlike float formatting);
+    expected shares are frozen ppm literals. One (group, digit) count
+    + a re-aggregated total; ≤9 rows per group emerge."""
+    from bytewax_spark.functions.stats import benford
+
+    flow = _flow("benf")
+    li = op.input("li", flow, _t(spark, sf_dir, "lineitem")).df
+    return benford(li, ["l_returnflag"], "l_extendedprice")
+
+
+_ORACLES["benford_extendedprice"] = """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(substring(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) >= 1
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+    e(digit, exp_ppm) AS (VALUES (1, 301029), (2, 176091), (3, 124938),
+      (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+    SELECT c.l_returnflag, c.digit, c.n,
+           CAST((c.n * 1000000) // t.tot AS BIGINT) AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST((c.n * 1000000) // t.tot - e.exp_ppm AS BIGINT) AS dev_ppm
+    FROM c JOIN t USING (l_returnflag) JOIN e USING (digit)
+"""
+
+
+def cusum_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator (functions/timeseries.py
+    cusum_changepoint, Page 1954) on micro-quantized event values per
+    type: where the cumulative deviation from the mean peaks — the
+    level-shift detector. Integer-exact: the mean is never divided
+    out (deviation k = n·prefix_k − k·S in DECIMAL(38,0)); one
+    per-group window sort + one max-by."""
+    from bytewax_spark.functions.timeseries import cusum_changepoint
+
+    flow = _flow("cusum")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    q = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+    )
+    return cusum_changepoint(q, ["event_type"], "v_micro", "ts", "event_id")
+
+
+_ORACLES["cusum_value_by_type"] = """
+    WITH q AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS x
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, ts, event_id,
+             SUM(CAST(x AS HUGEINT)) OVER w AS pfx,
+             ROW_NUMBER() OVER w AS k,
+             SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+      SELECT event_type, ts, event_id, n,
+             abs(n * pfx - k * s) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * pfx - k * s) DESC,
+                                         ts, event_id) AS pick
+      FROM r
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(dev // n AS BIGINT) AS cusum_max_micro, ts AS at_ts
+    FROM d WHERE pick = 1
+"""
+
+
 def rrf_hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search by reciprocal-rank fusion (functions/retrieval.py
     rrf_fuse, Cormack 2009): the lexical BM25 top-10 for
@@ -7638,6 +7820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "table_checksum_lineitem": table_checksum_lineitem,
+        "bloom_semijoin_lineitem": bloom_semijoin_lineitem,
+        "benford_extendedprice": benford_extendedprice,
+        "cusum_value_by_type": cusum_value_by_type,
         "rrf_hybrid_search_docs": rrf_hybrid_search_docs,
         "mi_lang_source_docs": mi_lang_source_docs,
         "psi_click_purchase_value": psi_click_purchase_value,

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "benford",
     "calibration_bins",
     "equi_depth_bins",
     "exact_corr",
@@ -645,4 +646,55 @@ def psi(
         F.expr("CAST(SUM(_term) div 1000000 AS LONG)").alias("psi_micro"),
         F.sum((F.col("_hr") & ~F.col("_hc")).cast("long")).alias("only_ref"),
         F.sum((~F.col("_hr") & F.col("_hc")).cast("long")).alias("only_cur"),
+    )
+
+
+# Benford expected first-digit shares, ppm: floor(log10(1 + 1/d) * 1e6).
+# Frozen literals so Spark and any oracle agree bit-for-bit.
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+) -> DataFrame:
+    """Benford first-digit audit per group — the classic
+    fabricated-numbers screen (Benford 1938; Nigrini's forensic
+    variant): observed vs expected leading-digit shares of the
+    positive values, in exact ppm. The digit comes from the STRING of
+    the cents-quantized int64 (``floor(v·100)``) — float-to-string
+    formatting differs across engines, int-to-string does not.
+    Expected shares are the frozen ``BENFORD_PPM`` literals. Returns
+    one row per (group, digit): ``(digit, n, obs_ppm, exp_ppm,
+    dev_ppm)``; non-positive values are excluded.
+
+    One map-side-combined count per (group, digit) — ≤9 rows per group
+    emerge — and the totals re-aggregate that digit table."""
+    g = list(group_cols)
+    v_int = F.floor(F.col(val_col) * 100).cast("long")
+    digit = F.substring(v_int.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.select(*g, v_int.alias("_vi"), digit.alias("digit"))
+        .filter(F.col("_vi") >= 1)
+        .groupBy(*g, "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy(*g).agg(F.sum("n").alias("_tot"))
+    exp = F.lit(None).cast("long")
+    for d, ppm in sorted(BENFORD_PPM.items()):
+        exp = F.when(F.col("digit") == d, F.lit(ppm).cast("long")).otherwise(exp)
+    return (
+        counts.join(totals, g)
+        .select(
+            *g,
+            "digit",
+            "n",
+            F.expr("(n * 1000000L) div _tot").alias("obs_ppm"),
+            exp.alias("exp_ppm"),
+        )
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
     )

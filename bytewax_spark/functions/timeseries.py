@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cumulative_distinct",
+    "cusum_changepoint",
     "decayed_sum",
     "gapfill_ffill",
     "ohlc_resample",
@@ -285,5 +286,66 @@ def vwap(
             *g,
             "volume",
             F.expr("CAST(_pq div volume AS LONG)").alias("vwap_micro"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols,
+    val_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group CUSUM changepoint locator (Page 1954): the time at
+    which the cumulative deviation from the group mean peaks — where
+    the level shift happened, if any. ``val_col`` must be int64
+    (quantize floats to micros upstream). To stay integer-exact the
+    mean is never divided out: the deviation at step k is
+    ``n·prefix_k − k·S`` (DECIMAL(38,0)), which is ``n ×`` the classic
+    CUSUM; the reported ``cusum_max_micro = max|n·prefix_k − k·S|
+    div n`` is the classic statistic floor-divided once at the end.
+    Returns one row per group: ``(n, cusum_max_micro, at_ts)`` with
+    the earliest peak winning ties.
+
+    One per-group window (prefix sum + row number over the SAME
+    (ts, tiebreak) order — one sort per group, never global) and one
+    max-by aggregation."""
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    wg = Window.partitionBy(*g)
+    rows = df.select(
+        *g,
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.sum(F.col(val_col).cast("decimal(38,0)")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_pfx"),
+        F.row_number().over(w).cast("long").alias("_k"),
+        F.sum(F.col(val_col).cast("decimal(38,0)")).over(wg).alias("_s"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("_n"),
+    )
+    dev = rows.select(
+        *g,
+        "_ts",
+        "_tb",
+        "_n",
+        F.abs(F.col("_n") * F.col("_pfx") - F.col("_k") * F.col("_s")).alias(
+            "_dev"
+        ),
+    )
+    pick = Window.partitionBy(*g).orderBy(
+        F.col("_dev").desc(), F.col("_ts"), F.col("_tb")
+    )
+    return (
+        dev.withColumn("_r", F.row_number().over(pick))
+        .filter(F.col("_r") == 1)
+        .select(
+            *g,
+            F.col("_n").alias("n"),
+            F.expr("CAST(_dev div _n AS LONG)").alias("cusum_max_micro"),
+            F.col("_ts").alias("at_ts"),
         )
     )

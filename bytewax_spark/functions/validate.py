@@ -23,7 +23,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect", "fk_violations", "k_anonymity", "unique_violations"]
+__all__ = [
+    "expect",
+    "fk_violations",
+    "k_anonymity",
+    "table_checksum",
+    "unique_violations",
+]
 
 
 def k_anonymity(df: DataFrame, quasi_cols: Sequence[str], k: int = 5) -> DataFrame:
@@ -177,3 +183,40 @@ def expect(df: DataFrame, rules: list[tuple], name_col: str = "rule") -> DataFra
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out.withColumn("ok", F.col("violations") == 0)
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Order-independent table checksum -- the migration/replication
+    verifier: ``bit_xor`` of a per-row md5-derived int64 over the
+    chosen columns joined with an ASCII unit separator (NULLs get an
+    explicit sentinel so ``(a, NULL)`` and ``(NULL, a)`` differ). Two
+    relations with equal ``(n_rows, checksum)`` per group are
+    byte-equal on those columns up to duplicate-row parity -- XOR
+    cancels identical rows pairwise, which is why the row count rides
+    along (the standard checksum-table caveat; include a unique key in
+    ``cols`` to break ties). Returns ``group_cols + (n_rows,
+    checksum)``; one aggregation, map-side combined,
+    engine-replayable (md5 is md5 everywhere).
+
+    Compare two snapshots cheaply BEFORE reaching for
+    :func:`~bytewax_spark.functions.cdc.table_diff`, which shuffles
+    both tables to name the differing keys."""
+    from bytewax_spark.functions.text import hash64
+
+    use = list(cols) if cols is not None else list(df.columns)
+    if not use:
+        raise ValueError("table_checksum needs at least one column")
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in use
+    ]
+    row_h = hash64(F.concat_ws("\u001f", *parts))
+    g = list(group_cols) if group_cols else []
+    agg = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(row_h).alias("checksum"),
+    ]
+    return df.groupBy(*g).agg(*agg) if g else df.agg(*agg)

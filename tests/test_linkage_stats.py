@@ -382,3 +382,24 @@ def test_psi_shift_is_positive_and_one_sided_bins_counted(spark):
     # 0.6*ln(4) + 0.4*ln(3) = 0.831777 + 0.439445 = 1.271221
     assert abs(row.psi_micro - 1_271_221) <= 5
     assert row.n_bins == 2 and row.only_ref == 0 and row.only_cur == 1
+
+
+def test_benford_counts_and_constants(spark):
+    # values 1.0..9.0 once each -> every digit n=1, obs 111111 ppm
+    df = spark.createDataFrame(
+        [("g", float(d)) for d in range(1, 10)], "k string, v double"
+    )
+    rows = {r.digit: r for r in stats.benford(df, ["k"], "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert all(r.n == 1 and r.obs_ppm == 111_111 for r in rows.values())
+    assert rows[1].exp_ppm == 301_029 and rows[9].exp_ppm == 45_757
+    assert rows[1].dev_ppm == 111_111 - 301_029
+
+
+def test_benford_digit_from_cents_not_float_format(spark):
+    # 0.05 -> floor(5) cents -> digit 5; 0.004 (0 cents) excluded; -3 excluded
+    df = spark.createDataFrame(
+        [("g", 0.05), ("g", 0.004), ("g", -3.0)], "k string, v double"
+    )
+    rows = stats.benford(df, ["k"], "v").collect()
+    assert len(rows) == 1 and rows[0].digit == 5 and rows[0].obs_ppm == 1_000_000

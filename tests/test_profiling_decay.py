@@ -226,3 +226,33 @@ def test_vwap_hand_computed(spark):
     out = {r.k: (r.volume, r.vwap_micro) for r in vwap(df, ["k"], "p", "q").collect()}
     assert out["a"] == (3, 13_333_333)
     assert out["b"] == (4, 5_000_000)
+
+
+def test_cusum_changepoint_locates_level_shift(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.timeseries import cusum_changepoint
+
+    # 5 zeros then 5 tens: CUSUM peaks exactly at the last pre-shift row
+    rows = [
+        ("g", datetime(2024, 1, 1, h), h, 0 if h < 5 else 10_000_000)
+        for h in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, i long, x long")
+    out = cusum_changepoint(df, ["k"], "x", "ts", "i").collect()[0]
+    assert out.n == 10
+    assert out.at_ts == datetime(2024, 1, 1, 4)
+    # classic statistic: |prefix_5 - 5*mean| = |0 - 25e6| = 25e6
+    assert out.cusum_max_micro == 25_000_000
+
+
+def test_cusum_constant_series_is_zero_at_first_row(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.timeseries import cusum_changepoint
+
+    rows = [("g", datetime(2024, 1, 1, h), h, 7) for h in range(4)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, i long, x long")
+    out = cusum_changepoint(df, ["k"], "x", "ts", "i").collect()[0]
+    assert out.cusum_max_micro == 0
+    assert out.at_ts == datetime(2024, 1, 1, 0)  # earliest wins ties

@@ -101,3 +101,38 @@ def test_k_anonymity_rejects_bad_k(spark):
     df = spark.createDataFrame([(1,)], "zip int")
     with pytest.raises(ValueError):
         dq.k_anonymity(df, ["zip"], k=0)
+
+
+def test_table_checksum_order_independent(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id long, s string")
+    b = spark.createDataFrame([(3, "z"), (1, "x"), (2, "y")], "id long, s string")
+    ra = dq.table_checksum(a).collect()[0]
+    rb = dq.table_checksum(b.repartition(7)).collect()[0]
+    assert (ra.n_rows, ra.checksum) == (rb.n_rows, rb.checksum)
+
+
+def test_table_checksum_detects_single_cell_change(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    b = spark.createDataFrame([(1, "x"), (2, "Y")], "id long, s string")
+    assert (
+        dq.table_checksum(a).collect()[0].checksum
+        != dq.table_checksum(b).collect()[0].checksum
+    )
+
+
+def test_table_checksum_null_vs_shifted_columns_differ(spark):
+    # (a, NULL) must not hash like (NULL, a): explicit sentinel + ws sep
+    a = spark.createDataFrame([("a", None)], "x string, y string")
+    b = spark.createDataFrame([(None, "a")], "x string, y string")
+    assert (
+        dq.table_checksum(a).collect()[0].checksum
+        != dq.table_checksum(b).collect()[0].checksum
+    )
+
+
+def test_table_checksum_grouped(spark):
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g2", 3)], "g string, v long"
+    )
+    rows = {r.g: r.n_rows for r in dq.table_checksum(df, group_cols=["g"]).collect()}
+    assert rows == {"g1": 2, "g2": 1}
