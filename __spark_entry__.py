@@ -7059,6 +7059,72 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact EWMA level per user (functions/timeseries.py
+    ewma, num/den = 1/8 — the bit-shift smoother): the truncating
+    recurrence folds JVM-side over each user's (ts, event_id)-sorted
+    history (one collect_list + one aggregate lambda, arrays bounded
+    by per-entity history). The oracle replays the same recurrence
+    with a recursive CTE — step-wise identical, not a closed form."""
+    from bytewax_spark.functions.timeseries import ewma
+
+    flow = _flow("ewma")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    q = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+    )
+    return ewma(q, ["user_id"], "v_micro", "ts", "event_id", num=1, den=8)
+
+
+_ORACLES["ewma_value_by_user"] = """
+    WITH RECURSIVE r AS (
+      SELECT user_id, CAST(floor(value * 1000000) AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, k, x AS e FROM r WHERE k = 1
+      UNION ALL
+      SELECT r.user_id, r.k, (1 * r.x + 7 * rec.e) // 8
+      FROM r JOIN rec ON r.user_id = rec.user_id AND r.k = rec.k + 1
+    ),
+    nn AS (SELECT user_id, MAX(k) AS n FROM r GROUP BY 1)
+    SELECT nn.user_id, CAST(nn.n AS BIGINT) AS n,
+           CAST(rec.e AS BIGINT) AS ewma_micro
+    FROM nn JOIN rec ON rec.user_id = nn.user_id AND rec.k = nn.n
+"""
+
+
+def ewma_stream_batch_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING O(1)-state EWMA (streaming/ewma_stream) run in
+    batch mode: same truncating integer recurrence as the batch fold,
+    so this equals ewma_value_by_user row-for-row — asserted by the
+    shared recursive-CTE oracle. State is two numbers per key
+    forever."""
+    from bytewax_spark.streaming import ewma_stream
+
+    flow = _flow("ewmasb")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    proj = op.map(
+        "proj",
+        ev,
+        {
+            "user_id": "user_id",
+            "ts": "ts",
+            "event_id": "event_id",
+            "v_micro": F.floor(F.col("value") * 1_000_000).cast("long"),
+        },
+    )
+    ks = op.key_on("key", proj, "user_id", key_col="user_id")
+    return ewma_stream("e", ks, "v_micro", "ts", "event_id", num=1, den=8).df
+
+
+_ORACLES["ewma_stream_batch_by_user"] = _ORACLES["ewma_value_by_user"]
+
+
 def table_checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent per-group table checksum (functions/
     validate.py table_checksum): bit_xor of md5-derived row hashes
@@ -7820,6 +7886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "ewma_value_by_user": ewma_value_by_user,
+        "ewma_stream_batch_by_user": ewma_stream_batch_by_user,
         "table_checksum_lineitem": table_checksum_lineitem,
         "bloom_semijoin_lineitem": bloom_semijoin_lineitem,
         "benford_extendedprice": benford_extendedprice,

@@ -23,6 +23,7 @@ __all__ = [
     "cumulative_distinct",
     "cusum_changepoint",
     "decayed_sum",
+    "ewma",
     "gapfill_ffill",
     "ohlc_resample",
     "trailing_agg",
@@ -348,4 +349,53 @@ def cusum_changepoint(
             F.expr("CAST(_dev div _n AS LONG)").alias("cusum_max_micro"),
             F.col("_ts").alias("at_ts"),
         )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    group_cols,
+    val_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    num: int = 1,
+    den: int = 8,
+) -> DataFrame:
+    """Per-group exponentially-weighted moving average, integer-exact:
+    the recurrence ``e_k = (num·x_k + (den−num)·e_{k−1}) div den``
+    (seeded with the first value) over the total ``(ts, tiebreak)``
+    order, on int64 micro inputs — ``num/den = 1/8`` is the classic
+    bit-shift smoother. Because the integer division happens INSIDE
+    each step, the result is not a closed-form weighted sum; it is
+    replayed exactly by the streaming twin
+    (:func:`bytewax_spark.streaming.ewma_stream`) and by a recursive
+    SQL oracle. Returns ``(group cols, n, ewma_micro)`` — the smoothed
+    level per key at end of input.
+
+    One collect_list aggregation per group + an array_sort + one
+    ``aggregate`` fold — arrays are bounded by rows-per-key (the
+    per-entity history), never by table size; the fold runs JVM-side
+    in whole-stage codegen, no UDF."""
+    if not (0 < num < den):
+        raise ValueError(f"need 0 < num < den, got {num}/{den}")
+    g = list(group_cols)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak_col).alias("b"),
+                F.col(val_col).cast("long").alias("x"),
+            )
+        )
+    )
+    agged = df.groupBy(*g).agg(arr.alias("_a"))
+    fold = F.expr(
+        "aggregate(slice(_a, 2, size(_a) - 1), _a[0].x, "
+        f"(acc, s) -> (CAST({num} AS BIGINT) * s.x + {den - num} * acc)"
+        f" div {den})"
+    )
+    return agged.select(
+        *g,
+        F.size("_a").cast("long").alias("n"),
+        fold.cast("long").alias("ewma_micro"),
     )

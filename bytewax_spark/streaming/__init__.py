@@ -49,6 +49,7 @@ __all__ = [
     "dedup_ttl_stream",
     "distinct_count_stream",
     "funnel_stream",
+    "ewma_stream",
     "moments_stream",
     "sample_stream",
     "zscore_anomaly_stream",
@@ -1023,3 +1024,70 @@ def sample_stream(
     item_t = up.df.schema[item_col].dataType.simpleString()
     schema = f"{up.key_col} {key_t}, {item_col} {item_t}, rk int"
     return stateful_batch(step_id, up, _Sample, schema=schema)
+
+
+def ewma_stream(
+    step_id: str,
+    up: KeyedStream,
+    val_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    num: int = 1,
+    den: int = 8,
+) -> KeyedStream:
+    """Streaming exponentially-weighted moving average per key —
+    O(1) state (count + last level): each value folds through
+    ``e = (num·x + (den−num)·e) div den`` on int64 micros, the same
+    truncating integer recurrence as the batch twin
+    (``functions.timeseries.ewma``), so streamed == batch == replay
+    bit-for-bit. Rows process in ``(ts, tiebreak)`` order within each
+    batch (order-deterministic, not arrival-dependent — the
+    dedup_ttl_stream convention). Streaming mode emits the key's
+    RUNNING level each batch; batch mode emits once at EOF. Emits
+    ``(key, n, ewma_micro)``."""
+    if not (0 < num < den):
+        raise ValueError(f"need 0 < num < den, got {num}/{den}")
+    emit_each = bool(up.df.isStreaming)
+
+    def _tdiv(a: int, b: int) -> int:
+        # truncate toward zero, matching SQL div / DuckDB //
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    class _Ewma(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.n, self.e = snap if snap is not None else (0, None)
+
+        def _fold(self, pdf):
+            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+            for v in pdf[val_col]:
+                x = int(v)
+                if self.e is None:
+                    self.e = x
+                else:
+                    self.e = _tdiv(num * x + (den - num) * self.e, den)
+                self.n += 1
+
+        def _row(self):
+            return pd.DataFrame(
+                [(self.n, self.e)], columns=["n", "ewma_micro"]
+            )
+
+        def on_batch(self, pdf):
+            self._fold(pdf)
+            if emit_each:
+                return self._row(), self.RETAIN
+            return None, self.RETAIN
+
+        def on_eof(self):
+            if self.n == 0:
+                return None, self.DISCARD
+            return self._row(), self.DISCARD
+
+        def snapshot(self):
+            return (self.n, self.e)
+
+    up = _require_keyed(step_id, up)
+    key_t = up.df.schema[up.key_col].dataType.simpleString()
+    schema = f"{up.key_col} {key_t}, n long, ewma_micro long"
+    return stateful_batch(step_id, up, _Ewma, schema=schema)

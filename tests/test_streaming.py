@@ -1210,3 +1210,88 @@ def test_sample_stream_validates(spark):
     ks = op.key_on("key", op.input("in", flow, src), "k")
     with pytest.raises(ValueError):
         sample_stream("s", ks, "item", n=0)
+
+
+def test_ewma_stream_batch_equals_batch_fold(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bytewax_spark.functions.timeseries import ewma
+    from bytewax_spark.streaming import ewma_stream
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("v"),
+        )
+    )
+    flow = Dataflow("b_ewma")
+    ks = op.key_on("key", op.input("in", flow, ev), "user_id", key_col="user_id")
+    got = {
+        r["user_id"]: (r["n"], r["ewma_micro"])
+        for r in ewma_stream("e", ks, "v", "ts", "event_id").df.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["ewma_micro"])
+        for r in ewma(ev, ["user_id"], "v", "ts", "event_id").collect()
+    }
+    assert got == want
+
+
+def test_ewma_stream_state_across_microbatches(spark):
+    from datetime import datetime
+
+    from bytewax_spark.streaming import ewma_stream
+
+    rows = [("k", datetime(2024, 1, 1, 0, i), i, 80) for i in range(4)] + [
+        ("k", datetime(2024, 1, 1, 1, 0), 99, 160)
+    ]
+    flow = Dataflow("s_ewma")
+    src = TestingSource(
+        rows, schema="k string, ts timestamp, i long, v long",
+        streaming=True, files=3,
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "k")
+    out = ewma_stream("e", ks, "v", "ts", "i", num=1, den=2)
+    sink = MemorySink("s_ewma_out")
+    op.output("out", out, sink)
+    got = drain(spark, flow, "s_ewma_out")
+    last = got[-1]
+    # seed 80, three more 80s keep it at 80; then (160 + 80) div 2 = 120
+    assert last["n"] == 5 and last["ewma_micro"] == 120
+
+
+def test_ewma_fold_hand_computed(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.timeseries import ewma
+
+    rows = [
+        ("k", datetime(2024, 1, 1, 0), 1, 100),
+        ("k", datetime(2024, 1, 1, 1), 2, 0),
+        ("k", datetime(2024, 1, 1, 2), 3, 0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, i long, x long")
+    # alpha 1/4: 100 -> (0 + 3*100) div 4 = 75 -> (0 + 3*75) div 4 = 56
+    row = ewma(df, ["k"], "x", "ts", "i", num=1, den=4).collect()[0]
+    assert row.n == 3 and row.ewma_micro == 56
+
+
+def test_ewma_truncates_toward_zero_on_negatives(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.timeseries import ewma
+    from bytewax_spark.streaming import ewma_stream
+
+    rows = [
+        ("k", datetime(2024, 1, 1, 0), 1, -100),
+        ("k", datetime(2024, 1, 1, 1), 2, -1),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, i long, x long")
+    # (-1 + 7*-100) div 8 = -701 div 8 = -87 (trunc), floor would give -88
+    row = ewma(df, ["k"], "x", "ts", "i").collect()[0]
+    assert row.ewma_micro == -87
+    flow = Dataflow("b_ewman")
+    ks = op.key_on("key", op.input("in", flow, df), "k")
+    srow = ewma_stream("e", ks, "x", "ts", "i").df.collect()[0]
+    assert srow["ewma_micro"] == -87
