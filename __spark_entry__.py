@@ -7059,6 +7059,73 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def balanced_downsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class balancing (functions/sampling.py
+    balanced_downsample): every language keeps exactly min-class-size
+    docs, chosen by salted-hash rank — partitioning/rerun invariant
+    where fraction sampling is not. One G-row count broadcast back +
+    per-class window ranks."""
+    from bytewax_spark.functions.sampling import balanced_downsample
+
+    flow = _flow("baldown")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return balanced_downsample(docs, "lang", "doc_id").select("doc_id", "lang")
+
+
+_ORACLES["balanced_downsample_docs"] = f"""
+    WITH keep AS (
+      SELECT MIN(cnt) AS k FROM (
+        SELECT COUNT(*) AS cnt FROM documents GROUP BY lang
+      )
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_SQL_H64.format("CAST(doc_id AS VARCHAR)")} ASC,
+                        doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r, keep WHERE rk <= k
+"""
+
+
+def knn_label_agreement_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise screen (functions/similarity.py
+    knn_label_agreement, confident-learning family): each vector's
+    share of same-label cosine neighbors (k=10, self excluded) in
+    exact ppm — low agreement flags mislabeled candidates. One corpus
+    pass via the broadcast-probe batch top-k; at corpus scale run it
+    inside LSH/IVF cells."""
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_label_agreement(emb, "embedding", "vec_id", "label", k=10)
+
+
+_ORACLES["knn_label_agreement_embeddings"] = f"""
+    WITH scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS plab,
+             e.vec_id AS nid, e.label AS nlab,
+             ROUND({_SQL_COS.format(a='e.embedding', b='p.embedding')}, 6) AS cosine
+      FROM embeddings e CROSS JOIN embeddings p
+    ),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, nid) AS rk
+      FROM scored
+    )
+    SELECT probe_id AS vec_id, plab AS label, COUNT(*) AS n_nbrs,
+           CAST(SUM(CASE WHEN nlab = plab THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same,
+           CAST((SUM(CASE WHEN nlab = plab THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS agree_ppm
+    FROM top WHERE rk <= 11 AND nid <> probe_id
+    GROUP BY 1, 2
+"""
+
+
 def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact EWMA level per user (functions/timeseries.py
     ewma, num/den = 1/8 — the bit-shift smoother): the truncating
@@ -7886,6 +7953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "balanced_downsample_docs": balanced_downsample_docs,
+        "knn_label_agreement_embeddings": knn_label_agreement_embeddings,
         "ewma_value_by_user": ewma_value_by_user,
         "ewma_stream_batch_by_user": ewma_stream_batch_by_user,
         "table_checksum_lineitem": table_checksum_lineitem,

@@ -36,6 +36,7 @@ from .text import hash64
 
 __all__ = [
     "BUCKETS",
+    "balanced_downsample",
     "sample_bucket",
     "sample_by_hash",
     "stratified_sample",
@@ -477,4 +478,36 @@ def negative_samples(
         neg.withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= k)
         .select(user_col, item_col, "neg_rank")
+    )
+
+
+def balanced_downsample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Class-balance by deterministic downsampling: every class keeps
+    exactly ``min(class size)`` rows — the ones whose salted md5 hash
+    ranks lowest — so the output is invariant to partitioning, rerun,
+    and row order (a ``fraction``-based sample is none of those). The
+    classic prep step before training on skewed labels.
+
+    Two-phase: class sizes from one map-side-combined count (G rows,
+    broadcast back), then a per-class window rank over (hash, id) —
+    per-group sorts, never global. Returns the surviving rows; swap
+    ``salt`` for a fresh draw."""
+    from pyspark.sql import Window
+
+    from bytewax_spark.functions.text import hash64
+
+    sizes = df.groupBy(F.col(class_col)).agg(F.count(F.lit(1)).alias("_n"))
+    floor_n = sizes.agg(F.min("_n").alias("_keep"))
+    h = hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(class_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(floor_n))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= F.col("_keep"))
+        .drop("_r", "_keep")
     )

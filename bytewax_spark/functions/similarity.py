@@ -33,6 +33,7 @@ __all__ = [
     "ivf_topk",
     "ivf_search_index",
     "ivf_write_index",
+    "knn_label_agreement",
     "lsh_bucket_col",
     "lsh_buckets",
     "lsh_probe_buckets",
@@ -627,4 +628,55 @@ def pq_adc_topk(
         codes.select(F.col(id_col), F.round(dist, 6).alias("adc_dist2"))
         .orderBy(F.col("adc_dist2").asc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Label-noise screen by neighborhood consensus (the core signal
+    of confident-learning/kNN-agreement dataset QA, Northcutt 2021
+    family): for every vector, the share of its k nearest neighbors
+    (cosine, self excluded) that carry the SAME label — rows with low
+    agreement are the mislabeled-sample candidates. Returns
+    ``(id, label, n_nbrs, n_same, agree_ppm)`` with ``agree_ppm`` an
+    exact integer.
+
+    Built on ``cosine_topk_batch`` (corpus scanned once, probes
+    broadcast, two-phase per-probe top-k): exact brute force — right
+    for query batches and QA samples; at corpus scale bucket with
+    ``lsh_buckets``/``ivf_topk`` first and run the agreement join
+    inside cells. The label join back is id-keyed and
+    broadcast-friendly."""
+    labels = df.select(
+        F.col(id_col).alias("_nid"), F.col(label_col).alias("_nlab")
+    )
+    probes = df.select(
+        F.col(id_col).alias("_pid"),
+        F.col(vec_col).alias("_pv"),
+        F.col(label_col).alias("_plab"),
+    )
+    nn = cosine_topk_batch(
+        df, vec_col, id_col, probes, "_pid", "_pv", k=k + 1
+    ).filter(F.col("probe_id") != F.col(id_col))
+    return (
+        nn.join(labels, nn[id_col] == labels["_nid"])
+        .join(
+            probes.select("_pid", "_plab"),
+            nn["probe_id"] == F.col("_pid"),
+        )
+        .groupBy(F.col("probe_id").alias(id_col), F.col("_plab").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum((F.col("_nlab") == F.col("_plab")).cast("long")).alias(
+                "n_same"
+            ),
+        )
+        .withColumn(
+            "agree_ppm", F.expr("(n_same * 1000000L) div n_nbrs")
+        )
     )

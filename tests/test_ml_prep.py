@@ -157,3 +157,34 @@ def test_group_auc_matches_sklearn_formula(spark):
     want = round(u / (len(pos) * len(neg)), 6)
     got = stats.group_auc(df, ["k"], "y", "s").collect()[0]["auc"]
     assert got == want
+
+
+def test_knn_label_agreement_planted_mislabel(spark):
+    from bytewax_spark.functions.similarity import knn_label_agreement
+
+    # two tight clusters; vec 99 sits in cluster A but carries label B
+    a = [1.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0]
+    rows = (
+        [(i, [a[0] + 0.001 * i, a[1], a[2]], 0) for i in range(6)]
+        + [(10 + i, [b[0], b[1] + 0.001 * i, b[2]], 1) for i in range(6)]
+        + [(99, [0.999, 0.001, 0.0], 1)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in knn_label_agreement(
+        df, "embedding", "vec_id", "label", k=5
+    ).collect()}
+    # the mislabeled point's neighbors are all label 0 -> agreement 0
+    assert out[99]["agree_ppm"] == 0
+    # a core cluster-A point agrees with most of its k=5 neighborhood
+    assert out[0]["agree_ppm"] >= 800_000
+    assert all(r["n_nbrs"] == 5 for r in out.values())
+
+
+def test_knn_label_agreement_excludes_self(spark):
+    from bytewax_spark.functions.similarity import knn_label_agreement
+
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_label_agreement(df, "embedding", "vec_id", "label", k=2).collect()
+    assert all(r["n_nbrs"] == 2 for r in out)

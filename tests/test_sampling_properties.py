@@ -70,3 +70,35 @@ def test_hash64_matches_md5_model(spark, strings):
     for s in strings:
         want = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
         assert got[s] == want, repr(s)
+
+
+def test_balanced_downsample_equal_class_sizes(spark):
+    from bytewax_spark.functions.sampling import balanced_downsample
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(7)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = balanced_downsample(df, "cls", "id")
+    sizes = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert sizes == {"big": 7, "small": 7}
+
+
+def test_balanced_downsample_deterministic_and_partition_invariant(spark):
+    from bytewax_spark.functions.sampling import balanced_downsample
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    a = {r["id"] for r in balanced_downsample(df, "cls", "id").collect()}
+    b = {r["id"] for r in balanced_downsample(df.repartition(13), "cls", "id").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_balanced_downsample_salt_changes_draw(spark):
+    from bytewax_spark.functions.sampling import balanced_downsample
+
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    a = {r["id"] for r in balanced_downsample(df, "cls", "id").collect()}
+    b = {r["id"] for r in balanced_downsample(df, "cls", "id", salt="v2").collect()}
+    assert a != b  # 10-of-100 draw colliding across salts is ~impossible
