@@ -506,3 +506,71 @@ def test_dq_expression_rules_one_pass(spark, sf_dir):
     fk), not once per rule."""
     plan = _plan(spark, "dq_report_orders", sf_dir)
     assert plan.count("Scan parquet") - plan.count("customer.parquet") == 3
+
+
+def test_readability_is_scan_rate(spark, sf_dir):
+    plan = _plan(spark, "readability_docs", sf_dir)
+    # pure per-row expressions: no shuffle, no Python, pruned scan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_k_anonymity_single_keyed_shuffle(spark, sf_dir):
+    plan = _plan(spark, "k_anonymity_customers", sf_dir)
+    # one keyed exchange (quasi-id count) + the single-row final agg
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+
+
+def test_bloom_semijoin_probe_is_scan_side(spark, sf_dir):
+    plan = _plan(spark, "bloom_semijoin_lineitem", sf_dir)
+    # the bloom probe is a plan-literal filter on the fact scan: the
+    # only join is the exact-confirm against the tiny member side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    # fact scan reads only the join key (report needs nothing else)
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_ewma_fold_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, "ewma_value_by_user", sf_dir)
+    assert "EvalPython" not in plan
+    # one keyed exchange for the collect_list aggregation
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gini_window_shares_group_partitioning(spark, sf_dir):
+    plan = _plan(spark, "gini_value_by_type", sf_dir)
+    # the rank window and the aggregation share ONE keyed exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_pareto_window_runs_on_key_table(spark, sf_dir):
+    plan = _plan(spark, "pareto_suppliers_revenue", sf_dir)
+    # full-data shuffle only for the per-key sum; the single-partition
+    # window exchange sits above the G-row aggregate, not the scan
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
+
+
+def test_vwap_single_partial_agg(spark, sf_dir):
+    plan = _plan(spark, "vwap_monthly_lineitem", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
+
+
+def test_feature_prop_messages_are_longs(spark, sf_dir):
+    plan = _plan(spark, "feature_prop_acctbal", sf_dir)
+    # the groupBy(node) sum is map-side combined; no Python anywhere
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_table_checksum_single_pass(spark, sf_dir):
+    plan = _plan(spark, "table_checksum_lineitem", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
