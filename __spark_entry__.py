@@ -7059,6 +7059,206 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def ks_click_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between click and purchase
+    value distributions (functions/stats.py ks_stat): the max CDF gap
+    in exact ppm — cross-multiplied cumulative counts, DECIMAL(38,0),
+    no floats. The window runs over the distinct-value table (value
+    cardinality, not row count); the binned PSI is the scale path."""
+    from bytewax_spark.functions.stats import ks_stat
+
+    flow = _flow("ks")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    ref = ev.filter(F.col("event_type") == "click").select("value")
+    cur = ev.filter(F.col("event_type") == "purchase").select("value")
+    return ks_stat(ref, cur, "value")
+
+
+_ORACLES["ks_click_purchase_value"] = """
+    WITH rc AS (
+      SELECT value AS v, COUNT(*) AS cr FROM events
+      WHERE event_type = 'click' GROUP BY 1
+    ),
+    cc AS (
+      SELECT value AS v, COUNT(*) AS cc FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    m AS (
+      SELECT COALESCE(rc.v, cc.v) AS v,
+             COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+      FROM rc FULL OUTER JOIN cc ON rc.v = cc.v
+    ),
+    t AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+                 CAST(SUM(cc) AS BIGINT) AS nc FROM m),
+    cum AS (
+      SELECT SUM(cr) OVER w AS fr, SUM(cc) OVER w AS fc
+      FROM m
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT t.nr AS n_ref, t.nc AS n_cur,
+           CAST((MAX(ABS(CAST(fr AS HUGEINT) * t.nc
+                         - CAST(fc AS HUGEINT) * t.nr)) * 1000000)
+                // (CAST(t.nr AS HUGEINT) * t.nc) AS BIGINT) AS d_ppm
+    FROM cum, t GROUP BY t.nr, t.nc
+"""
+
+
+def _wpagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled WEIGHTED fixed-point PageRank (graph.py pagerank with
+    weight_col): mass splits by edge weight, HUGEINT numerators —
+    bit-identical to the Spark loop."""
+    sql = f"""
+    WITH e0 AS (
+      SELECT l_suppkey AS src, o_custkey + 1000000 AS dst, COUNT(*) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, w FROM e0
+          UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+    params AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST((SELECT {scale} // n FROM params) AS BIGINT) AS rank FROM nodes)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    r{t} AS (
+      SELECT nd.node,
+             CAST((SELECT ({scale} * 15) // (100 * n) FROM params)
+                  + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((CAST(r.rank AS HUGEINT) * e.w) // d.deg) AS BIGINT) AS s
+        FROM e JOIN r{t - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY 1
+      ) s ON nd.node = s.node
+    )"""
+    return sql + f"\n    SELECT node, rank FROM r{iters}"
+
+
+def wpagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank (functions/graph.py pagerank, weight_col) on
+    the symmetrized purchase graph with lineitem counts as edge
+    weights: mass splits in proportion to how often a pair traded —
+    repeat business outranks one-off orders. Same |E|-long per-round
+    shuffles as the unweighted form; contribution numerators widen to
+    DECIMAL(38,0)."""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return graph.pagerank(edges, iters=3, weight_col="w")
+
+
+_ORACLES["wpagerank_purchase_graph"] = _wpagerank_oracle()
+
+
+def apply_upserts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (functions/cdc.py apply_upserts): the per-user
+    snapshot of the first half of the event log merged with the second
+    half as a change batch — latest change per key replaces the base
+    row, new keys insert. One max_by over the CHANGE side only + one
+    co-partitioned full-outer join; the base is never aggregated, so
+    applying a day of changes to a 100 TB snapshot costs one join."""
+    from bytewax_spark.functions.cdc import apply_upserts, latest_snapshot
+
+    flow = _flow("merge")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df.select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    base = latest_snapshot(
+        ev.filter(F.col("event_id") < 5000), "user_id", "ts", "event_id"
+    )
+    changes = ev.filter(F.col("event_id") >= 5000)
+    return apply_upserts(base, changes, "user_id", "ts", "event_id")
+
+
+_ORACLES["apply_upserts_events"] = """
+    WITH b AS (
+      SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id < 5000
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id >= 5000
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+           CASE WHEN c.user_id IS NOT NULL THEN c.ts ELSE b.ts END AS ts,
+           CASE WHEN c.user_id IS NOT NULL THEN c.event_id
+                ELSE b.event_id END AS event_id,
+           CASE WHEN c.user_id IS NOT NULL THEN c.event_type
+                ELSE b.event_type END AS event_type,
+           CASE WHEN c.user_id IS NOT NULL THEN c.value
+                ELSE b.value END AS value
+    FROM b FULL OUTER JOIN c ON b.user_id = c.user_id
+"""
+
+
+def session_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion rate (functions/behavior.py
+    session_conversion): 30-minute-gap sessions, converted = contains
+    a purchase; one row ``(n_sessions, converted_sessions,
+    conv_ppm)``. Every shuffle keyed by user; exact-ppm division."""
+    from datetime import timedelta
+
+    from bytewax_spark.functions.behavior import session_conversion
+
+    flow = _flow("sconv")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return session_conversion(
+        ev, "user_id", "ts", "event_type", "event_id",
+        timedelta(minutes=30), "purchase",
+    )
+
+
+_ORACLES["session_conversion_events"] = """
+    WITH lagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    labeled AS (
+      SELECT user_id, event_type,
+             SUM(s) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM lagged
+    ),
+    per_s AS (
+      SELECT user_id, session_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM labeled GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(conv) AS BIGINT) AS converted_sessions,
+           CAST((SUM(conv) * 1000000) // COUNT(*) AS BIGINT) AS conv_ppm
+    FROM per_s
+"""
+
+
 def balanced_downsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic class balancing (functions/sampling.py
     balanced_downsample): every language keeps exactly min-class-size
@@ -7953,6 +8153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "ks_click_purchase_value": ks_click_purchase_value,
+        "wpagerank_purchase_graph": wpagerank_purchase_graph,
+        "apply_upserts_events": apply_upserts_events,
+        "session_conversion_events": session_conversion_events,
         "balanced_downsample_docs": balanced_downsample_docs,
         "knn_label_agreement_embeddings": knn_label_agreement_embeddings,
         "ewma_value_by_user": ewma_value_by_user,

@@ -36,6 +36,7 @@ __all__ = [
     "event_ngrams",
     "event_transitions",
     "funnel",
+    "session_conversion",
     "sessionize",
 ]
 
@@ -271,4 +272,35 @@ def sessionize(
             .orderBy(F.col(ts_col), F.col(tiebreak_col))
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
+    )
+
+
+def session_conversion(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap,
+    target: str,
+) -> DataFrame:
+    """Session-level conversion rate: sessionize every user's stream
+    (gap rule, :func:`sessionize`), mark a session converted when it
+    contains at least one ``target`` event, and report ONE row
+    ``(n_sessions, converted_sessions, conv_ppm)`` — the KPI behind
+    "what share of visits end in a purchase", computed on exact
+    session boundaries rather than per-user or per-event rates.
+
+    One per-user window pass (the sessionize labels), one
+    (user, session) aggregation, one single-row rollup — every
+    shuffle keyed by user, so AQE coalesces the chain; the ppm is
+    integer div, engine-exact."""
+    s = sessionize(df, user_col, ts_col, tiebreak_col, gap)
+    per_session = s.groupBy(F.col(user_col), F.col("session_id")).agg(
+        F.max((F.col(type_col) == target).cast("long")).alias("_conv")
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("_conv").alias("converted_sessions"),
+        F.expr("(sum(_conv) * 1000000L) div count(1)").alias("conv_ppm"),
     )

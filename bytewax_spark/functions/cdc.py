@@ -21,7 +21,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_snapshot", "scd2", "table_diff"]
+__all__ = ["apply_upserts", "latest_snapshot", "scd2", "table_diff"]
 
 
 def latest_snapshot(
@@ -117,3 +117,61 @@ def table_diff(
         j.select(*key_cols, change.alias("change"))
         .filter(F.col("change").isNotNull())
     )
+
+
+def apply_upserts(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols,
+    ts_col: str,
+    tiebreak_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE a change batch into a snapshot — the CDC apply step
+    (the public Delta/Iceberg MERGE INTO shape, as a pure dataflow):
+    the latest change per key (by ``(ts, tiebreak)``, via
+    :func:`latest_snapshot`) replaces the base row, new keys insert,
+    and — when ``delete_col`` names a boolean column — a latest change
+    with it true removes the key. Returns the next snapshot with the
+    BASE schema (the delete flag never lands in the snapshot).
+
+    One max_by aggregation over the CHANGE BATCH only (the small
+    side), then one full-outer join against the base on the key —
+    the base is never aggregated or windowed, so applying a day of
+    changes to a 100 TB snapshot costs one co-partitioned join."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    latest = latest_snapshot(changes, keys, ts_col, tiebreak_col).withColumn(
+        "_chg", F.lit(1)
+    )
+    out_cols = list(base.columns)
+    b = base.select(*[F.col(c).alias(f"_b_{c}") for c in out_cols])
+    cond = None
+    for k in keys:
+        eq = F.col(f"_b_{k}") == latest[k]
+        cond = eq if cond is None else cond & eq
+    j = b.join(latest, cond, "full_outer")
+    if delete_col is not None:
+        j = j.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    updated = F.col("_chg") == 1
+    sel = []
+    for c in out_cols:
+        if c in keys:
+            if c in latest.columns:
+                sel.append(F.coalesce(F.col(c), F.col(f"_b_{c}")).alias(c))
+            else:
+                sel.append(F.col(f"_b_{c}").alias(c))
+        elif c in latest.columns:
+            # whole-row replace: an updated key takes the change row's
+            # value even when it is NULL (MERGE semantics, not patch)
+            sel.append(
+                F.when(updated, F.col(c)).otherwise(F.col(f"_b_{c}")).alias(c)
+            )
+        else:
+            # column absent from the change batch: survives untouched
+            # for updates, NULL for brand-new keys
+            sel.append(
+                F.when(updated & F.col(f"_b_{c}").isNull(), F.lit(None))
+                .otherwise(F.col(f"_b_{c}"))
+                .alias(c)
+            )
+    return j.select(*sel)

@@ -115,6 +115,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank) — PageRank power iteration over a directed edge
     list, in FIXED-POINT integer arithmetic: total mass ``scale``
@@ -125,6 +126,13 @@ def pagerank(
     is order-dependent), which is why this is the oracle-checkable
     form. The truncation error is < out_degree micro-units per node per
     round — at scale=1e12, noise in the 12th digit.
+
+    ``weight_col`` (int64 edge weights > 0) turns this into weighted
+    PageRank: a node's mass splits in proportion to edge weight —
+    ``contribution = (rank · w) div Σ out-weights``, with the
+    numerator widened to DECIMAL(38,0) (rank·w overflows int64 on
+    heavy edges). The unweighted path keeps its original pure-int64
+    arithmetic, so existing oracles replay unchanged.
 
     Scale shape (same as ``connected_components``): each round is one
     equi-join (edges × ranks on src) + one groupBy(dst) sum — shuffle
@@ -147,20 +155,34 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
     teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
-    deg = edges.groupBy(F.col(src).alias("_dn")).agg(
-        F.count(F.lit(1)).alias("_deg")
-    )
+    if weight_col is None:
+        deg = edges.groupBy(F.col(src).alias("_dn")).agg(
+            F.count(F.lit(1)).alias("_deg")
+        )
+        e_sel = edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+        contrib_expr = "rank div _deg"
+    else:
+        deg = edges.groupBy(F.col(src).alias("_dn")).agg(
+            F.sum(F.col(weight_col)).alias("_deg")
+        )
+        e_sel = edges.select(
+            F.col(src).alias("_es"),
+            F.col(dst).alias("_ed"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+        contrib_expr = (
+            "CAST((CAST(rank AS DECIMAL(38,0)) * _w) div _deg AS LONG)"
+        )
     edged = (
-        edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
-        .join(deg, F.col("_es") == F.col("_dn"))
-        .select("_es", "_ed", "_deg")
+        e_sel.join(deg, F.col("_es") == F.col("_dn"))
+        .drop("_dn")
         .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
     for _ in range(iters):
         contrib = edged.join(ranks, edged["_es"] == ranks["node"]).select(
             F.col("_ed").alias("node"),
-            F.expr("rank div _deg").alias("_c"),
+            F.expr(contrib_expr).alias("_c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
         ranks = (

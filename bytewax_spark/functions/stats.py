@@ -32,6 +32,7 @@ __all__ = [
     "equi_depth_bins",
     "exact_corr",
     "group_auc",
+    "ks_stat",
     "mad_outliers",
     "mutual_information",
     "outlier_counts",
@@ -697,4 +698,56 @@ def benford(
             exp.alias("exp_ppm"),
         )
         .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
+    )
+
+
+def ks_stat(ref: DataFrame, cur: DataFrame, val_col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic, integer-exact: the
+    max CDF gap ``D = max_v |F_ref(v) − F_cur(v)|`` reported as
+    ``d_ppm = max |c_ref(v)·n_cur − c_cur(v)·n_ref| · 10⁶ div
+    (n_ref·n_cur)`` over cumulative counts at each distinct value —
+    no floats until never. The classic distribution-shift test; use
+    the binned :func:`psi` when you need per-bin attribution or the
+    value space is huge. Returns one row ``(n_ref, n_cur, d_ppm)``.
+
+    One per-side count per distinct value (map-side combined), then
+    the cumulative window runs over the DISTINCT-VALUE table ordered
+    by value — bounded by value cardinality, not row count (the same
+    caveat as any exact order statistic: a billion distinct values
+    means a big single-axis window; pre-round or bin first at that
+    scale)."""
+    from pyspark.sql import Window
+
+    rc = ref.groupBy(F.col(val_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_cr")
+    )
+    cc = cur.groupBy(F.col(val_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_cc")
+    )
+    merged = rc.join(cc, "_v", "full_outer").select(
+        "_v",
+        F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        F.coalesce("_cc", F.lit(0)).alias("_cc"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = merged.agg(
+        F.sum("_cr").alias("n_ref"), F.sum("_cc").alias("n_cur")
+    )
+    cum = merged.join(F.broadcast(tot)).select(
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.sum("_cr").over(w).cast("decimal(38,0)") * F.col("n_cur")
+            - F.sum("_cc").over(w).cast("decimal(38,0)") * F.col("n_ref")
+        ).alias("_gap"),
+    )
+    return cum.groupBy("n_ref", "n_cur").agg(
+        F.max("_gap").alias("_num")
+    ).select(
+        "n_ref",
+        "n_cur",
+        F.expr(
+            "CAST((_num * 1000000) div (CAST(n_ref AS DECIMAL(38,0)) * n_cur)"
+            " AS LONG)"
+        ).alias("d_ppm"),
     )

@@ -293,3 +293,24 @@ def test_funnel_without_within_unchanged(spark):
         ).collect()
     }
     assert out == {"view": 1, "click": 1}
+
+
+def test_session_conversion_by_hand(spark):
+    from datetime import timedelta
+
+    # u1: two sessions (2h apart), only the second has a purchase
+    # u2: one session, no purchase -> 1 of 3 sessions converted
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), "view", 1),
+        (1, _ts("2024-01-01T00:10:00"), "click", 2),
+        (1, _ts("2024-01-01T05:00:00"), "view", 3),
+        (1, _ts("2024-01-01T05:05:00"), "purchase", 4),
+        (2, _ts("2024-01-01T00:00:00"), "view", 5),
+    ]
+    row = bh.session_conversion(
+        _ev(spark, rows), "user_id", "ts", "event_type", "event_id",
+        timedelta(minutes=30), "purchase",
+    ).collect()[0]
+    assert row.n_sessions == 3
+    assert row.converted_sessions == 1
+    assert row.conv_ppm == 333_333

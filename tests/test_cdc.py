@@ -95,3 +95,66 @@ def test_table_diff_compare_cols_subset(spark):
     assert table_diff(before, after, "id", compare_cols=["a"]).count() == 0
     got = table_diff(before, after, "id", compare_cols=["b"]).collect()
     assert [(r["id"], r["change"]) for r in got] == [(1, "changed")]
+
+
+def test_apply_upserts_update_insert_untouched(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.cdc import apply_upserts
+
+    base = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 10, "a"), (2, datetime(2024, 1, 1), 11, "b")],
+        "k long, ts timestamp, i long, v string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 2), 20, "a2"),   # update key 1
+            (1, datetime(2024, 1, 3), 21, "a3"),   # later version wins
+            (3, datetime(2024, 1, 2), 22, "c"),    # insert key 3
+        ],
+        "k long, ts timestamp, i long, v string",
+    )
+    out = {
+        r.k: r.v
+        for r in apply_upserts(base, changes, "k", "ts", "i").collect()
+    }
+    assert out == {1: "a3", 2: "b", 3: "c"}
+
+
+def test_apply_upserts_change_wins_even_with_null_payload(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.cdc import apply_upserts
+
+    base = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "old")],
+        "k long, ts timestamp, i long, v string",
+    )
+    changes = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2), 2, None)],
+        "k long, ts timestamp, i long, v string",
+    )
+    row = apply_upserts(base, changes, "k", "ts", "i").collect()[0]
+    assert row.v is None  # whole-row MERGE, not a patch
+
+
+def test_apply_upserts_delete_flag_removes_key(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.cdc import apply_upserts
+
+    base = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, "x", False)],
+        "k long, ts timestamp, i long, v string, deleted boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 2), 2, "x", True),    # delete key 1
+            (2, datetime(2024, 1, 2), 3, "y", False),   # insert key 2
+        ],
+        "k long, ts timestamp, i long, v string, deleted boolean",
+    )
+    out = apply_upserts(
+        base, changes, "k", "ts", "i", delete_col="deleted"
+    ).collect()
+    assert [(r.k, r.v) for r in out] == [(2, "y")]

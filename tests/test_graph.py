@@ -407,3 +407,32 @@ def test_feature_prop_negative_feats_truncate_like_div(spark):
         for r in graph.feature_prop(edges, feats, directed=True).collect()
     }
     assert out[3] == -3_500_000
+
+
+def test_weighted_pagerank_heavy_edge_attracts_mass(spark):
+    # star: 1 -> 2 (w 9), 1 -> 3 (w 1); symmetrized
+    e = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1)], "src long, dst long, w long"
+    )
+    edges = e.unionByName(
+        e.selectExpr("dst AS src", "src AS dst", "w")
+    )
+    out = {
+        r.node: r.rank
+        for r in graph.pagerank(edges, iters=3, weight_col="w").collect()
+    }
+    assert out[2] > out[3]  # the heavy edge carries 9x the mass
+    assert out[1] > out[2]  # the hub still collects from both
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    ew = e.withColumn("w", F.lit(1))
+    a = {r.node: r.rank for r in graph.pagerank(e, iters=2).collect()}
+    b = {
+        r.node: r.rank
+        for r in graph.pagerank(ew, iters=2, weight_col="w").collect()
+    }
+    assert a == b

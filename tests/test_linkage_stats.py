@@ -403,3 +403,28 @@ def test_benford_digit_from_cents_not_float_format(spark):
     )
     rows = stats.benford(df, ["k"], "v").collect()
     assert len(rows) == 1 and rows[0].digit == 5 and rows[0].obs_ppm == 1_000_000
+
+
+def test_ks_stat_identical_zero_disjoint_full(spark):
+    a = spark.createDataFrame([(float(v),) for v in range(10)], "value double")
+    b = spark.createDataFrame([(float(v + 100),) for v in range(10)], "value double")
+    same = stats.ks_stat(a, a, "value").collect()[0]
+    assert same.d_ppm == 0 and same.n_ref == 10 and same.n_cur == 10
+    far = stats.ks_stat(a, b, "value").collect()[0]
+    assert far.d_ppm == 1_000_000  # disjoint supports: D = 1
+
+
+def test_ks_stat_hand_computed(spark):
+    # ref {1,2,3,4}, cur {3,4,5,6}: max gap at v=2 -> |2/4 - 0/4| = 0.5
+    a = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], "value double")
+    b = spark.createDataFrame([(float(v),) for v in [3, 4, 5, 6]], "value double")
+    row = stats.ks_stat(a, b, "value").collect()[0]
+    assert row.d_ppm == 500_000
+
+
+def test_ks_stat_matches_scipy_shape(spark):
+    # unequal sizes: ref {1,1,2}, cur {2,3}: CDFs at v=1: 2/3 vs 0 -> D=2/3
+    a = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "value double")
+    b = spark.createDataFrame([(2.0,), (3.0,)], "value double")
+    row = stats.ks_stat(a, b, "value").collect()[0]
+    assert row.d_ppm == 666_666  # floor(2/3 * 1e6)
