@@ -7059,6 +7059,73 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def image_ahash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing on REAL bytes (functions/multimodal.py
+    image_ahash): per document an 8x8 gradient BMP is encoded (pixel
+    (x,y) = (doc_id + 16x + 4y) mod 256, truly round-tripped through
+    the stdlib BMP decoder), then aHash'd — bit set when the block
+    beats the image mean, all integer cross-products. The oracle
+    recomputes the 64 bits from the doc_id arithmetic alone, so a
+    decoder stride/offset bug or a hash bit-order change mismatches.
+    Binary never shuffles; one int64 per image leaves the scan."""
+    from bytewax_spark.functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pdf.assign(
+                content=[
+                    mm.encode_bmp(
+                        8,
+                        8,
+                        [
+                            (int((d + 16 * x + 4 * y) % 256),) * 3
+                            for y in range(8)
+                            for x in range(8)
+                        ],
+                    )
+                    for d in pdf["doc_id"]
+                ]
+            )
+
+    import pyspark.sql.types as T
+
+    media = docs.mapInPandas(
+        synth,
+        schema=T.StructType(
+            docs.schema.fields + [T.StructField("content", T.BinaryType())]
+        ),
+    )
+    return mm.image_ahash(media).select(
+        F.col("doc_id").alias("media_id"), "ahash"
+    )
+
+
+_ORACLES["image_ahash_docs"] = """
+    WITH g AS (
+      SELECT doc_id, gx.x, gy.y,
+             (doc_id + 16 * gx.x + 4 * gy.y) % 256 AS p
+      FROM documents, generate_series(0, 7) AS gx(x),
+           generate_series(0, 7) AS gy(y)
+    ),
+    t AS (SELECT doc_id, SUM(p) AS tot FROM g GROUP BY 1),
+    halves AS (
+      SELECT g.doc_id,
+             SUM(CASE WHEN p * 64 > tot AND y * 8 + x < 32
+                 THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS lo,
+             SUM(CASE WHEN p * 64 > tot AND y * 8 + x >= 32
+                 THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) ELSE 0 END) AS hi
+      FROM g JOIN t USING (doc_id) GROUP BY 1
+    )
+    SELECT doc_id AS media_id,
+           CAST(CASE WHEN hi >= 2147483648
+                THEN (hi - 4294967296) * 4294967296 + lo
+                ELSE hi * 4294967296 + lo END AS BIGINT) AS ahash
+    FROM halves
+"""
+
+
 def ks_click_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov D between click and purchase
     value distributions (functions/stats.py ks_stat): the max CDF gap
@@ -7293,15 +7360,21 @@ _ORACLES["balanced_downsample_docs"] = f"""
 
 def knn_label_agreement_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label-noise screen (functions/similarity.py
-    knn_label_agreement, confident-learning family): each vector's
-    share of same-label cosine neighbors (k=10, self excluded) in
-    exact ppm — low agreement flags mislabeled candidates. One corpus
-    pass via the broadcast-probe batch top-k; at corpus scale run it
-    inside LSH/IVF cells."""
+    knn_label_agreement, confident-learning family): each audited
+    vector's share of same-label cosine neighbors (k=10, self
+    excluded) in exact ppm — low agreement flags mislabeled
+    candidates. The audit runs on a 1-in-10 probe sample (the QA
+    practice: score a sample, not the corpus — brute force is
+    inherently probes x corpus) with the corpus scanned ONCE via the
+    broadcast-probe batch top-k; at corpus scale run it inside
+    LSH/IVF cells."""
     from bytewax_spark.functions import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.knn_label_agreement(emb, "embedding", "vec_id", "label", k=10)
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    return sim.knn_label_agreement(
+        emb, "embedding", "vec_id", "label", k=10, probes=probes
+    )
 
 
 _ORACLES["knn_label_agreement_embeddings"] = f"""
@@ -7309,7 +7382,8 @@ _ORACLES["knn_label_agreement_embeddings"] = f"""
       SELECT p.vec_id AS probe_id, p.label AS plab,
              e.vec_id AS nid, e.label AS nlab,
              ROUND({_SQL_COS.format(a='e.embedding', b='p.embedding')}, 6) AS cosine
-      FROM embeddings e CROSS JOIN embeddings p
+      FROM embeddings e
+      CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0) p
     ),
     top AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -8153,6 +8227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "image_ahash_docs": image_ahash_docs,
         "ks_click_purchase_value": ks_click_purchase_value,
         "wpagerank_purchase_graph": wpagerank_purchase_graph,
         "apply_upserts_events": apply_upserts_events,

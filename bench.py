@@ -354,6 +354,34 @@ EXTENDED_QUERIES = [
     "normalize_text_docs",
     "dq_report_orders",
     "bpe_pair_counts_docs",
+    # round-5 session additions: fixed-point HITS + weighted PageRank,
+    # hybrid-search fusion, kNN label QA, EWMA fold, Bloom runtime
+    # filter, CDC MERGE apply, drift stats, checksums, sessions
+    "hits_purchase_graph",
+    "wpagerank_purchase_graph",
+    "rrf_hybrid_search_docs",
+    "knn_label_agreement_embeddings",
+    "ewma_value_by_user",
+    "bloom_semijoin_lineitem",
+    "apply_upserts_events",
+    "psi_click_purchase_value",
+    "ks_click_purchase_value",
+    "mi_lang_source_docs",
+    "table_checksum_lineitem",
+    "session_conversion_events",
+    "cusum_value_by_type",
+    "benford_extendedprice",
+    "gini_value_by_type",
+    "readability_docs",
+    "pareto_suppliers_revenue",
+    "mad_outliers_events",
+    "event_trigrams_users",
+    "cumulative_distinct_users_daily",
+    "funnel_within_hour",
+    "vwap_monthly_lineitem",
+    "feature_prop_acctbal",
+    "k_anonymity_customers",
+    "balanced_downsample_docs",
 ]
 
 _DUCKDB_TABLES = [

@@ -53,7 +53,9 @@ __all__ = [
     "decode_wav",
     "decode_audio_features",
     "jpeg_dimensions",
+    "ahash64",
     "decode_image_features",
+    "image_ahash",
     "resize_images",
     "sample_frames",
 ]
@@ -707,5 +709,66 @@ def video_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
                     )
             cols = ["brand", "duration_ms", "n_tracks", "width", "height"]
             yield pdf.assign(**dict(zip(cols, map(list, zip(*rows)))))
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def ahash64(b: bytes) -> int | None:
+    """64-bit average hash (aHash — the classic perceptual image
+    fingerprint): decode to grayscale, map pixels onto an 8×8 grid,
+    set bit ``by·8 + bx`` when the block's mean intensity exceeds the
+    image mean. All comparisons are EXACT integer cross-products of
+    3×-intensity sums (``S_block · N > T · n_block``) — no float
+    division anywhere, so any engine or oracle replays the bits.
+    Returns a signed int64 (two's complement) or None when the bytes
+    don't decode. Near-duplicate images differ in a few bits —
+    feed the hashes to ``dedup.simhash_neighbor_pairs``-style
+    Hamming banding for pair generation."""
+    d = decode_image(bytes(b)) if b else None
+    if d is None:
+        return None
+    _, w, h, px = d
+    if w < 1 or h < 1:
+        return None
+    i3 = [int(round(p * 3)) for p in px]  # exact r+g+b per pixel
+    total = sum(i3)
+    n = w * h
+    s = [0] * 64
+    cnt = [0] * 64
+    for y in range(h):
+        by = y * 8 // h
+        base = y * w
+        for x in range(w):
+            bx = x * 8 // w
+            idx = by * 8 + bx
+            s[idx] += i3[base + x]
+            cnt[idx] += 1
+    bits = 0
+    for idx in range(64):
+        if s[idx] * n > total * cnt[idx] and cnt[idx] > 0:
+            bits |= 1 << idx
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_ahash(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """content → perceptual ``ahash`` int64 column (:func:`ahash64`
+    per blob; NULL for undecodable bytes). The dedup key for
+    near-duplicate IMAGES: exact groupBy on the hash catches re-
+    encodes of the same frame; Hamming-neighbor banding catches
+    crops/brightness shifts. Arrow-batched mapInPandas — binary
+    never shuffles, only the int64 leaves the scan."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("ahash", T.LongType(), True)]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            yield pdf.assign(
+                ahash=pd.array(
+                    [ahash64(b) for b in pdf[content_col]], dtype="Int64"
+                )
+            )
 
     return df.mapInPandas(run, schema=out_schema)

@@ -637,6 +637,7 @@ def knn_label_agreement(
     id_col: str,
     label_col: str,
     k: int = 10,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Label-noise screen by neighborhood consensus (the core signal
     of confident-learning/kNN-agreement dataset QA, Northcutt 2021
@@ -651,11 +652,15 @@ def knn_label_agreement(
     for query batches and QA samples; at corpus scale bucket with
     ``lsh_buckets``/``ivf_topk`` first and run the agreement join
     inside cells. The label join back is id-keyed and
-    broadcast-friendly."""
+    broadcast-friendly. ``probes`` restricts the audit to a subset
+    (same schema as ``df``) — the usual QA shape, since brute force is
+    inherently probes × corpus; default audits every row."""
+    if probes is None:
+        probes = df
     labels = df.select(
         F.col(id_col).alias("_nid"), F.col(label_col).alias("_nlab")
     )
-    probes = df.select(
+    probes = probes.select(
         F.col(id_col).alias("_pid"),
         F.col(vec_col).alias("_pv"),
         F.col(label_col).alias("_plab"),

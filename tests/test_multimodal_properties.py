@@ -92,3 +92,63 @@ def test_mp4_truncation_and_splice_never_raise(cut, splice):
     b = mm.encode_mp4(320, 240, 2000)
     mm.parse_mp4_meta(b[:cut])
     mm.parse_mp4_meta(b[:cut] + splice + b[cut:])
+
+
+def test_ahash64_matches_integer_reference(spark):
+    from bytewax_spark.functions import multimodal as mm
+
+    vals = [(7 + 16 * x + 4 * y) % 256 for y in range(8) for x in range(8)]
+    b = mm.encode_bmp(8, 8, [(v,) * 3 for v in vals])
+    got = mm.ahash64(b)
+    tot = sum(vals)
+    bits = 0
+    for i, p in enumerate(vals):
+        if p * 64 > tot:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    assert got == bits
+
+
+def test_ahash64_brightness_shift_small_hamming(spark):
+    from bytewax_spark.functions import multimodal as mm
+
+    vals = [(16 * x + 4 * y) % 256 for y in range(8) for x in range(8)]
+    a = mm.ahash64(mm.encode_bmp(8, 8, [(v,) * 3 for v in vals]))
+    # +2 brightness everywhere: means shift with pixels -> same bits
+    b = mm.ahash64(
+        mm.encode_bmp(8, 8, [(min(v + 2, 255),) * 3 for v in vals])
+    )
+    ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4
+
+
+def test_ahash64_different_images_far_apart(spark):
+    from bytewax_spark.functions import multimodal as mm
+
+    grad = mm.ahash64(
+        mm.encode_bmp(8, 8, [((16 * x) % 256,) * 3 for y in range(8) for x in range(8)])
+    )
+    checker = mm.ahash64(
+        mm.encode_bmp(
+            8, 8,
+            [((x + y) % 2 * 255,) * 3 for y in range(8) for x in range(8)],
+        )
+    )
+    ham = bin((grad ^ checker) & ((1 << 64) - 1)).count("1")
+    assert ham >= 16
+
+
+def test_ahash64_none_on_garbage(spark):
+    from bytewax_spark.functions import multimodal as mm
+
+    assert mm.ahash64(b"not an image") is None
+    assert mm.ahash64(b"") is None
+
+
+def test_image_ahash_larger_image_blocks(spark):
+    from bytewax_spark.functions import multimodal as mm
+
+    # 16x16: each 2x2 block averages; a flat image has hash 0
+    flat = mm.ahash64(mm.encode_bmp(16, 16, [(100,) * 3] * 256))
+    assert flat == 0  # no block strictly exceeds the mean
