@@ -7059,6 +7059,101 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def rfm_segments_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (functions/behavior.py rfm_segments):
+    per-user recency/frequency/monetary quintile scores and the
+    3-digit segment code, anchored at the data max timestamp. One
+    per-user aggregation + three ntile windows over the USER table
+    (user-count cardinality, id tie-breaks — engine-deterministic)."""
+    from bytewax_spark.functions.behavior import rfm_segments
+
+    flow = _flow("rfm")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return rfm_segments(ev, "user_id", "ts", "value", n_tiles=5)
+
+
+_ORACLES["rfm_segments_users"] = """
+    WITH pu AS (
+      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+             CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS monetary_micro
+      FROM events GROUP BY 1
+    ),
+    anc AS (SELECT MAX(last_ts) AS a FROM pu),
+    scored AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(last_ts AS DATE), CAST(a AS DATE))
+                  AS INTEGER) AS recency_days,
+             frequency, monetary_micro
+      FROM pu, anc
+    ),
+    tiled AS (
+      SELECT *,
+             NTILE(5) OVER (ORDER BY recency_days DESC, user_id ASC) AS r,
+             NTILE(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f,
+             NTILE(5) OVER (ORDER BY monetary_micro ASC, user_id ASC) AS m
+      FROM scored
+    )
+    SELECT user_id, recency_days, frequency, monetary_micro,
+           CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(r * 100 + f * 10 + m AS INTEGER) AS segment
+    FROM tiled
+"""
+
+
+def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session navigation paths (functions/behavior.py
+    session_paths): 30-minute-gap sessions collapsed to their first
+    10 event types joined with '>', identical paths counted (>= 2
+    sessions). Per-user window labels + per-session bounded
+    collect_list — whole-journey analytics, never a global sort."""
+    from datetime import timedelta
+
+    from bytewax_spark.functions.behavior import session_paths
+
+    flow = _flow("spath")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return session_paths(
+        ev, "user_id", "ts", "event_type", "event_id",
+        timedelta(minutes=30), max_len=10, min_count=2,
+    )
+
+
+_ORACLES["session_paths_events"] = """
+    WITH lagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    labeled AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM lagged
+    ),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM labeled
+    ),
+    per_s AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path,
+             COUNT(*) AS n_steps
+      FROM ranked WHERE rn <= 10 GROUP BY 1, 2
+    )
+    SELECT path, CAST(n_steps AS INTEGER) AS n_steps,
+           COUNT(*) AS sessions
+    FROM per_s GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def image_ahash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image hashing on REAL bytes (functions/multimodal.py
     image_ahash): per document an 8x8 gradient BMP is encoded (pixel
@@ -8227,6 +8322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "rfm_segments_users": rfm_segments_users,
+        "session_paths_events": session_paths_events,
         "image_ahash_docs": image_ahash_docs,
         "ks_click_purchase_value": ks_click_purchase_value,
         "wpagerank_purchase_graph": wpagerank_purchase_graph,

@@ -382,6 +382,9 @@ EXTENDED_QUERIES = [
     "feature_prop_acctbal",
     "k_anonymity_customers",
     "balanced_downsample_docs",
+    "rfm_segments_users",
+    "session_paths_events",
+    "image_ahash_docs",
 ]
 
 _DUCKDB_TABLES = [

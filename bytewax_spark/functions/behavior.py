@@ -36,7 +36,9 @@ __all__ = [
     "event_ngrams",
     "event_transitions",
     "funnel",
+    "rfm_segments",
     "session_conversion",
+    "session_paths",
     "sessionize",
 ]
 
@@ -304,3 +306,111 @@ def session_conversion(
         F.sum("_conv").alias("converted_sessions"),
         F.expr("(sum(_conv) * 1000000L) div count(1)").alias("conv_ppm"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    val_col: str,
+    n_tiles: int = 5,
+    as_of=None,
+) -> DataFrame:
+    """RFM segmentation — the classic customer-value quantizer: per
+    user, Recency (days since last event, as of ``as_of`` or the data
+    max), Frequency (event count), Monetary (value sum in int64
+    micros), each scored into ``n_tiles`` equal-population tiles
+    (5 = quintiles; recency tile 5 = most recent). Returns
+    ``(user, recency_days, frequency, monetary_micro, r, f, m,
+    segment)`` with ``segment`` = ``r·100 + f·10 + m`` (the "555 is
+    your best customer" code).
+
+    One per-user aggregation, then three ntile windows over the USER
+    table (cardinality = users, not events; ties broken by user id so
+    every engine and partitioning agrees)."""
+    from pyspark.sql import Window
+
+    u, t = F.col(user_col), F.col(ts_col)
+    per_user = df.groupBy(user_col).agg(
+        F.max(t).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col(val_col) * 1_000_000).cast("long")).alias(
+            "monetary_micro"
+        ),
+    )
+    anchor = F.lit(as_of).cast("timestamp") if as_of is not None else F.max(
+        F.col("_last")
+    ).over(Window.partitionBy())
+    scored = per_user.select(
+        user_col,
+        F.datediff(F.to_date(anchor), F.to_date(F.col("_last"))).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_micro",
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), u.asc())
+    f_w = Window.orderBy(F.col("frequency").asc(), u.asc())
+    m_w = Window.orderBy(F.col("monetary_micro").asc(), u.asc())
+    out = scored.select(
+        user_col,
+        "recency_days",
+        "frequency",
+        "monetary_micro",
+        F.ntile(n_tiles).over(r_w).alias("r"),
+        F.ntile(n_tiles).over(f_w).alias("f"),
+        F.ntile(n_tiles).over(m_w).alias("m"),
+    )
+    return out.withColumn(
+        "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap,
+    max_len: int = 10,
+    min_count: int = 1,
+) -> DataFrame:
+    """Top navigation paths: sessionize (gap rule), concatenate each
+    session's first ``max_len`` event types in ``(ts, tiebreak)``
+    order into a ``>``-joined path string, count identical paths —
+    "what do sessions actually look like", the whole-journey
+    complement to :func:`event_ngrams`. Returns
+    ``(path, n_steps, sessions)`` for paths seen ``min_count``+ times.
+
+    One per-user window pass (session labels), one (user, session)
+    collect_list + array_sort (bounded by session length, truncated
+    at ``max_len``), one path count."""
+    s = sessionize(df, user_col, ts_col, tiebreak_col, gap)
+    per_session = s.groupBy(F.col(user_col), F.col("session_id")).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(tiebreak_col).alias("b"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ),
+            1,
+            max_len,
+        ).alias("_seq")
+    )
+    paths = per_session.select(
+        F.array_join(F.transform(F.col("_seq"), lambda x: x["e"]), ">").alias(
+            "path"
+        ),
+        F.size("_seq").alias("n_steps"),
+    )
+    out = paths.groupBy("path", "n_steps").agg(
+        F.count(F.lit(1)).alias("sessions")
+    )
+    if min_count > 1:
+        out = out.filter(F.col("sessions") >= min_count)
+    return out

@@ -314,3 +314,64 @@ def test_session_conversion_by_hand(spark):
     assert row.n_sessions == 3
     assert row.converted_sessions == 1
     assert row.conv_ppm == 333_333
+
+
+def test_rfm_segments_hand_computed(spark):
+    from bytewax_spark.functions.behavior import rfm_segments
+
+    # two users, n_tiles=2: u1 recent+frequent+big, u2 stale+thin
+    rows = [
+        (1, _ts("2024-01-10T00:00:00"), "view", 1),
+        (1, _ts("2024-01-10T01:00:00"), "view", 2),
+        (1, _ts("2024-01-10T02:00:00"), "view", 3),
+        (2, _ts("2024-01-01T00:00:00"), "view", 4),
+    ]
+    df = _ev(spark, rows).withColumn(
+        "value", F.col("event_id").cast("double") * 10
+    )
+    out = {
+        r.user_id: r
+        for r in rfm_segments(df, "user_id", "ts", "value", n_tiles=2).collect()
+    }
+    assert out[1].recency_days == 0 and out[2].recency_days == 9
+    assert out[1].frequency == 3 and out[2].frequency == 1
+    assert out[1].segment == 222 and out[2].segment == 111
+
+
+def test_session_paths_by_hand(spark):
+    from datetime import timedelta
+
+    from bytewax_spark.functions.behavior import session_paths
+
+    # u1 and u2 both view>click in one session; u1 has a second
+    # lone-purchase session 2h later
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), "view", 1),
+        (1, _ts("2024-01-01T00:05:00"), "click", 2),
+        (1, _ts("2024-01-01T03:00:00"), "purchase", 3),
+        (2, _ts("2024-01-01T00:00:00"), "view", 4),
+        (2, _ts("2024-01-01T00:01:00"), "click", 5),
+    ]
+    out = {
+        r.path: (r.n_steps, r.sessions)
+        for r in session_paths(
+            _ev(spark, rows), "user_id", "ts", "event_type", "event_id",
+            timedelta(minutes=30),
+        ).collect()
+    }
+    assert out == {"view>click": (2, 2), "purchase": (1, 1)}
+
+
+def test_session_paths_truncates_at_max_len(spark):
+    from datetime import timedelta
+
+    from bytewax_spark.functions.behavior import session_paths
+
+    rows = [
+        (1, _ts(f"2024-01-01T00:0{i}:00"), f"e{i}", i) for i in range(5)
+    ]
+    out = session_paths(
+        _ev(spark, rows), "user_id", "ts", "event_type", "event_id",
+        timedelta(minutes=30), max_len=3,
+    ).collect()
+    assert [(r.path, r.n_steps) for r in out] == [("e0>e1>e2", 3)]
