@@ -168,10 +168,6 @@ def apply_upserts(
             )
         else:
             # column absent from the change batch: survives untouched
-            # for updates, NULL for brand-new keys
-            sel.append(
-                F.when(updated & F.col(f"_b_{c}").isNull(), F.lit(None))
-                .otherwise(F.col(f"_b_{c}"))
-                .alias(c)
-            )
+            # for updates, NULL for brand-new keys (no base row)
+            sel.append(F.col(f"_b_{c}").alias(c))
     return j.select(*sel)

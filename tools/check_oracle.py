@@ -61,6 +61,8 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    passes = 0
+    rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -74,6 +76,7 @@ def main() -> int:
         sql = oracles.get(name)
         if sql is None:
             print(f"SKIP  {name}: no oracle (rows-only check) — {len(spark_pdf)} rows, {time.time()-t0:.1f}s")
+            rows_only += 1
             if len(spark_pdf) == 0:
                 print(f"      WARNING: 0 rows")
             continue
@@ -103,7 +106,15 @@ def main() -> int:
             failures += 1
             continue
         print(f"PASS  {name}: {len(s_rows)} rows, {dt:.1f}s")
-    print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+        passes += 1
+    total = passes + rows_only + failures
+    if failures == 0:
+        print(
+            f"\nALL PASS ({total}/{total} registered queries: "
+            f"{passes} oracled PASS + {rows_only} rows-only ran)"
+        )
+    else:
+        print(f"\n{failures} FAILURES")
     return 1 if failures else 0
 
 
