@@ -152,3 +152,53 @@ def test_image_ahash_larger_image_blocks(spark):
     # 16x16: each 2x2 block averages; a flat image has hash 0
     flat = mm.ahash64(mm.encode_bmp(16, 16, [(100,) * 3] * 256))
     assert flat == 0  # no block strictly exceeds the mean
+
+
+# pure-Python aHash properties (no Spark session)
+
+def test_ahash64_property_decode_roundtrip_determinism():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bytewax_spark.functions import multimodal as mm
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.integers(0, 2**32 - 1),
+    )
+    def run(w, h, seed):
+        import random
+
+        rng = random.Random(seed)
+        px = [(rng.randrange(256),) * 3 for _ in range(w * h)]
+        b = mm.encode_bmp(w, h, px)
+        a1, a2 = mm.ahash64(b), mm.ahash64(bytes(b))
+        assert a1 == a2  # pure function of the bytes
+        assert a1 is None or -(2**63) <= a1 < 2**63
+
+    run()
+
+
+def test_ahash64_property_constant_image_is_zero():
+    from bytewax_spark.functions import multimodal as mm
+
+    for w, h, v in [(8, 8, 0), (8, 8, 255), (5, 9, 100), (16, 8, 7)]:
+        b = mm.encode_bmp(w, h, [(v,) * 3] * (w * h))
+        assert mm.ahash64(b) == 0  # no block strictly beats the mean
+
+
+def test_ahash64_property_inversion_flips_nonzero_hashes():
+    from bytewax_spark.functions import multimodal as mm
+
+    vals = [(16 * x + 8 * y) % 256 for y in range(8) for x in range(8)]
+    a = mm.ahash64(mm.encode_bmp(8, 8, [(v,) * 3 for v in vals]))
+    inv = mm.ahash64(
+        mm.encode_bmp(8, 8, [(255 - v,) * 3 for v in vals])
+    )
+    # inverting intensities inverts every strict comparison except
+    # exact-mean blocks: bright bits become dark bits
+    au = a & ((1 << 64) - 1)
+    iu = inv & ((1 << 64) - 1)
+    assert au & iu == 0  # disjoint bit sets
