@@ -7059,6 +7059,50 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def holt_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per user (functions/
+    timeseries.py holt_linear, alpha=beta=1/4): level + per-step trend
+    at end of each user's (ts, event_id)-ordered value history, the
+    truncating two-state integer recurrence folded JVM-side. The
+    oracle replays both state updates with a recursive CTE."""
+    from bytewax_spark.functions.timeseries import holt_linear
+
+    flow = _flow("holt")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    q = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+    )
+    return holt_linear(
+        q, ["user_id"], "v_micro", "ts", "event_id", alpha=(1, 4), beta=(1, 4)
+    )
+
+
+_ORACLES["holt_value_by_user"] = """
+    WITH RECURSIVE r AS (
+      SELECT user_id, CAST(floor(value * 1000000) AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, k, x AS l, CAST(0 AS BIGINT) AS b FROM r WHERE k = 1
+      UNION ALL
+      SELECT r.user_id, r.k,
+             (1 * r.x + 3 * (rec.l + rec.b)) // 4,
+             (1 * ((1 * r.x + 3 * (rec.l + rec.b)) // 4 - rec.l)
+              + 3 * rec.b) // 4
+      FROM r JOIN rec ON r.user_id = rec.user_id AND r.k = rec.k + 1
+    ),
+    nn AS (SELECT user_id, MAX(k) AS n FROM r GROUP BY 1)
+    SELECT nn.user_id, CAST(nn.n AS BIGINT) AS n,
+           CAST(rec.l AS BIGINT) AS level_micro,
+           CAST(rec.b AS BIGINT) AS trend_micro
+    FROM nn JOIN rec ON rec.user_id = nn.user_id AND rec.k = nn.n
+"""
+
+
 def rfm_segments_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (functions/behavior.py rfm_segments):
     per-user recency/frequency/monetary quintile scores and the
@@ -8322,6 +8366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "holt_value_by_user": holt_value_by_user,
         "rfm_segments_users": rfm_segments_users,
         "session_paths_events": session_paths_events,
         "image_ahash_docs": image_ahash_docs,

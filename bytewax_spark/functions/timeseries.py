@@ -25,6 +25,7 @@ __all__ = [
     "decayed_sum",
     "ewma",
     "gapfill_ffill",
+    "holt_linear",
     "ohlc_resample",
     "trailing_agg",
     "vwap",
@@ -398,4 +399,63 @@ def ewma(
         *g,
         F.size("_a").cast("long").alias("n"),
         fold.cast("long").alias("ewma_micro"),
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    group_cols,
+    val_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    alpha=(1, 4),
+    beta=(1, 4),
+) -> DataFrame:
+    """Per-group Holt double exponential smoothing (level + linear
+    trend, Holt 1957), integer-exact on int64 micros: seeded
+    ``l₁ = x₁, b₁ = 0``, then per step (all ``div`` truncating)::
+
+        l' = (aₙ·x + (a_d−aₙ)·(l + b)) div a_d
+        b' = (bₙ·(l' − l) + (b_d−bₙ)·b) div b_d
+
+    Returns ``(group cols, n, level_micro, trend_micro)`` — the
+    smoothed level and per-step trend at end of input (one-step
+    forecast = level + trend). Like :func:`ewma`, the division inside
+    each step means no closed form: the oracle replays the recurrence
+    with a recursive CTE, step-wise identical. One collect_list +
+    array_sort + one JVM-side ``aggregate`` fold per group; arrays
+    bounded by per-entity history."""
+    an, ad = alpha
+    bn, bd = beta
+    if not (0 < an < ad and 0 < bn < bd):
+        raise ValueError(f"need 0 < num < den for alpha/beta, got {alpha}, {beta}")
+    g = list(group_cols)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak_col).alias("b"),
+                F.col(val_col).cast("long").alias("x"),
+            )
+        )
+    )
+    agged = df.groupBy(*g).agg(arr.alias("_a"))
+    # l' appears inside b''s update too — the expression is repeated
+    # verbatim (deterministic), since SQL lambdas have no local binding
+    new_l = (
+        f"(CAST({an} AS BIGINT) * s.x + {ad - an} * (acc.l + acc.b)) div {ad}"
+    )
+    fold = F.expr(
+        "aggregate(slice(_a, 2, size(_a) - 1), "
+        "named_struct('l', _a[0].x, 'b', CAST(0 AS BIGINT)), "
+        f"(acc, s) -> named_struct("
+        f"'l', {new_l}, "
+        f"'b', (CAST({bn} AS BIGINT) * (({new_l}) - acc.l)"
+        f" + {bd - bn} * acc.b) div {bd}))"
+    )
+    return agged.select(
+        *g,
+        F.size("_a").cast("long").alias("n"),
+        fold["l"].cast("long").alias("level_micro"),
+        fold["b"].cast("long").alias("trend_micro"),
     )

@@ -17,6 +17,7 @@ __all__ = [
     "MemorySink",
     "TestingSink",
     "ParquetSink",
+    "OrcSink",
     "CSVSink",
     "FileSink",
     "DirSink",
@@ -71,6 +72,28 @@ class ParquetSink(Sink):
 
     def write_stream(self, df: DataFrame, checkpoint: str | None = None, **trigger: Any):
         w = df.writeStream.format("parquet").option("path", self.path)
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        return w.trigger(**(trigger or {"availableNow": True})).start()
+
+
+class OrcSink(Sink):
+    """ORC columnar writer — mirrors ParquetSink (batch modes +
+    streaming file-sink log exactly-once)."""
+
+    def __init__(self, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        self.path, self.mode, self.partition_by = path, mode, partition_by
+
+    def write_batch(self, df: DataFrame) -> None:
+        w = df.write.mode(self.mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.orc(self.path)
+
+    def write_stream(self, df: DataFrame, checkpoint: str | None = None, **trigger: Any):
+        w = df.writeStream.format("orc").option("path", self.path)
         if checkpoint:
             w = w.option("checkpointLocation", checkpoint)
         if self.partition_by:

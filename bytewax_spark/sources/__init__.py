@@ -20,6 +20,7 @@ from bytewax_spark.session import get_spark
 __all__ = [
     "Source",
     "ParquetSource",
+    "OrcSource",
     "CSVSource",
     "JSONSource",
     "FileSource",
@@ -61,6 +62,28 @@ class ParquetSource(Source):
         if self.schema is not None:
             reader = reader.schema(self.schema)
         return reader.parquet(self.path)
+
+
+class OrcSource(Source):
+    """ORC columnar scan — same pushdown/pruning story as Parquet via
+    Spark's native reader (the reference has no columnar source at
+    all; beyond-reference format parity for warehouses that standardize
+    on ORC)."""
+
+    def __init__(self, path: str, streaming: bool = False, schema: Any | None = None) -> None:
+        self.path, self.streaming, self.schema = path, streaming, schema
+
+    def to_df(self) -> DataFrame:
+        spark = self._spark()
+        if self.streaming:
+            reader = spark.readStream
+            if self.schema is None:
+                self.schema = spark.read.orc(self.path).schema
+            return reader.schema(self.schema).orc(self.path)
+        reader = spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.orc(self.path)
 
 
 class CSVSource(Source):

@@ -87,3 +87,51 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     out_dir = str(tmp_path / "pq")
     ParquetSink(out_dir).write_batch(s.df)
     assert [(r["i"], r["s"]) for r in spark.read.parquet(out_dir).collect()] == [(1, "x")]
+
+
+def test_orc_sink_source_roundtrip(spark, tmp_path):
+    from bytewax_spark.sinks import OrcSink
+    from bytewax_spark.sources import OrcSource
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "orc_t")
+    OrcSink(path).write_batch(df)
+    got = sorted(
+        (r.id, r.s, r.v) for r in OrcSource(path).to_df().collect()
+    )
+    assert got == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_orc_source_prunes_columns(spark, tmp_path):
+    from bytewax_spark.sinks import OrcSink
+    from bytewax_spark.sources import OrcSource
+
+    df = spark.createDataFrame([(i, "x" * 10, float(i)) for i in range(100)],
+                               "id long, s string, v double")
+    path = str(tmp_path / "orc_p")
+    OrcSink(path).write_batch(df)
+    plan = (
+        OrcSource(path).to_df().select("id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema: struct<id:bigint>" in plan
+
+
+def test_orc_streaming_roundtrip(spark, tmp_path):
+    from bytewax_spark.sinks import OrcSink
+    from bytewax_spark.sources import OrcSource
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    path = str(tmp_path / "orc_s")
+    OrcSink(path).write_batch(df)
+    sdf = OrcSource(path, streaming=True).to_df()
+    assert sdf.isStreaming
+    out_path = str(tmp_path / "orc_out")
+    q = OrcSink(out_path).write_stream(
+        sdf, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = [(r.id, r.s) for r in spark.read.orc(out_path).collect()]
+    assert got == [(1, "a")]

@@ -256,3 +256,54 @@ def test_cusum_constant_series_is_zero_at_first_row(spark):
     out = cusum_changepoint(df, ["k"], "x", "ts", "i").collect()[0]
     assert out.cusum_max_micro == 0
     assert out.at_ts == datetime(2024, 1, 1, 0)  # earliest wins ties
+
+
+def test_holt_linear_tracks_a_pure_trend(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.timeseries import holt_linear
+
+    # x_k = 100*k: a linear ramp; the trend state must become positive
+    # and the level must lag the last value (smoothing), both exact
+    rows = [
+        ("g", datetime(2024, 1, 1, h), h, 100 * (h + 1)) for h in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, i long, x long")
+    row = holt_linear(df, ["k"], "x", "ts", "i").collect()[0]
+    assert row.n == 12
+    assert row.trend_micro > 0
+    assert row.level_micro < 1200  # lags the last point
+
+    # replay in exact python ints to pin the recurrence
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    l, b = 100, 0
+    for k in range(2, 13):
+        x = 100 * k
+        nl = tdiv(1 * x + 3 * (l + b), 4)
+        b = tdiv(1 * (nl - l) + 3 * b, 4)
+        l = nl
+    assert (row.level_micro, row.trend_micro) == (l, b)
+
+
+def test_holt_linear_constant_series_zero_trend(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.timeseries import holt_linear
+
+    rows = [("g", datetime(2024, 1, 1, h), h, 500) for h in range(6)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, i long, x long")
+    row = holt_linear(df, ["k"], "x", "ts", "i").collect()[0]
+    assert (row.level_micro, row.trend_micro) == (500, 0)
+
+
+def test_holt_linear_validates_params(spark):
+    import pytest
+
+    from bytewax_spark.functions.timeseries import holt_linear
+
+    df = spark.createDataFrame([("g", None, 1, 1)], "k string, ts timestamp, i long, x long")
+    with pytest.raises(ValueError):
+        holt_linear(df, ["k"], "x", "ts", "i", alpha=(4, 4))
