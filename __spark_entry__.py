@@ -7059,6 +7059,108 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def holt_stream_batch_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING O(1)-state Holt smoother (streaming/holt_stream)
+    run in batch mode: identical two-state truncating recurrence as
+    the batch fold, so it equals holt_value_by_user row-for-row —
+    asserted by the shared recursive-CTE oracle."""
+    from bytewax_spark.streaming import holt_stream
+
+    flow = _flow("holtsb")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    proj = op.map(
+        "proj",
+        ev,
+        {
+            "user_id": "user_id",
+            "ts": "ts",
+            "event_id": "event_id",
+            "v_micro": F.floor(F.col("value") * 1_000_000).cast("long"),
+        },
+    )
+    ks = op.key_on("key", proj, "user_id", key_col="user_id")
+    return holt_stream("h", ks, "v_micro", "ts", "event_id").df
+
+
+def seasonal_index_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative hour-of-day seasonality per event type
+    (functions/timeseries.py seasonal_index): slot mean over group
+    mean in exact ppm via DECIMAL cross-products — the profile behind
+    seasonal-naive baselines. One (type, hour) count/sum shuffle;
+    totals re-aggregate the 24-row-per-type slot table."""
+    from bytewax_spark.functions.timeseries import seasonal_index
+
+    flow = _flow("sidx")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    q = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+    )
+    return seasonal_index(q, ["event_type"], "hod", "v_micro").withColumnRenamed(
+        "slot", "hod"
+    )
+
+
+_ORACLES["seasonal_index_hourly"] = """
+    WITH s AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS n,
+             SUM(CAST(floor(value * 1000000) AS HUGEINT)) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(n) AS HUGEINT) AS ng, SUM(sv) AS sg
+      FROM s GROUP BY 1
+    )
+    SELECT s.event_type, CAST(s.hod AS INTEGER) AS hod, s.n,
+           CAST((s.sv * t.ng * 1000000) // (t.sg * s.n) AS BIGINT)
+             AS index_ppm
+    FROM s JOIN t USING (event_type)
+"""
+
+
+def asof_tolerance_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join with a staleness bound (operators asof_join,
+    tolerance=2 hours): each click takes the user's latest purchase
+    at-or-before it ONLY if it happened within the last two hours —
+    matches staler than the tolerance null out (pandas merge_asof
+    semantics). Same single union+window plan; the bound is a
+    post-filter, never a range join."""
+    flow = _flow("asoft")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events"))
+    clicks = op.key_on(
+        "ck",
+        op.map("cproj", op.filter("cf", ev, F.col("event_type") == "click"),
+               {"u": "user_id", "ts": "ts", "click_id": "event_id"}),
+        "u", key_col="u",
+    )
+    purchases = op.key_on(
+        "pk",
+        op.map("pproj", op.filter("pf", ev, F.col("event_type") == "purchase"),
+               {"u": "user_id", "ts": "ts", "purchase_value": "value"}),
+        "u", key_col="u",
+    )
+    j = op.asof_join(
+        "j", clicks, purchases, ts_col="ts",
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    )
+    return j.df.select(
+        F.col("u").alias("user_id"), "ts", "click_id", "purchase_value"
+    )
+
+
+_ORACLES["asof_tolerance_click_purchase"] = """
+    SELECT c.user_id, c.ts, c.click_id,
+           CASE WHEN p.ts >= c.ts - INTERVAL 2 HOUR
+                THEN p.purchase_value END AS purchase_value
+    FROM (SELECT user_id, ts, event_id AS click_id FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value FROM events
+                    WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def holt_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double exponential smoothing per user (functions/
     timeseries.py holt_linear, alpha=beta=1/4): level + per-step trend
@@ -7101,6 +7203,8 @@ _ORACLES["holt_value_by_user"] = """
            CAST(rec.b AS BIGINT) AS trend_micro
     FROM nn JOIN rec ON rec.user_id = nn.user_id AND rec.k = nn.n
 """
+
+_ORACLES["holt_stream_batch_by_user"] = _ORACLES["holt_value_by_user"]
 
 
 def rfm_segments_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8366,6 +8470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "holt_stream_batch_by_user": holt_stream_batch_by_user,
+        "seasonal_index_hourly": seasonal_index_hourly,
+        "asof_tolerance_click_purchase": asof_tolerance_click_purchase,
         "holt_value_by_user": holt_value_by_user,
         "rfm_segments_users": rfm_segments_users,
         "session_paths_events": session_paths_events,

@@ -26,6 +26,7 @@ __all__ = [
     "ewma",
     "gapfill_ffill",
     "holt_linear",
+    "seasonal_index",
     "ohlc_resample",
     "trailing_agg",
     "vwap",
@@ -458,4 +459,44 @@ def holt_linear(
         F.size("_a").cast("long").alias("n"),
         fold["l"].cast("long").alias("level_micro"),
         fold["b"].cast("long").alias("trend_micro"),
+    )
+
+
+def seasonal_index(
+    df: DataFrame,
+    group_cols,
+    slot_col,
+    val_col: str,
+) -> DataFrame:
+    """Multiplicative seasonal index per (group, season slot): the
+    slot's mean value relative to the group's overall mean, in exact
+    ppm — ``index = (slot_sum · n_group · 10⁶) div (group_sum ·
+    n_slot)`` with DECIMAL(38,0) cross-products (no float division,
+    no per-slot mean rounding). 1e6 = an average slot; 2e6 = this
+    hour/weekday runs double. The classic profile behind seasonal-
+    naive forecasts and the :func:`decayed_sum`/outlier detrenders.
+
+    ``slot_col`` is a column or name (e.g. ``hour(ts)``). One
+    map-side-combined (group, slot) aggregation; group totals
+    re-aggregate the slot table. Returns group cols +
+    ``(slot, n, index_ppm)``."""
+    g = list(group_cols)
+    slot = F.col(slot_col) if isinstance(slot_col, str) else slot_col
+    v = F.col(val_col).cast("decimal(38,0)")
+    slots = df.groupBy(*g, slot.alias("slot")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v).alias("_s")
+    )
+    totals = slots.groupBy(*g).agg(
+        F.sum("n").alias("_ng"), F.sum("_s").alias("_sg")
+    )
+    return (
+        slots.join(totals, g)
+        .select(
+            *g,
+            "slot",
+            "n",
+            F.expr(
+                "CAST((_s * _ng * 1000000) div (_sg * n) AS LONG)"
+            ).alias("index_ppm"),
+        )
     )

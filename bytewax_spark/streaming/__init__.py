@@ -50,6 +50,7 @@ __all__ = [
     "distinct_count_stream",
     "funnel_stream",
     "ewma_stream",
+    "holt_stream",
     "moments_stream",
     "sample_stream",
     "zscore_anomaly_stream",
@@ -1091,3 +1092,72 @@ def ewma_stream(
     key_t = up.df.schema[up.key_col].dataType.simpleString()
     schema = f"{up.key_col} {key_t}, n long, ewma_micro long"
     return stateful_batch(step_id, up, _Ewma, schema=schema)
+
+
+def holt_stream(
+    step_id: str,
+    up: KeyedStream,
+    val_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    alpha=(1, 4),
+    beta=(1, 4),
+) -> KeyedStream:
+    """Streaming Holt double exponential smoothing per key — O(1)
+    state (count + level + trend): the same truncating two-state
+    integer recurrence as the batch twin
+    (``functions.timeseries.holt_linear``), so streamed == batch ==
+    replay bit-for-bit; rows process in ``(ts, tiebreak)`` order
+    within each batch. Streaming mode emits the running state each
+    batch; batch mode once at EOF. Emits ``(key, n, level_micro,
+    trend_micro)`` — one-step forecast = level + trend."""
+    an, ad = alpha
+    bn, bd = beta
+    if not (0 < an < ad and 0 < bn < bd):
+        raise ValueError(f"need 0 < num < den for alpha/beta, got {alpha}, {beta}")
+    emit_each = bool(up.df.isStreaming)
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    class _Holt(StatefulBatchLogic):
+        def __init__(self, snap):
+            self.n, self.l, self.b = snap if snap is not None else (0, None, 0)
+
+        def _fold(self, pdf):
+            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+            for v in pdf[val_col]:
+                x = int(v)
+                if self.l is None:
+                    self.l, self.b = x, 0
+                else:
+                    nl = _tdiv(an * x + (ad - an) * (self.l + self.b), ad)
+                    self.b = _tdiv(bn * (nl - self.l) + (bd - bn) * self.b, bd)
+                    self.l = nl
+                self.n += 1
+
+        def _row(self):
+            return pd.DataFrame(
+                [(self.n, self.l, self.b)],
+                columns=["n", "level_micro", "trend_micro"],
+            )
+
+        def on_batch(self, pdf):
+            self._fold(pdf)
+            if emit_each:
+                return self._row(), self.RETAIN
+            return None, self.RETAIN
+
+        def on_eof(self):
+            if self.n == 0:
+                return None, self.DISCARD
+            return self._row(), self.DISCARD
+
+        def snapshot(self):
+            return (self.n, self.l, self.b)
+
+    up = _require_keyed(step_id, up)
+    key_t = up.df.schema[up.key_col].dataType.simpleString()
+    schema = f"{up.key_col} {key_t}, n long, level_micro long, trend_micro long"
+    return stateful_batch(step_id, up, _Holt, schema=schema)

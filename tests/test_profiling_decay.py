@@ -307,3 +307,23 @@ def test_holt_linear_validates_params(spark):
     df = spark.createDataFrame([("g", None, 1, 1)], "k string, ts timestamp, i long, x long")
     with pytest.raises(ValueError):
         holt_linear(df, ["k"], "x", "ts", "i", alpha=(4, 4))
+
+
+def test_seasonal_index_flat_series_is_uniform(spark):
+    from bytewax_spark.functions.timeseries import seasonal_index
+
+    rows = [("g", h % 4, 100) for h in range(40)]
+    df = spark.createDataFrame(rows, "k string, slot int, v long")
+    out = {r.slot: r.index_ppm for r in seasonal_index(df, ["k"], "slot", "v").collect()}
+    assert all(v == 1_000_000 for v in out.values())
+
+
+def test_seasonal_index_double_slot(spark):
+    from bytewax_spark.functions.timeseries import seasonal_index
+
+    # slot 1 runs at 300, slots 0 and 2 at 100: mean 500/3 per slot-row
+    rows = [("g", 0, 100), ("g", 1, 300), ("g", 2, 100)] * 5
+    df = spark.createDataFrame(rows, "k string, slot int, v long")
+    out = {r.slot: r.index_ppm for r in seasonal_index(df, ["k"], "slot", "v").collect()}
+    # index = slot_mean / overall_mean: 100/(500/3) = 0.6, 300/(500/3) = 1.8
+    assert out[0] == 600_000 and out[1] == 1_800_000 and out[2] == 600_000

@@ -1295,3 +1295,60 @@ def test_ewma_truncates_toward_zero_on_negatives(spark):
     ks = op.key_on("key", op.input("in", flow, df), "k")
     srow = ewma_stream("e", ks, "x", "ts", "i").df.collect()[0]
     assert srow["ewma_micro"] == -87
+
+
+def test_holt_stream_batch_equals_batch_fold(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bytewax_spark.functions.timeseries import holt_linear
+    from bytewax_spark.streaming import holt_stream
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("v"),
+        )
+    )
+    flow = Dataflow("b_holt")
+    ks = op.key_on("key", op.input("in", flow, ev), "user_id", key_col="user_id")
+    got = {
+        r["user_id"]: (r["n"], r["level_micro"], r["trend_micro"])
+        for r in holt_stream("h", ks, "v", "ts", "event_id").df.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["level_micro"], r["trend_micro"])
+        for r in holt_linear(ev, ["user_id"], "v", "ts", "event_id").collect()
+    }
+    assert got == want
+
+
+def test_holt_stream_state_across_microbatches(spark):
+    from datetime import datetime
+
+    from bytewax_spark.streaming import holt_stream
+
+    rows = [("k", datetime(2024, 1, 1, i), i, 100 * (i + 1)) for i in range(6)]
+    flow = Dataflow("s_holt")
+    src = TestingSource(
+        rows, schema="k string, ts timestamp, i long, v long",
+        streaming=True, files=3,
+    )
+    ks = op.key_on("key", op.input("in", flow, src), "k")
+    out = holt_stream("h", ks, "v", "ts", "i")
+    sink = MemorySink("s_holt_out")
+    op.output("out", out, sink)
+    got = drain(spark, flow, "s_holt_out")
+    last = got[-1]
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    l, b = 100, 0
+    for i in range(1, 6):
+        x = 100 * (i + 1)
+        nl = tdiv(1 * x + 3 * (l + b), 4)
+        b = tdiv(1 * (nl - l) + 3 * b, 4)
+        l = nl
+    assert (last["n"], last["level_micro"], last["trend_micro"]) == (6, l, b)
