@@ -35,6 +35,7 @@ __all__ = [
     "hits",
     "kcore",
     "label_propagation",
+    "modularity",
     "neardup_clusters",
     "pagerank",
     "triangle_counts",
@@ -726,5 +727,72 @@ def feature_prop(
                 "CAST((CAST(nbr_sum AS DECIMAL(38,0)) * 1000000)"
                 " div n_nbrs AS LONG)"
             ).alias("nbr_mean_micro"),
+        )
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of a community labeling (Newman & Girvan
+    2004) over an undirected edge list, as ONE exact fraction:
+    ``Q = (4m·Σ_c e_c − Σ_c d_c²) / (4m²)`` reported in int64 micros
+    (DECIMAL(38,0) cross-products — per-community float division would
+    drift). Q ≈ 0: no better than random; 0.3–0.7: strong structure.
+    Returns one row ``(m, n_communities, intra_edges, q_micro)``.
+
+    Cost: one labels join per edge endpoint (intra-edge count), one
+    degree aggregation joined to labels (per-community degree sums) —
+    all id-keyed shuffles; the verdict is one row. Pair with
+    :func:`label_propagation` / :func:`neardup_clusters` to score the
+    clustering they produced."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
+    )
+    lu = lab.select(F.col("_n").alias("u"), F.col("_l").alias("_lu"))
+    lv = lab.select(F.col("_n").alias("v"), F.col("_l").alias("_lv"))
+    tagged = und.join(lu, "u").join(lv, "v")
+    m_intra = tagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("_lu") == F.col("_lv")).cast("long")).alias("intra_edges"),
+    )
+    deg = (
+        und.select(F.col("u").alias("_n"))
+        .union(und.select(F.col("v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    dsum = (
+        deg.join(lab, "_n")
+        .groupBy("_l")
+        .agg(F.sum("_d").cast("decimal(38,0)").alias("_dc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(F.col("_dc") * F.col("_dc")).alias("_sd2"),
+        )
+    )
+    return (
+        m_intra.join(dsum)
+        .select(
+            "m",
+            "n_communities",
+            "intra_edges",
+            F.expr(
+                "CAST(((4 * CAST(m AS DECIMAL(38,0)) * intra_edges - _sd2)"
+                " * 1000000) div (4 * CAST(m AS DECIMAL(38,0)) * m) AS LONG)"
+            ).alias("q_micro"),
         )
     )

@@ -49,6 +49,7 @@ __all__ = [
     "dedup_ttl_stream",
     "distinct_count_stream",
     "funnel_stream",
+    "cusum_stream",
     "ewma_stream",
     "holt_stream",
     "moments_stream",
@@ -1161,3 +1162,73 @@ def holt_stream(
     key_t = up.df.schema[up.key_col].dataType.simpleString()
     schema = f"{up.key_col} {key_t}, n long, level_micro long, trend_micro long"
     return stateful_batch(step_id, up, _Holt, schema=schema)
+
+
+def cusum_stream(
+    step_id: str,
+    up: KeyedStream,
+    val_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    target_micro: int,
+    drift_micro: int = 0,
+    threshold_micro: int = 0,
+) -> KeyedStream:
+    """Page's one-sided CUSUM test per key (Page 1954 — the ONLINE
+    form, unlike the batch locator in ``functions.timeseries.
+    cusum_changepoint`` which needs the global mean): state is one
+    int64, ``S = max(0, S + (x − target − drift))`` on micro inputs,
+    alarming when ``S > threshold``. Emits one row per key per batch
+    (streaming) or at EOF (batch): ``(key, n, s_micro, alarms,
+    first_alarm_ts)`` — alarms counts threshold crossings evaluated
+    AFTER each fold step; the S statistic resets to 0 is NOT applied
+    on alarm (the monitoring convention where the operator reports and
+    the caller decides). Rows process in ``(ts, tiebreak)`` order, so
+    streamed == batch == a recursive-CTE replay, exactly."""
+    emit_each = bool(up.df.isStreaming)
+
+    class _Cusum(StatefulBatchLogic):
+        def __init__(self, snap):
+            if snap is not None:
+                self.n, self.s, self.alarms, self.first_ts = snap
+            else:
+                self.n, self.s, self.alarms, self.first_ts = 0, 0, 0, None
+
+        def _fold(self, pdf):
+            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+            for v, t in zip(pdf[val_col], pdf[ts_col]):
+                self.s = max(0, self.s + int(v) - target_micro - drift_micro)
+                self.n += 1
+                if self.s > threshold_micro:
+                    self.alarms += 1
+                    if self.first_ts is None:
+                        self.first_ts = t
+            return None
+
+        def _row(self):
+            return pd.DataFrame(
+                [(self.n, self.s, self.alarms, self.first_ts)],
+                columns=["n", "s_micro", "alarms", "first_alarm_ts"],
+            )
+
+        def on_batch(self, pdf):
+            self._fold(pdf)
+            if emit_each:
+                return self._row(), self.RETAIN
+            return None, self.RETAIN
+
+        def on_eof(self):
+            if self.n == 0:
+                return None, self.DISCARD
+            return self._row(), self.DISCARD
+
+        def snapshot(self):
+            return (self.n, self.s, self.alarms, self.first_ts)
+
+    up = _require_keyed(step_id, up)
+    key_t = up.df.schema[up.key_col].dataType.simpleString()
+    schema = (
+        f"{up.key_col} {key_t}, n long, s_micro long, alarms long, "
+        "first_alarm_ts timestamp"
+    )
+    return stateful_batch(step_id, up, _Cusum, schema=schema)

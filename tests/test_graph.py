@@ -436,3 +436,32 @@ def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
         for r in graph.pagerank(ew, iters=2, weight_col="w").collect()
     }
     assert a == b
+
+
+def test_modularity_two_cliques_strong(spark):
+    # two triangles joined by one bridge edge: strong communities
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "id_a long, id_b long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], "node long, label long"
+    )
+    row = graph.modularity(e, labels).collect()[0]
+    assert row.m == 7 and row.n_communities == 2 and row.intra_edges == 6
+    # Q = (4*7*6 - (7^2 + 7^2)) / (4*49) = (168 - 98) / 196 = 0.357142
+    assert row.q_micro == 357_142
+
+
+def test_modularity_single_community_zero_by_identity(spark):
+    # everything in one community: Q = (4m*m - (2m)^2) / 4m^2 = 0
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
+    labels = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], "node long, label long")
+    assert graph.modularity(e, labels).collect()[0].q_micro == 0
+
+
+def test_modularity_random_split_is_negative_or_zero(spark):
+    # split a triangle across two communities: worse than random
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
+    labels = spark.createDataFrame([(1, 1), (2, 2), (3, 1)], "node long, label long")
+    assert graph.modularity(e, labels).collect()[0].q_micro < 0

@@ -1352,3 +1352,41 @@ def test_holt_stream_state_across_microbatches(spark):
         b = tdiv(1 * (nl - l) + 3 * b, 4)
         l = nl
     assert (last["n"], last["level_micro"], last["trend_micro"]) == (6, l, b)
+
+
+def test_cusum_stream_alarm_on_level_shift(spark):
+    from datetime import datetime
+
+    from bytewax_spark.streaming import cusum_stream
+
+    # target 10: five on-target rows keep S at 0, then five at 20
+    # ramp S by 10 each -> alarms once S > 25 (steps 8, 9, 10)
+    rows = [("k", datetime(2024, 1, 1, i), i, 10) for i in range(5)] + [
+        ("k", datetime(2024, 1, 1, 5 + i), 5 + i, 20) for i in range(5)
+    ]
+    flow = Dataflow("b_pagecs")
+    src = TestingSource(rows, schema="k string, ts timestamp, i long, v long")
+    ks = op.key_on("key", op.input("in", flow, src), "k")
+    out = cusum_stream(
+        "c", ks, "v", "ts", "i", target_micro=10, threshold_micro=25
+    ).df.collect()[0]
+    assert out["n"] == 10
+    assert out["s_micro"] == 50
+    assert out["alarms"] == 3
+    assert out["first_alarm_ts"] == datetime(2024, 1, 1, 7)
+
+
+def test_cusum_stream_on_target_never_alarms(spark):
+    from datetime import datetime
+
+    from bytewax_spark.streaming import cusum_stream
+
+    rows = [("k", datetime(2024, 1, 1, i), i, 10) for i in range(8)]
+    flow = Dataflow("b_pagecs2")
+    src = TestingSource(rows, schema="k string, ts timestamp, i long, v long")
+    ks = op.key_on("key", op.input("in", flow, src), "k")
+    out = cusum_stream(
+        "c", ks, "v", "ts", "i", target_micro=10, threshold_micro=5
+    ).df.collect()[0]
+    assert out["alarms"] == 0 and out["s_micro"] == 0
+    assert out["first_alarm_ts"] is None
