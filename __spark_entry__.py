@@ -7095,6 +7095,101 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (functions/graph.py
+    clustering_coefficient) on the part co-occurrence graph: per-node
+    triangle density in exact ppm — the organic-community vs hub
+    discriminator. Reuses the degree-ordered triangle pass; the
+    oracle reuses the canonical 3-way-join triangle count plus the
+    same integer formula."""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "_ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return graph.clustering_coefficient(edges)
+
+
+_ORACLES["clustering_coefficient_parts"] = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tc AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY 1
+    )
+    SELECT d.node, d.degree, COALESCE(tc.triangles, 0) AS triangles,
+           CAST(CASE WHEN d.degree >= 2 THEN
+             (2 * COALESCE(tc.triangles, 0) * 1000000)
+               // (d.degree * (d.degree - 1))
+           ELSE 0 END AS BIGINT) AS cc_ppm
+    FROM deg d LEFT JOIN tc ON tc.node = d.node
+"""
+
+
+def entropy_event_types_by_user_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical balance audit (functions/stats.py shannon_entropy):
+    Shannon entropy of the event-type mix per user-id band (user_id
+    mod 10) in integer micro-nats, with the uniform max alongside —
+    the "is this segment's behavior degenerate" screen. One (group,
+    value) count; totals re-aggregate the value table."""
+    from bytewax_spark.functions.stats import shannon_entropy
+
+    flow = _flow("shent")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    q = ev.select(
+        F.pmod(F.col("user_id"), F.lit(10)).cast("long").alias("band"),
+        "event_type",
+    )
+    return shannon_entropy(q, ["band"], "event_type")
+
+
+_ORACLES["entropy_event_types_by_user_band"] = """
+    WITH c AS (
+      SELECT user_id % 10 AS band, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT band, CAST(SUM(c) AS BIGINT) AS n,
+             COUNT(*) AS n_values
+      FROM c GROUP BY 1
+    ),
+    cells AS (
+      SELECT c.band, t.n, t.n_values, c.c,
+             CAST(ROUND(LN(CAST(t.n AS DOUBLE) / c.c) * 1000000)
+               AS BIGINT) AS lm
+      FROM c JOIN t USING (band)
+    )
+    SELECT band, any_value(n) AS n, any_value(n_values) AS n_values,
+           CAST(SUM(CAST(c AS HUGEINT) * lm) // any_value(n) AS BIGINT)
+             AS entropy_micro,
+           CAST(ROUND(LN(CAST(any_value(n_values) AS DOUBLE)) * 1000000)
+             AS BIGINT) AS max_entropy_micro
+    FROM cells GROUP BY band
+"""
+
+
 def modularity_label_prop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community quality score (functions/graph.py modularity, Newman
     2004) of the 2-round label-propagation communities on the part
@@ -8588,6 +8683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "clustering_coefficient_parts": clustering_coefficient_parts,
+        "entropy_event_types_by_user_band": entropy_event_types_by_user_band,
         "modularity_label_prop_parts": modularity_label_prop_parts,
         "cusum_stream_batch_by_type": cusum_stream_batch_by_type,
         "holt_stream_batch_by_user": holt_stream_batch_by_user,

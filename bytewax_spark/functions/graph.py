@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "adamic_adar",
     "common_neighbors",
+    "clustering_coefficient",
     "connected_components",
     "hits",
     "kcore",
@@ -794,5 +795,53 @@ def modularity(
                 "CAST(((4 * CAST(m AS DECIMAL(38,0)) * intra_edges - _sd2)"
                 " * 1000000) div (4 * CAST(m AS DECIMAL(38,0)) * m) AS LONG)"
             ).alias("q_micro"),
+        )
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node local clustering coefficient in exact ppm:
+    ``2·triangles(v) · 10⁶ div (deg·(deg−1))`` — how clique-like each
+    node's neighborhood is (1e6 = my neighbors all know each other;
+    near 0 = a star hub). The standard tie-breaker between organic
+    communities and template/boilerplate blobs when scoring dedup
+    clusters. Returns ``(node, degree, triangles, cc_ppm)``; degree-1
+    nodes read 0.
+
+    Composition: :func:`triangle_counts` (degree-ordered wedge join,
+    O(√|E|) fan-out) + one degree aggregation + an id-keyed join —
+    nothing new shuffles beyond the triangle pass."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    tri = triangle_counts(und, "u", "v")
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2 * coalesce(triangles, 0L) * 1000000L)"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("cc_ppm"),
         )
     )

@@ -39,6 +39,7 @@ __all__ = [
     "psi",
     "robust_stats",
     "seasonal_outlier_counts",
+    "shannon_entropy",
     "standardize",
     "target_encode",
     "winsorize",
@@ -750,4 +751,54 @@ def ks_stat(ref: DataFrame, cur: DataFrame, val_col: str) -> DataFrame:
             "CAST((_num * 1000000) div (CAST(n_ref AS DECIMAL(38,0)) * n_cur)"
             " AS LONG)"
         ).alias("d_ppm"),
+    )
+
+
+def shannon_entropy(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cat_col: str,
+) -> DataFrame:
+    """Shannon entropy of a categorical column per group, integer
+    micro-nats — the balance audit ("is this label column degenerate?"
+    0 = one value; ln(k) = uniform over k): ``H = Σ −(c/N)·ln(c/N)``
+    with each value's log term quantized to int64 micros BEFORE the
+    weighted sum (the PMI trick), so the score is engine-exact.
+    Returns group cols + ``(n, n_values, entropy_micro,
+    max_entropy_micro)`` — compare the two for normalized balance.
+
+    One (group, value) count (map-side combined); group totals
+    re-aggregate the value table."""
+    g = list(group_cols)
+    counts = df.groupBy(*g, F.col(cat_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = counts.groupBy(*g).agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("n_values")
+    )
+    cells = counts.join(totals, g).select(
+        *g,
+        "_n",
+        "n_values",
+        F.col("_c"),
+        # ln(N/c) = -ln(p), micro-quantized per value
+        F.round(
+            F.log(F.col("_n").cast("double") / F.col("_c")) * 1_000_000
+        )
+        .cast("bigint")
+        .alias("_lm"),
+    )
+    return cells.groupBy(*g, "_n", "n_values").agg(
+        F.expr(
+            "CAST(SUM(CAST(_c AS DECIMAL(38,0)) * _lm) div FIRST(_n) AS LONG)"
+        ).alias("entropy_micro"),
+        F.round(F.log(F.first("n_values").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("max_entropy_micro"),
+    ).select(
+        *g,
+        F.col("_n").alias("n"),
+        "n_values",
+        "entropy_micro",
+        "max_entropy_micro",
     )

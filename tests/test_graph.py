@@ -465,3 +465,25 @@ def test_modularity_random_split_is_negative_or_zero(spark):
     e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
     labels = spark.createDataFrame([(1, 1), (2, 2), (3, 1)], "node long, label long")
     assert graph.modularity(e, labels).collect()[0].q_micro < 0
+
+
+def test_clustering_coefficient_triangle_and_star(spark):
+    # triangle 1-2-3 (cc 1.0 each) + star center 4 with leaves 5,6 (cc 0)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (4, 6)], "id_a long, id_b long"
+    )
+    out = {r.node: (r.degree, r.triangles, r.cc_ppm)
+           for r in graph.clustering_coefficient(e).collect()}
+    assert out[1] == (2, 1, 1_000_000)
+    assert out[2] == (2, 1, 1_000_000)
+    assert out[4] == (2, 0, 0)
+    assert out[5] == (1, 0, 0)
+
+
+def test_clustering_coefficient_half_closed(spark):
+    # node 1 has neighbors 2,3,4; only (2,3) closed -> cc = 1/3
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "id_a long, id_b long"
+    )
+    out = {r.node: r.cc_ppm for r in graph.clustering_coefficient(e).collect()}
+    assert out[1] == 333_333

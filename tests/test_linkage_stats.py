@@ -428,3 +428,22 @@ def test_ks_stat_matches_scipy_shape(spark):
     b = spark.createDataFrame([(2.0,), (3.0,)], "value double")
     row = stats.ks_stat(a, b, "value").collect()[0]
     assert row.d_ppm == 666_666  # floor(2/3 * 1e6)
+
+
+def test_shannon_entropy_degenerate_and_uniform(spark):
+    rows = [("one", "x")] * 8 + [("uni", v) for v in "abcd" * 3]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = {r.k: r for r in stats.shannon_entropy(df, ["k"], "v").collect()}
+    assert out["one"].entropy_micro == 0 and out["one"].n_values == 1
+    # uniform over 4: H = ln 4 = max entropy
+    assert out["uni"].entropy_micro == out["uni"].max_entropy_micro
+    assert abs(out["uni"].entropy_micro - 1_386_294) <= 2
+
+
+def test_shannon_entropy_skewed_below_max(spark):
+    rows = [("g", "a")] * 9 + [("g", "b")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    r = stats.shannon_entropy(df, ["k"], "v").collect()[0]
+    # H = 0.9 ln(10/9) + 0.1 ln(10) = 0.325083
+    assert abs(r.entropy_micro - 325_082) <= 2
+    assert r.entropy_micro < r.max_entropy_micro
