@@ -7095,6 +7095,118 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def gapfill_interp_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (functions/timeseries.py
+    gapfill_interpolate): per (user, hour) grid from first to last
+    observation, missing hours read the integer-exact straight line
+    between observed neighbors (ffill keeps a level; this draws the
+    trend). Two per-key window passes over the generated grid."""
+    from bytewax_spark.functions.timeseries import gapfill_interpolate
+
+    flow = _flow("ginterp")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return gapfill_interpolate(ev, "user_id", "ts", F.col("value"), "hour")
+
+
+_ORACLES["gapfill_interp_user_hourly"] = """
+    WITH pb AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(floor(SUM(value) * 1000000) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT user_id, g.h,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY g.h) - 1 AS i
+      FROM (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM pb GROUP BY 1) b,
+           LATERAL UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    j AS (
+      SELECT grid.user_id, grid.h, grid.i, pb.v FROM grid
+      LEFT JOIN pb ON pb.user_id = grid.user_id AND pb.h = grid.h
+    ),
+    filled AS (
+      SELECT user_id, h, i, v,
+             LAST_VALUE(v IGNORE NULLS) OVER wf AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+               OVER wf AS pi,
+             FIRST_VALUE(v IGNORE NULLS) OVER wb AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+               OVER wb AS ni
+      FROM j
+      WINDOW wf AS (PARTITION BY user_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY user_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h AS hour,
+           CAST(COALESCE(v,
+             pv + ((CAST(nv AS HUGEINT) - pv) * (i - pi)) // (ni - pi)
+           ) AS BIGINT) AS value_micro,
+           v IS NULL AS interpolated
+    FROM filled
+"""
+
+
+def nb_confusion_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier eval layer (functions/classify.py eval_confusion):
+    the NB language scorer's predictions against truth as a per-class
+    confusion row with exact-ppm precision/recall/F1 — train, score,
+    and grade in one plan. The oracle replays the whole NB pipeline
+    (same CTEs as nb_score_lang_docs) plus the confusion arithmetic."""
+    from bytewax_spark.functions import classify as cl
+
+    flow = _flow("nbcf")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    model = cl.nb_train(docs, "text", (F.col("lang") == "en").cast("int"), bits=16)
+    scored = cl.nb_score(docs, model, "text", "doc_id", bits=16)
+    truth = docs.select("doc_id", (F.col("lang") == "en").alias("y_true"))
+    joined = scored.join(truth, "doc_id").select(
+        "y_true", F.col("pred").alias("y_pred")
+    )
+    return cl.eval_confusion(joined, "y_true", "y_pred")
+
+
+_ORACLES["nb_confusion_lang_docs"] = f"""
+    WITH preds AS (
+      SELECT doc_id, pred FROM ({_ORACLES["nb_score_lang_docs"]})
+    ),
+    pairs AS (
+      SELECT (d.lang = 'en') AS t, p.pred AS p, COUNT(*) AS c
+      FROM documents d JOIN preds p ON p.doc_id = d.doc_id
+      GROUP BY 1, 2
+    ),
+    nt AS (SELECT t AS label, CAST(SUM(c) AS BIGINT) AS n_true
+           FROM pairs GROUP BY 1),
+    np AS (SELECT p AS label, CAST(SUM(c) AS BIGINT) AS n_pred
+           FROM pairs GROUP BY 1),
+    tp AS (SELECT t AS label, CAST(c AS BIGINT) AS tp
+           FROM pairs WHERE t = p),
+    base AS (
+      SELECT COALESCE(nt.label, np.label) AS label,
+             COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+             COALESCE(tp.tp, 0) AS tp
+      FROM nt FULL OUTER JOIN np ON nt.label = np.label
+      LEFT JOIN tp ON tp.label = COALESCE(nt.label, np.label)
+    ),
+    rated AS (
+      SELECT *,
+             CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred
+                  ELSE 0 END AS precision_ppm,
+             CASE WHEN n_true > 0 THEN (tp * 1000000) // n_true
+                  ELSE 0 END AS recall_ppm
+      FROM base
+    )
+    SELECT label, n_true, n_pred, tp,
+           CAST(precision_ppm AS BIGINT) AS precision_ppm,
+           CAST(recall_ppm AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN precision_ppm + recall_ppm > 0
+                THEN (2 * precision_ppm * recall_ppm)
+                     // (precision_ppm + recall_ppm)
+                ELSE 0 END AS BIGINT) AS f1_ppm
+    FROM rated
+"""
+
+
 def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient (functions/graph.py
     clustering_coefficient) on the part co-occurrence graph: per-node
@@ -8683,6 +8795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "gapfill_interp_user_hourly": gapfill_interp_user_hourly,
+        "nb_confusion_lang_docs": nb_confusion_lang_docs,
         "clustering_coefficient_parts": clustering_coefficient_parts,
         "entropy_event_types_by_user_band": entropy_event_types_by_user_band,
         "modularity_label_prop_parts": modularity_label_prop_parts,

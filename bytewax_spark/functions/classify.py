@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from .text import hash64, tokenize
 
-__all__ = ["hashed_buckets", "nb_train", "nb_score"]
+__all__ = ["eval_confusion", "hashed_buckets", "nb_train", "nb_score"]
 
 
 def hashed_buckets(c: Column | str, bits: int = 18) -> Column:
@@ -122,3 +122,58 @@ def nb_score(
         ),
         (F.coalesce(F.col("_s"), F.lit(0)) + F.lit(prior_micro) > 0).alias("pred"),
     )
+
+
+def eval_confusion(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class classifier evaluation from a (truth, prediction)
+    frame: one row per class seen in either column with ``(label,
+    n_true, n_pred, tp, precision_ppm, recall_ppm, f1_ppm)`` — every
+    rate an exact integer ppm (F1 = 2PR/(P+R) computed on the ppm
+    integers, one div). The eval layer for the NB scorer or any
+    labeling operator; macro/micro-average downstream.
+
+    One (truth, prediction) pair count (map-side combined) — the
+    confusion matrix is |classes|² rows — then three tiny
+    re-aggregations of that matrix. The corpus shuffles once."""
+    pairs = df.groupBy(
+        F.col(true_col).alias("_t"), F.col(pred_col).alias("_p")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    n_true = pairs.groupBy(F.col("_t").alias("label")).agg(
+        F.sum("_c").alias("n_true")
+    )
+    n_pred = pairs.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_c").alias("n_pred")
+    )
+    tp = (
+        pairs.filter(F.col("_t") == F.col("_p"))
+        .select(F.col("_t").alias("label"), F.col("_c").alias("tp"))
+    )
+    out = (
+        n_true.join(n_pred, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.expr("(tp * 1000000L) div n_pred")
+    ).otherwise(F.lit(0).cast("long"))
+    rec = F.when(
+        F.col("n_true") > 0, F.expr("(tp * 1000000L) div n_true")
+    ).otherwise(F.lit(0).cast("long"))
+    out = out.withColumn("precision_ppm", prec).withColumn("recall_ppm", rec)
+    f1 = F.when(
+        F.col("precision_ppm") + F.col("recall_ppm") > 0,
+        F.expr(
+            "(2 * precision_ppm * recall_ppm)"
+            " div (precision_ppm + recall_ppm)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.withColumn("f1_ppm", f1)

@@ -25,6 +25,7 @@ __all__ = [
     "decayed_sum",
     "ewma",
     "gapfill_ffill",
+    "gapfill_interpolate",
     "holt_linear",
     "seasonal_index",
     "ohlc_resample",
@@ -499,4 +500,86 @@ def seasonal_index(
                 "CAST((_s * _ng * 1000000) div (_sg * n) AS LONG)"
             ).alias("index_ppm"),
         )
+    )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col,
+    bucket: str = "hour",
+    out_col: str = "value_micro",
+) -> DataFrame:
+    """Gap fill by LINEAR interpolation, integer-exact: one row per
+    (key, bucket) from the key's first to last observation; a missing
+    bucket reads ``v_prev + ((v_next − v_prev)·gap_before) div span``
+    on int64 micro values and bucket indices — the straight line
+    between its observed neighbors, floor-divided once (ffill keeps a
+    level; interpolation draws the trend — pick per column semantics).
+    Observed buckets keep their exact value. Returns ``(key, bucket
+    ts, out_col, interpolated)``.
+
+    Per-bucket values are floor-quantized to micros BEFORE filling
+    (sum per bucket), so results are engine/partitioning exact. Two
+    per-key window passes (ffill and bfill of value+position over the
+    same order) on the generated grid — grid size is the key's time
+    span, never the table."""
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
+    per_bucket = (
+        df.select(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("_h"),
+            val.alias("_raw"),
+        )
+        .groupBy(key_col, "_h")
+        .agg(F.floor(F.sum("_raw") * 1_000_000).cast("long").alias("_v"))
+    )
+    grid = (
+        per_bucket.groupBy(key_col)
+        .agg(F.min("_h").alias("_lo"), F.max("_h").alias("_hi"))
+        .select(
+            key_col,
+            F.posexplode(
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"), F.expr(f"interval 1 {bucket}")
+                )
+            ).alias("_i", "_h"),
+        )
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("_i")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    joined = grid.join(per_bucket, [key_col, "_h"], "left").select(
+        key_col,
+        "_h",
+        F.col("_i").cast("long").alias("_i"),
+        "_v",
+        F.last("_v", ignorenulls=True).over(wf).alias("_pv"),
+        F.last(F.when(F.col("_v").isNotNull(), F.col("_i")), ignorenulls=True)
+        .over(wf)
+        .alias("_pi"),
+        F.first("_v", ignorenulls=True).over(wb).alias("_nv"),
+        F.first(F.when(F.col("_v").isNotNull(), F.col("_i")), ignorenulls=True)
+        .over(wb)
+        .alias("_ni"),
+    )
+    interp = F.expr(
+        "_pv + ((CAST(_nv AS DECIMAL(38,0)) - _pv) * (_i - _pi))"
+        " div (_ni - _pi)"
+    ).cast("long")
+    return joined.select(
+        key_col,
+        F.col("_h").alias(bucket),
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .otherwise(interp)
+        .alias(out_col),
+        F.col("_v").isNull().alias("interpolated"),
     )

@@ -76,3 +76,35 @@ def test_nb_empty_doc_gets_prior(spark):
     assert got[7]["score_micro"] == -5
     assert got[8]["score_micro"] == -5  # unseen bucket contributes 0
     assert got[7]["pred"] is False
+
+
+def test_eval_confusion_hand_computed(spark):
+    from bytewax_spark.functions.classify import eval_confusion
+
+    # truth:  a a a b b
+    # pred:   a b a b a   -> class a: tp 2, n_true 3, n_pred 3
+    #                        class b: tp 1, n_true 2, n_pred 2
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "a")],
+        "t string, p string",
+    )
+    out = {r.label: r for r in eval_confusion(df, "t", "p").collect()}
+    assert (out["a"].n_true, out["a"].n_pred, out["a"].tp) == (3, 3, 2)
+    assert out["a"].precision_ppm == 666_666
+    assert out["a"].recall_ppm == 666_666
+    assert out["a"].f1_ppm == 666_666
+    assert (out["b"].n_true, out["b"].n_pred, out["b"].tp) == (2, 2, 1)
+    assert out["b"].precision_ppm == 500_000
+
+
+def test_eval_confusion_unseen_class_on_one_side(spark):
+    from bytewax_spark.functions.classify import eval_confusion
+
+    # class c never predicted; class d never true
+    df = spark.createDataFrame(
+        [("c", "d"), ("c", "c")], "t string, p string"
+    )
+    out = {r.label: r for r in eval_confusion(df, "t", "p").collect()}
+    assert out["c"].n_true == 2 and out["c"].n_pred == 1 and out["c"].tp == 1
+    assert out["d"].n_true == 0 and out["d"].n_pred == 1 and out["d"].tp == 0
+    assert out["d"].recall_ppm == 0 and out["d"].f1_ppm == 0

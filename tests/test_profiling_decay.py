@@ -327,3 +327,42 @@ def test_seasonal_index_double_slot(spark):
     out = {r.slot: r.index_ppm for r in seasonal_index(df, ["k"], "slot", "v").collect()}
     # index = slot_mean / overall_mean: 100/(500/3) = 0.6, 300/(500/3) = 1.8
     assert out[0] == 600_000 and out[1] == 1_800_000 and out[2] == 600_000
+
+
+def test_gapfill_interpolate_draws_the_line(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.timeseries import gapfill_interpolate
+    from pyspark.sql import functions as F
+
+    # observations at hours 0 (v=10) and 4 (v=30): hours 1-3 read the
+    # straight line 15, 20, 25 (micros), marked interpolated
+    rows = [("k", datetime(2024, 1, 1, 0), 10.0), ("k", datetime(2024, 1, 1, 4), 30.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        r.hour.hour: (r.value_micro, r.interpolated)
+        for r in gapfill_interpolate(df, "k", "ts", F.col("v"), "hour").collect()
+    }
+    assert out[0] == (10_000_000, False)
+    assert out[1] == (15_000_000, True)
+    assert out[2] == (20_000_000, True)
+    assert out[3] == (25_000_000, True)
+    assert out[4] == (30_000_000, False)
+
+
+def test_gapfill_interpolate_observed_values_exact(spark):
+    from datetime import datetime
+
+    from bytewax_spark.functions.timeseries import gapfill_interpolate
+    from pyspark.sql import functions as F
+
+    # two observations in one bucket sum before quantization
+    rows = [
+        ("k", datetime(2024, 1, 1, 0, 5), 1.25),
+        ("k", datetime(2024, 1, 1, 0, 6), 2.25),
+        ("k", datetime(2024, 1, 1, 1, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.hour.hour: r.value_micro for r in gapfill_interpolate(
+        df, "k", "ts", F.col("v"), "hour").collect()}
+    assert out[0] == 3_500_000 and out[1] == 7_000_000
