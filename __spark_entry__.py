@@ -7095,6 +7095,86 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def image_neardup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate IMAGE detection: synth 8x8 BMPs where
+    docs sharing ``doc_id mod 50`` carry the same gradient with a
+    per-doc single-pixel perturbation, round-trip through the REAL
+    stdlib decoder into aHash (functions/multimodal.py image_ahash),
+    then Hamming-neighbor pairs at distance <= 6 via the pigeonhole
+    block joins (functions/dedup.py hamming_neighbor_pairs) — never
+    all-pairs, output-bound through the distinct-fingerprint table.
+    The oracle recomputes every hash bit from the doc_id arithmetic
+    and brute-forces bit_count(xor) pairs — the completeness of the
+    block trick is the tested invariant."""
+    from bytewax_spark.functions import multimodal as mm
+    from bytewax_spark.functions.dedup import hamming_neighbor_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                base = int(d) % 50
+                bump = (int(d) // 50) % 8
+                px = []
+                for y in range(8):
+                    for x in range(8):
+                        v = (base * 16 + 16 * x + 4 * y) % 256
+                        if x == 0 and y == 0:
+                            v = (v + bump) % 256
+                        px.append((v,) * 3)
+                out.append(mm.encode_bmp(8, 8, px))
+            yield pdf.assign(content=out)
+
+    import pyspark.sql.types as T
+
+    media = docs.mapInPandas(
+        synth,
+        schema=T.StructType(
+            docs.schema.fields + [T.StructField("content", T.BinaryType())]
+        ),
+    )
+    hashed = mm.image_ahash(media).select("doc_id", "ahash")
+    return hamming_neighbor_pairs(
+        hashed, "ahash", "doc_id", bits=64, max_hamming=6
+    )
+
+
+_ORACLES["image_neardup_pairs_docs"] = """
+    WITH g AS (
+      SELECT doc_id, gx.x, gy.y,
+             CASE WHEN gx.x = 0 AND gy.y = 0 THEN
+               ((doc_id % 50) * 16 + (doc_id // 50) % 8) % 256
+             ELSE
+               ((doc_id % 50) * 16 + 16 * gx.x + 4 * gy.y) % 256
+             END AS p
+      FROM documents, generate_series(0, 7) AS gx(x),
+           generate_series(0, 7) AS gy(y)
+    ),
+    t AS (SELECT doc_id, SUM(p) AS tot FROM g GROUP BY 1),
+    halves AS (
+      SELECT g.doc_id,
+             SUM(CASE WHEN p * 64 > tot AND y * 8 + x < 32
+                 THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS lo,
+             SUM(CASE WHEN p * 64 > tot AND y * 8 + x >= 32
+                 THEN (CAST(1 AS BIGINT) << (y * 8 + x - 32)) ELSE 0 END) AS hi
+      FROM g JOIN t USING (doc_id) GROUP BY 1
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(CASE WHEN hi >= 2147483648
+                  THEN (hi - 4294967296) * 4294967296 + lo
+                  ELSE hi * 4294967296 + lo END AS BIGINT) AS ahash
+      FROM halves
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+"""
+
+
 def gapfill_interp_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation gap fill (functions/timeseries.py
     gapfill_interpolate): per (user, hour) grid from first to last
@@ -8795,6 +8875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "image_neardup_pairs_docs": image_neardup_pairs_docs,
         "gapfill_interp_user_hourly": gapfill_interp_user_hourly,
         "nb_confusion_lang_docs": nb_confusion_lang_docs,
         "clustering_coefficient_parts": clustering_coefficient_parts,

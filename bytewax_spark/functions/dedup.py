@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from bytewax_spark.functions.text import hash64, tokenize, word_shingles
 
 __all__ = [
+    "hamming_neighbor_pairs",
     "MINHASH_K",
     "MINHASH_P",
     "MINHASH_BANDS",
@@ -1074,6 +1075,96 @@ def dedup_keep_best(
     )
 
 
+def hamming_neighbor_pairs(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs over ANY int64 fingerprint column (SimHash
+    text prints, aHash image prints, ...) by Hamming distance — the
+    Manku 2007 pigeonhole machinery factored out of
+    :func:`simhash_neighbor_pairs`: split into ``max_hamming + 1``
+    blocks (two prints within distance d agree exactly on >= 1 block),
+    candidates from block-equality self-joins over DISTINCT
+    fingerprints, ``bit_count(xor)`` verification, expansion through
+    the fingerprint→id membership table at the end (duplicate-heavy
+    inputs collapse onto few distinct prints — output-bound). Block
+    extraction uses LOGICAL right shifts so bit 63 (signed int64
+    fingerprints) blocks correctly. Returns ``(id_a, id_b, hamming)``.
+    """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(
+            f"max_hamming+1={n_blocks} blocks exceed bits={bits}"
+        )
+    # block widths need not be equal — the pigeonhole argument only
+    # needs max_hamming+1 disjoint blocks covering the fingerprint
+    base, rem = divmod(bits, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    members = df.select(F.col(fp_col).alias("_fp"), F.col(id_col).alias("_id"))
+    fps = members.select("_fp").distinct()
+    blocks = fps.select(
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("_fp", offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_fp", "_b.blk", "_b.val")
+    fa = blocks.select("blk", "val", F.col("_fp").alias("_fa"))
+    fb = blocks.select("blk", "val", F.col("_fp").alias("_fb"))
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("int")
+    fpairs = (
+        fa.join(fb, ["blk", "val"])
+        .filter(F.col("_fa") < F.col("_fb"))
+        .select("_fa", "_fb", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    # cross-fingerprint doc pairs: expand both sides through the
+    # membership table, normalize id order (fingerprint order and id
+    # order need not agree)
+    ma = members.select(F.col("_fp").alias("_fa"), F.col("_id").alias("_ia"))
+    mb = members.select(F.col("_fp").alias("_fb"), F.col("_id").alias("_ib"))
+    cross = (
+        fpairs.join(ma, "_fa")
+        .join(mb, "_fb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    # same-fingerprint doc pairs: each fingerprint's member clique at
+    # hamming 0
+    same = (
+        ma.join(
+            members.select(F.col("_fp").alias("_fa"), F.col("_id").alias("_ib")),
+            "_fa",
+        )
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
+
+
 def simhash_neighbor_pairs(
     df: DataFrame,
     text_col: str,
@@ -1107,74 +1198,7 @@ def simhash_neighbor_pairs(
 
     Everything is integer bit arithmetic on the fingerprints, so a
     SQL oracle reproduces every pair bit-for-bit."""
-    if max_hamming < 0:
-        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
-    n_blocks = max_hamming + 1
-    if n_blocks > bits:
-        raise ValueError(
-            f"max_hamming+1={n_blocks} blocks exceed bits={bits}"
-        )
-    # block widths need not be equal — the pigeonhole argument only
-    # needs max_hamming+1 disjoint blocks covering the fingerprint
-    base, rem = divmod(bits, n_blocks)
-    widths = [base + 1] * rem + [base] * (n_blocks - rem)
-    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     members = simhash(df, text_col, id_col, bits=bits)
-    fps = members.select("simhash").distinct()
-    blocks = fps.select(
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("blk"),
-                        F.shiftright("simhash", offsets[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("val"),
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("_b"),
-    ).select("simhash", "_b.blk", "_b.val")
-    fa = blocks.select("blk", "val", F.col("simhash").alias("_fa"))
-    fb = blocks.select("blk", "val", F.col("simhash").alias("_fb"))
-    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("int")
-    fpairs = (
-        fa.join(fb, ["blk", "val"])
-        .filter(F.col("_fa") < F.col("_fb"))
-        .select("_fa", "_fb", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return hamming_neighbor_pairs(
+        members, "simhash", id_col, bits=bits, max_hamming=max_hamming
     )
-    # cross-fingerprint doc pairs: expand both sides through the
-    # membership table, normalize id order (fingerprint order and id
-    # order need not agree)
-    ma = members.select(F.col("simhash").alias("_fa"), F.col(id_col).alias("_ia"))
-    mb = members.select(F.col("simhash").alias("_fb"), F.col(id_col).alias("_ib"))
-    cross = (
-        fpairs.join(ma, "_fa")
-        .join(mb, "_fb")
-        .select(
-            F.least("_ia", "_ib").alias("id_a"),
-            F.greatest("_ia", "_ib").alias("id_b"),
-            "hamming",
-        )
-    )
-    # same-fingerprint doc pairs: each fingerprint's member clique at
-    # hamming 0
-    same = (
-        ma.join(
-            members.select(
-                F.col("simhash").alias("_fa"), F.col(id_col).alias("_ib")
-            ),
-            "_fa",
-        )
-        .filter(F.col("_ia") < F.col("_ib"))
-        .select(
-            F.col("_ia").alias("id_a"),
-            F.col("_ib").alias("id_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    return cross.unionByName(same)

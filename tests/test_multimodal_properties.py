@@ -202,3 +202,46 @@ def test_ahash64_property_inversion_flips_nonzero_hashes():
     au = a & ((1 << 64) - 1)
     iu = inv & ((1 << 64) - 1)
     assert au & iu == 0  # disjoint bit sets
+
+
+def test_hamming_neighbor_pairs_on_image_hashes(spark):
+    from bytewax_spark.functions.dedup import hamming_neighbor_pairs
+
+    # signed-bit fingerprints: -1 differs from -2 in 1 bit; 0 is far
+    df = spark.createDataFrame(
+        [(1, -1), (2, -2), (3, 0)], "id long, fp long"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_neighbor_pairs(df, "fp", "id", bits=64, max_hamming=2).collect()
+    }
+    assert pairs == {(1, 2): 1}
+
+
+def test_hamming_neighbor_pairs_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from bytewax_spark.functions.dedup import hamming_neighbor_pairs
+
+    rng = random.Random(7)
+    fps = []
+    base = rng.getrandbits(63)
+    for i in range(20):
+        fp = base
+        for _ in range(rng.randrange(0, 10)):
+            fp ^= 1 << rng.randrange(64)
+        if fp >= 1 << 63:
+            fp -= 1 << 64
+        fps.append((i, fp))
+    df = spark.createDataFrame(fps, "id long, fp long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_neighbor_pairs(df, "fp", "id", bits=64, max_hamming=5).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(fps, 2):
+        h = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        if h <= 5:
+            want[(min(i, j), max(i, j))] = h
+    assert got == want
