@@ -7095,6 +7095,36 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum 80/20 split (functions/sampling.py
+    stratified_split): within each language, the salted-hash rank
+    sends exactly floor(0.8·n) docs to train — class-balanced eval
+    sets need the ratio per stratum, not just in expectation. One
+    window rank per stratum; rerun/partitioning invariant."""
+    from bytewax_spark.functions.sampling import stratified_split
+
+    flow = _flow("strsplit")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return stratified_split(docs, ["lang"], "doc_id").select(
+        "doc_id", "lang", "is_train"
+    )
+
+
+_ORACLES["stratified_split_docs"] = f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_SQL_H64.format("CAST(doc_id AS VARCHAR)")} ASC,
+                        doc_id ASC
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, rk * 5 <= n * 4 AS is_train FROM r
+"""
+
+
 def image_neardup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-duplicate IMAGE detection: synth 8x8 BMPs where
     docs sharing ``doc_id mod 50`` carry the same gradient with a
@@ -8875,6 +8905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "stratified_split_docs": stratified_split_docs,
         "image_neardup_pairs_docs": image_neardup_pairs_docs,
         "gapfill_interp_user_hourly": gapfill_interp_user_hourly,
         "nb_confusion_lang_docs": nb_confusion_lang_docs,

@@ -41,6 +41,7 @@ __all__ = [
     "sample_by_hash",
     "stratified_sample",
     "split_train_test",
+    "stratified_split",
     "sample_exact_n",
     "sample_weighted_n",
     "negative_samples",
@@ -510,4 +511,43 @@ def balanced_downsample(
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= F.col("_keep"))
         .drop("_r", "_keep")
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols,
+    id_col: str,
+    train_num: int = 4,
+    train_den: int = 5,
+    salt: str = "",
+) -> DataFrame:
+    """Train/test split with EXACT per-stratum proportions: within
+    each stratum, rows rank by salted hash and the first
+    ``floor(n · train_num/train_den)`` go to train — unlike the global
+    hash split (:func:`split_train_test`), every stratum lands the
+    ratio exactly (±0 rows), which is what class-balanced eval sets
+    need. Deterministic, rerun/partitioning invariant; membership
+    changes only with ``salt``. Returns the input + ``is_train``.
+
+    One stratum-count broadcast + one per-stratum window rank over
+    (hash, id) — per-group sorts, never global."""
+    from pyspark.sql import Window
+
+    from bytewax_spark.functions.text import hash64
+
+    if not (0 < train_num < train_den):
+        raise ValueError(f"need 0 < num < den, got {train_num}/{train_den}")
+    g = list(strata_cols)
+    sizes = df.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
+    h = hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*g).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(sizes, g)
+        .withColumn("_r", F.row_number().over(w))
+        .withColumn(
+            "is_train",
+            F.expr(f"_r * {train_den} <= _n * {train_num}"),
+        )
+        .drop("_r", "_n")
     )

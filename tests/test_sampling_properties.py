@@ -102,3 +102,25 @@ def test_balanced_downsample_salt_changes_draw(spark):
     a = {r["id"] for r in balanced_downsample(df, "cls", "id").collect()}
     b = {r["id"] for r in balanced_downsample(df, "cls", "id", salt="v2").collect()}
     assert a != b  # 10-of-100 draw colliding across salts is ~impossible
+
+
+def test_stratified_split_exact_ratio_per_stratum(spark):
+    from bytewax_spark.functions.sampling import stratified_split
+
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(13)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = stratified_split(df, ["cls"], "id").collect()
+    train = {"a": 0, "b": 0}
+    for r in out:
+        train[r.cls] += int(r.is_train)
+    assert train == {"a": 80, "b": 10}  # floor(0.8*100), floor(0.8*13)
+
+
+def test_stratified_split_deterministic(spark):
+    from bytewax_spark.functions.sampling import stratified_split
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    a = {(r.id, r.is_train) for r in stratified_split(df, ["cls"], "id").collect()}
+    b = {(r.id, r.is_train) for r in stratified_split(df.repartition(7), ["cls"], "id").collect()}
+    assert a == b
