@@ -385,6 +385,16 @@ EXTENDED_QUERIES = [
     "rfm_segments_users",
     "session_paths_events",
     "image_ahash_docs",
+    "image_neardup_pairs_docs",
+    "holt_value_by_user",
+    "seasonal_index_hourly",
+    "modularity_label_prop_parts",
+    "clustering_coefficient_parts",
+    "nb_confusion_lang_docs",
+    "gapfill_interp_user_hourly",
+    "stratified_split_docs",
+    "entropy_event_types_by_user_band",
+    "asof_tolerance_click_purchase",
 ]
 
 _DUCKDB_TABLES = [
