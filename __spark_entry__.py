@@ -7095,6 +7095,118 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def degree_powerlaw_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free exponent MLE (functions/graph.py degree_powerlaw,
+    Clauset 2009) of the part co-occurrence graph's degree
+    distribution at d_min=2 — the "does this key need salting"
+    structural answer in one row; per-node log terms micro-quantized
+    so α is engine-exact."""
+    from bytewax_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
+    edges = (
+        a.join(b, "_ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return graph.degree_powerlaw(edges, d_min=2)
+
+
+_ORACLES["degree_powerlaw_parts"] = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    lm AS (
+      SELECT d, CAST(ROUND(LN(CAST(d AS DOUBLE) / 2.0) * 1000000)
+                  AS BIGINT) AS lm
+      FROM deg
+    )
+    SELECT COUNT(*) AS n_nodes, CAST(2 AS BIGINT) AS d_min,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(CASE WHEN SUM(lm) > 0 THEN
+             1000000 + (CAST(COUNT(*) AS HUGEINT) * 1000000000000)
+               // SUM(lm)
+           ELSE 0 END AS BIGINT) AS alpha_micro
+    FROM lm
+"""
+
+
+def qq_click_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift diagnostic (functions/stats.py
+    qq_table): click vs purchase value quantiles at every 5th
+    percentile with the gap — WHERE the distributions diverge, the
+    companion to the KS/PSI how-much scores. Two single-sort
+    percentile aggregations + a 1x1 join."""
+    from bytewax_spark.functions.stats import qq_table
+
+    flow = _flow("qq")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    ref = ev.filter(F.col("event_type") == "click").select("value")
+    cur = ev.filter(F.col("event_type") == "purchase").select("value")
+    return qq_table(ref, cur, "value")
+
+
+_ORACLES["qq_click_purchase_value"] = """
+    WITH rq AS (
+      SELECT quantile_cont(value, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS qs
+      FROM events WHERE event_type = 'click'
+    ),
+    cq AS (
+      SELECT quantile_cont(value, [0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS qs
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(g.i * 5 AS INTEGER) AS pct,
+           round(rq.qs[g.i], 6) AS ref_q,
+           round(cq.qs[g.i], 6) AS cur_q,
+           round(round(cq.qs[g.i], 6) - round(rq.qs[g.i], 6), 6) AS gap
+    FROM rq, cq, generate_series(1, 19) AS g(i)
+"""
+
+
+def stickiness_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month (functions/behavior.py
+    stickiness): mean daily actives over monthly actives in exact
+    ppm — the engagement KPI. One (day, user) dedup shuffle + tiny
+    rollups."""
+    from bytewax_spark.functions.behavior import stickiness
+
+    flow = _flow("stick")
+    ev = op.input("ev", flow, _t(spark, sf_dir, "events")).df
+    return stickiness(ev, "user_id", "ts")
+
+
+_ORACLES["stickiness_monthly"] = """
+    WITH du AS (
+      SELECT DISTINCT date_trunc('month', ts) AS month,
+             date_trunc('day', ts) AS day, user_id
+      FROM events
+    ),
+    dau AS (SELECT month, day, COUNT(*) AS dau FROM du GROUP BY 1, 2),
+    pm AS (
+      SELECT month, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+             COUNT(*) AS n_days
+      FROM dau GROUP BY 1
+    ),
+    mau AS (
+      SELECT month, COUNT(DISTINCT user_id) AS mau FROM du GROUP BY 1
+    )
+    SELECT pm.month, pm.n_days, CAST(mau.mau AS BIGINT) AS mau,
+           CAST((CAST(pm.dau_sum AS HUGEINT) * 1000000)
+                // (pm.n_days * mau.mau) AS BIGINT) AS stickiness_ppm
+    FROM pm JOIN mau USING (month)
+"""
+
+
 def stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-stratum 80/20 split (functions/sampling.py
     stratified_split): within each language, the salted-hash rank
@@ -8905,6 +9017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "degree_powerlaw_parts": degree_powerlaw_parts,
+        "qq_click_purchase_value": qq_click_purchase_value,
+        "stickiness_monthly": stickiness_monthly,
         "stratified_split_docs": stratified_split_docs,
         "image_neardup_pairs_docs": image_neardup_pairs_docs,
         "gapfill_interp_user_hourly": gapfill_interp_user_hourly,

@@ -37,6 +37,7 @@ __all__ = [
     "event_transitions",
     "funnel",
     "rfm_segments",
+    "stickiness",
     "session_conversion",
     "session_paths",
     "sessionize",
@@ -414,3 +415,42 @@ def session_paths(
     if min_count > 1:
         out = out.filter(F.col("sessions") >= min_count)
     return out
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """DAU/MAU engagement stickiness per calendar month: the mean
+    daily active count over the month's distinct actives, in exact
+    ppm — 1e6/30 ≈ 33 333 means users show up once a month, 1e6 means
+    every active user comes every day. Returns one row per month:
+    ``(month, mau, avg_dau_ppm_of_mau)`` plus the raw day count.
+
+    Two distinct aggregations ((day, user) then per-month rollups) —
+    the (day, user) dedup is the only full shuffle."""
+    day_user = df.select(
+        F.date_trunc("month", F.col(ts_col)).alias("month"),
+        F.date_trunc("day", F.col(ts_col)).alias("_day"),
+        F.col(user_col).alias("_u"),
+    ).distinct()
+    dau = day_user.groupBy("month", "_day").agg(
+        F.count(F.lit(1)).alias("_dau")
+    )
+    per_month_dau = dau.groupBy("month").agg(
+        F.sum("_dau").alias("_dau_sum"), F.count(F.lit(1)).alias("n_days")
+    )
+    mau = day_user.select("month", "_u").distinct().groupBy("month").agg(
+        F.count(F.lit(1)).alias("mau")
+    )
+    return per_month_dau.join(mau, "month").select(
+        "month",
+        "n_days",
+        "mau",
+        # mean DAU / MAU in ppm: (dau_sum * 1e6) div (n_days * mau)
+        F.expr(
+            "CAST((CAST(_dau_sum AS DECIMAL(38,0)) * 1000000)"
+            " div (n_days * mau) AS LONG)"
+        ).alias("stickiness_ppm"),
+    )

@@ -37,6 +37,7 @@ __all__ = [
     "mutual_information",
     "outlier_counts",
     "psi",
+    "qq_table",
     "robust_stats",
     "seasonal_outlier_counts",
     "shannon_entropy",
@@ -801,4 +802,46 @@ def shannon_entropy(
         "n_values",
         "entropy_micro",
         "max_entropy_micro",
+    )
+
+
+def qq_table(
+    ref: DataFrame,
+    cur: DataFrame,
+    val_col: str,
+    percentiles: Sequence[int] = tuple(range(5, 100, 5)),
+    decimals: int = 6,
+) -> DataFrame:
+    """Quantile–quantile comparison table — the drift DIAGNOSTIC that
+    says WHERE two distributions diverge (KS/PSI say how much): one
+    row per requested percentile with both sides' exact quantiles and
+    the gap. Returns ``(pct, ref_q, cur_q, gap)``, quantiles rounded
+    to ``decimals``.
+
+    Two exact-percentile aggregations (one array-argument
+    ``percentile`` per side — a single sort each) + a 1×1 join;
+    the single-partition caveat of exact order statistics applies —
+    pre-bin at extreme scale."""
+    pcts = sorted(set(int(p) for p in percentiles))
+    if not pcts or pcts[0] < 1 or pcts[-1] > 99:
+        raise ValueError(f"percentiles must be within [1, 99], got {percentiles}")
+    arr = F.array(*[F.lit(p / 100.0) for p in pcts])
+    rq = ref.agg(F.percentile(F.col(val_col), arr).alias("_rq"))
+    cq = cur.agg(F.percentile(F.col(val_col), arr).alias("_cq"))
+    both = rq.join(cq)
+    rows = both.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in pcts]).alias("pct"),
+                F.col("_rq").alias("ref_q"),
+                F.col("_cq").alias("cur_q"),
+            )
+        ).alias("_z")
+    ).select(
+        F.col("_z.pct").cast("int").alias("pct"),
+        F.round("_z.ref_q", decimals).alias("ref_q"),
+        F.round("_z.cur_q", decimals).alias("cur_q"),
+    )
+    return rows.withColumn(
+        "gap", F.round(F.col("cur_q") - F.col("ref_q"), decimals)
     )

@@ -375,3 +375,17 @@ def test_session_paths_truncates_at_max_len(spark):
         timedelta(minutes=30), max_len=3,
     ).collect()
     assert [(r.path, r.n_steps) for r in out] == [("e0>e1>e2", 3)]
+
+
+def test_stickiness_daily_vs_single_visit(spark):
+    # u1 active all 3 observed days; u2 once -> DAUs: 2,1,1 over MAU 2
+    # stickiness = (4/3)/2 = 2/3
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), "view", 1),
+        (1, _ts("2024-01-02T10:00:00"), "view", 2),
+        (1, _ts("2024-01-03T10:00:00"), "view", 3),
+        (2, _ts("2024-01-01T11:00:00"), "view", 4),
+    ]
+    row = bh.stickiness(_ev(spark, rows), "user_id", "ts").collect()[0]
+    assert row.n_days == 3 and row.mau == 2
+    assert row.stickiness_ppm == 666_666

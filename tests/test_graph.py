@@ -487,3 +487,27 @@ def test_clustering_coefficient_half_closed(spark):
     )
     out = {r.node: r.cc_ppm for r in graph.clustering_coefficient(e).collect()}
     assert out[1] == 333_333
+
+
+def test_degree_powerlaw_known_alpha(spark):
+    # degrees: two nodes at d=2 (lm = ln1 = 0), one at d=8 (ln 4)
+    # alpha = 1 + 3/ln(4) = 3.163953
+    e_rows = [(100, i) for i in range(8)] + [(101, 100), (102, 100)]
+    # node 100 degree: 8 leaves + 2 = 10... build explicitly instead:
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)]          # triangle: all degree 2
+        + [(9, k) for k in range(10, 18)],  # star: 9 has degree 8
+        "id_a long, id_b long",
+    )
+    row = graph.degree_powerlaw(e, d_min=2).collect()[0]
+    # qualifying: nodes 1,2,3 (d=2, ln 1 = 0) and 9 (d=8, ln 4)
+    assert row.n_nodes == 4 and row.max_degree == 8
+    import math
+    expect = 1_000_000 + (4 * 10**12) // round(math.log(4.0) * 1e6)
+    assert row.alpha_micro == expect
+
+
+def test_degree_powerlaw_uniform_degrees_zero_sentinel(spark):
+    # every node at exactly d_min: sum of logs is 0 -> sentinel 0
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "id_a long, id_b long")
+    assert graph.degree_powerlaw(e, d_min=2).collect()[0].alpha_micro == 0

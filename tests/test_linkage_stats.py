@@ -447,3 +447,25 @@ def test_shannon_entropy_skewed_below_max(spark):
     # H = 0.9 ln(10/9) + 0.1 ln(10) = 0.325083
     assert abs(r.entropy_micro - 325_082) <= 2
     assert r.entropy_micro < r.max_entropy_micro
+
+
+def test_qq_table_identical_distributions_zero_gap(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(100)], "value double")
+    rows = stats.qq_table(df, df, "value", percentiles=[25, 50, 75]).collect()
+    assert [r.pct for r in rows] == [25, 50, 75]
+    assert all(r.gap == 0.0 for r in rows)
+
+
+def test_qq_table_shift_shows_in_every_row(spark):
+    a = spark.createDataFrame([(float(v),) for v in range(100)], "value double")
+    b = spark.createDataFrame([(float(v + 10),) for v in range(100)], "value double")
+    rows = stats.qq_table(a, b, "value", percentiles=[10, 50, 90]).collect()
+    assert all(abs(r.gap - 10.0) < 1e-9 for r in rows)
+
+
+def test_qq_table_validates_percentiles(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError):
+        stats.qq_table(df, df, "value", percentiles=[0])
