@@ -7095,6 +7095,128 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def compression_ranking_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN/compression quality gate (functions/similarity.py
+    ranking_eval): the cosine top-10 computed on 1-decimal-ROUNDED
+    vectors graded against the exact top-10 for 20 probes —
+    recall@10 and binary nDCG@10 as exact ppm from frozen per-rank
+    DCG literals. The eval itself joins two 200-row rank tables; the
+    oracle replays both rankings and the same integer arithmetic."""
+    from pyspark.sql import Window
+
+    from bytewax_spark.functions import similarity as sim
+    from bytewax_spark.functions.similarity import ranking_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+
+    def rank(nn):
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        return nn.select(
+            "probe_id",
+            F.col("vec_id").alias("id"),
+            F.row_number().over(w).alias("rank"),
+        )
+
+    exact = rank(
+        sim.cosine_topk_batch(emb, "embedding", "vec_id", probes, "pid", "pvec", k=10)
+    )
+    rvec = F.transform(F.col("embedding"), lambda x: F.round(x, 1))
+    emb_r = emb.select("vec_id", rvec.alias("embedding"))
+    probes_r = probes.select(
+        "pid", F.transform(F.col("pvec"), lambda x: F.round(x, 1)).alias("pvec")
+    )
+    approx = rank(
+        sim.cosine_topk_batch(
+            emb_r, "embedding", "vec_id", probes_r, "pid", "pvec", k=10
+        )
+    )
+    return ranking_eval(exact, approx, "probe_id", "id", "rank", k=10)
+
+
+def _ranking_eval_oracle() -> str:
+    from bytewax_spark.functions.similarity import DCG_W_MICRO
+
+    w_vals = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(DCG_W_MICRO[:10]))
+    run = 0
+    p_vals = []
+    for i, w in enumerate(DCG_W_MICRO[:10]):
+        run += w
+        p_vals.append(f"({i + 1}, {run})")
+    idcg_vals = ", ".join(p_vals)
+    cos_exact = _SQL_COS.format(a="e.embedding", b="p.embedding")
+    cos_round = _SQL_COS.format(a="er.emb", b="pr.emb")
+    return f"""
+    WITH probes AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    ex AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS id,
+             ROUND({cos_exact}, 6) AS c
+      FROM embeddings e CROSS JOIN probes p
+    ),
+    exr AS (
+      SELECT probe_id, id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY c DESC, id) AS rk
+        FROM ex) WHERE rk <= 10
+    ),
+    er AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x, 1)) AS emb
+      FROM embeddings
+    ),
+    pr AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x, 1)) AS emb
+      FROM probes
+    ),
+    ax AS (
+      SELECT pr.vec_id AS probe_id, er.vec_id AS id,
+             ROUND({cos_round}, 6) AS c
+      FROM er CROSS JOIN pr
+    ),
+    axr AS (
+      SELECT probe_id, id, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY c DESC, id) AS rk
+        FROM ax) WHERE rk <= 10
+    ),
+    w(i, w) AS (VALUES {w_vals}),
+    idcg(h, s) AS (VALUES {idcg_vals}),
+    hits AS (
+      SELECT exr.probe_id, axr.rk FROM exr
+      JOIN axr ON axr.probe_id = exr.probe_id AND axr.id = exr.id
+    ),
+    per AS (
+      SELECT p.vec_id AS probe_id,
+             COUNT(h.rk) AS nh,
+             COALESCE(SUM(w.w), 0) AS dcg
+      FROM probes p
+      LEFT JOIN hits h ON h.probe_id = p.vec_id
+      LEFT JOIN w ON w.i = h.rk
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT probe_id,
+             (nh * 1000000) // 10 AS rec,
+             CASE WHEN nh > 0 THEN
+               (dcg * 1000000) // (SELECT s FROM idcg WHERE h = nh)
+             ELSE 0 END AS ndcg
+      FROM per
+    )
+    SELECT COUNT(*) AS n_queries, CAST(10 AS INTEGER) AS k,
+           CAST(SUM(rec) // COUNT(*) AS BIGINT) AS mean_recall_ppm,
+           CAST(SUM(ndcg) // COUNT(*) AS BIGINT) AS mean_ndcg_ppm
+    FROM scored
+"""
+
+
+_ORACLES["compression_ranking_eval_embeddings"] = _ranking_eval_oracle()
+
+
 def degree_powerlaw_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-free exponent MLE (functions/graph.py degree_powerlaw,
     Clauset 2009) of the part co-occurrence graph's degree
@@ -9017,6 +9139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "compression_ranking_eval_embeddings": compression_ranking_eval_embeddings,
         "degree_powerlaw_parts": degree_powerlaw_parts,
         "qq_click_purchase_value": qq_click_purchase_value,
         "stickiness_monthly": stickiness_monthly,

@@ -19,6 +19,8 @@ Three tiers, matching how ANN is actually deployed on big tables:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,7 @@ __all__ = [
     "ivf_search_index",
     "ivf_write_index",
     "knn_label_agreement",
+    "ranking_eval",
     "lsh_bucket_col",
     "lsh_buckets",
     "lsh_probe_buckets",
@@ -684,4 +687,93 @@ def knn_label_agreement(
         .withColumn(
             "agree_ppm", F.expr("(n_same * 1000000L) div n_nbrs")
         )
+    )
+
+
+# binary-gain DCG weights, micro-quantized per rank (1-based):
+# w_i = round(1e6 / log2(i + 1)) — frozen literals so Spark and any
+# oracle replay identical integers
+DCG_W_MICRO = [round(1_000_000 / math.log2(i + 1)) for i in range(1, 101)]
+
+
+def ranking_eval(
+    truth: DataFrame,
+    approx: DataFrame,
+    probe_col: str = "probe_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Grade an approximate ranking against the exact one — the ANN /
+    compression quality gate: per probe, recall@k (overlap of the two
+    top-k sets) and binary-gain nDCG@k (hits discounted by the
+    APPROX rank they landed at, over the ideal prefix), both exact
+    integer ppm built from the frozen ``DCG_W_MICRO`` literals —
+    engine-replayable, no float logs at eval time. Returns ONE row
+    ``(n_queries, k, mean_recall_ppm, mean_ndcg_ppm)``.
+
+    Inputs are two (probe, id, rank<=k) frames (build with
+    ``cosine_topk_batch`` + row_number). One equi-join on (probe, id)
+    + two tiny aggregations — the eval costs a join of two rank
+    tables, never a corpus scan."""
+    if not 1 <= k <= len(DCG_W_MICRO):
+        raise ValueError(f"k must be in [1, {len(DCG_W_MICRO)}], got {k}")
+    w_arr = F.array(*[F.lit(w) for w in DCG_W_MICRO[:k]])
+    # ideal DCG prefix sums: idcg[h] for h hits
+    prefix = []
+    run = 0
+    for w in DCG_W_MICRO[:k]:
+        run += w
+        prefix.append(run)
+    idcg_arr = F.array(*[F.lit(p) for p in prefix])
+    t = truth.select(
+        F.col(probe_col).alias("_p"), F.col(id_col).alias("_i")
+    )
+    a = approx.select(
+        F.col(probe_col).alias("_p"),
+        F.col(id_col).alias("_i"),
+        F.col(rank_col).alias("_r"),
+    )
+    hits = t.join(a, ["_p", "_i"]).select(
+        "_p", F.element_at(w_arr, F.col("_r").cast("int")).alias("_w")
+    )
+    per_probe = (
+        t.select("_p").distinct()
+        .join(
+            hits.groupBy("_p").agg(
+                F.count(F.lit(1)).alias("_h"), F.sum("_w").alias("_dcg")
+            ),
+            "_p",
+            "left",
+        )
+        .select(
+            "_p",
+            F.coalesce("_h", F.lit(0)).alias("_h"),
+            F.coalesce("_dcg", F.lit(0)).alias("_dcg"),
+        )
+        .select(
+            "_p",
+            F.expr(f"(_h * 1000000L) div {k}").alias("_rec"),
+            F.when(F.col("_h") > 0, F.expr("_dcg * 1000000L"))
+            .otherwise(F.lit(None))
+            .alias("_num"),
+            F.element_at(idcg_arr, F.greatest(F.col("_h"), F.lit(1)).cast("int")).alias("_den"),
+        )
+    )
+    per_probe = per_probe.select(
+        "_p",
+        "_rec",
+        F.coalesce(
+            F.expr("_num div _den"), F.lit(0).cast("long")
+        ).alias("_ndcg"),
+    )
+    return per_probe.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(k).cast("int").alias("k"),
+        F.expr("CAST(SUM(_rec) div COUNT(1) AS LONG)").alias(
+            "mean_recall_ppm"
+        ),
+        F.expr("CAST(SUM(_ndcg) div COUNT(1) AS LONG)").alias(
+            "mean_ndcg_ppm"
+        ),
     )

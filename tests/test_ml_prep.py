@@ -188,3 +188,50 @@ def test_knn_label_agreement_excludes_self(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     out = knn_label_agreement(df, "embedding", "vec_id", "label", k=2).collect()
     assert all(r["n_nbrs"] == 2 for r in out)
+
+
+def test_ranking_eval_perfect_and_disjoint(spark):
+    from bytewax_spark.functions.similarity import ranking_eval
+
+    truth = spark.createDataFrame(
+        [(1, i, i) for i in range(1, 6)], "probe_id long, id long, rank long"
+    )
+    perfect = ranking_eval(truth, truth, k=5).collect()[0]
+    assert perfect.mean_recall_ppm == 1_000_000
+    assert perfect.mean_ndcg_ppm == 1_000_000
+    other = spark.createDataFrame(
+        [(1, 100 + i, i) for i in range(1, 6)], "probe_id long, id long, rank long"
+    )
+    zero = ranking_eval(truth, other, k=5).collect()[0]
+    assert zero.mean_recall_ppm == 0 and zero.mean_ndcg_ppm == 0
+
+
+def test_ranking_eval_partial_overlap_hand_computed(spark):
+    from bytewax_spark.functions.similarity import ranking_eval, DCG_W_MICRO
+
+    # truth top-3 = {10, 11, 12}; approx = [10 (r1), 99 (r2), 11 (r3)]
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "probe_id long, id long, rank long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 11, 3)], "probe_id long, id long, rank long"
+    )
+    row = ranking_eval(truth, approx, k=3).collect()[0]
+    assert row.mean_recall_ppm == 666_666
+    dcg = DCG_W_MICRO[0] + DCG_W_MICRO[2]   # hits at approx ranks 1 and 3
+    idcg = DCG_W_MICRO[0] + DCG_W_MICRO[1]  # ideal prefix for 2 hits
+    assert row.mean_ndcg_ppm == (dcg * 1_000_000) // idcg
+
+
+def test_ranking_eval_probe_missed_entirely_counts(spark):
+    from bytewax_spark.functions.similarity import ranking_eval
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "probe_id long, id long, rank long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1)], "probe_id long, id long, rank long"
+    )
+    row = ranking_eval(truth, approx, k=1).collect()[0]
+    assert row.n_queries == 2
+    assert row.mean_recall_ppm == 500_000
