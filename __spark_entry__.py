@@ -7095,6 +7095,40 @@ _ORACLES["skew_report_lineitem_suppkey"] = """
 """
 
 
+def zipf_alpha_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent MLE over the corpus vocabulary (functions/text.py
+    zipf_alpha, Clauset 2009; natural text sits near α ≈ 2) — the
+    one-row corpus-health check that flags generated spam and
+    delimiter soup. One tokenize-count shuffle + a vocabulary-table
+    reduction; log terms micro-quantized."""
+    from bytewax_spark.functions.text import zipf_alpha
+
+    flow = _flow("zipf")
+    docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
+    return zipf_alpha(docs, "text", f_min=2)
+
+
+_ORACLES["zipf_alpha_docs"] = f"""
+    WITH freq AS (
+      SELECT w, COUNT(*) AS f
+      FROM (SELECT UNNEST({_SQL_TOKS}) AS w FROM documents)
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    lm AS (
+      SELECT f, CAST(ROUND(LN(CAST(f AS DOUBLE) / 2.0) * 1000000)
+                  AS BIGINT) AS lm
+      FROM freq
+    )
+    SELECT COUNT(*) AS n_words, CAST(2 AS BIGINT) AS f_min,
+           CAST(MAX(f) AS BIGINT) AS max_freq,
+           CAST(CASE WHEN SUM(lm) > 0 THEN
+             1000000 + (CAST(COUNT(*) AS HUGEINT) * 1000000000000)
+               // SUM(lm)
+           ELSE 0 END AS BIGINT) AS alpha_micro
+    FROM lm
+"""
+
+
 def compression_ranking_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN/compression quality gate (functions/similarity.py
     ranking_eval): the cosine top-10 computed on 1-decimal-ROUNDED
@@ -9139,6 +9173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-green block (r5 rotation): these 66 lead so the
         # driver's first-50 sample verifies them; test_registry_order.py
         # enforces never-green-first.
+        "zipf_alpha_docs": zipf_alpha_docs,
         "compression_ranking_eval_embeddings": compression_ranking_eval_embeddings,
         "degree_powerlaw_parts": degree_powerlaw_parts,
         "qq_click_purchase_value": qq_click_purchase_value,

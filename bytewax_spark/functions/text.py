@@ -37,6 +37,7 @@ __all__ = [
     "skipgram_pairs",
     "gopher_rules",
     "readability_micro",
+    "zipf_alpha",
     "tokens_per_byte_micro",
     "STOPWORDS",
     "PII_PATTERNS",
@@ -697,3 +698,44 @@ def normalize_text(c: Column | str) -> Column:
     t = F.regexp_replace(t, "\u2026", "...")
     t = F.regexp_replace(t, "\\s+", " ")
     return F.trim(t)
+
+
+def zipf_alpha(
+    df: DataFrame,
+    text_col: str,
+    f_min: int = 2,
+) -> Column | DataFrame:
+    """Zipf/power-law exponent MLE over the corpus word-frequency
+    distribution (same continuous MLE as the graph degree fit,
+    Clauset 2009: ``α = 1 + n / Σ ln(f/f_min)`` over word frequencies
+    ≥ ``f_min``) — natural language sits near α ≈ 2; generated spam
+    and delimiter soup drift far off, making this a one-row corpus
+    health check. Per-word log terms micro-quantized before the sum
+    (engine-exact); returns one row ``(n_words, f_min, max_freq,
+    alpha_micro)``.
+
+    One tokenize-explode count (map-side combined) + a single-row
+    reduction over the VOCABULARY table."""
+    if f_min < 1:
+        raise ValueError(f"f_min must be >= 1, got {f_min}")
+    freq = (
+        df.select(F.explode(tokenize(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .filter(F.col("_f") >= f_min)
+    )
+    lm = (
+        F.round(F.log(F.col("_f").cast("double") / F.lit(float(f_min))) * 1_000_000)
+        .cast("bigint")
+        .alias("_lm")
+    )
+    return freq.select("_f", lm).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.lit(f_min).cast("long").alias("f_min"),
+        F.max("_f").alias("max_freq"),
+        F.expr(
+            "CAST(CASE WHEN SUM(_lm) > 0 THEN "
+            "1000000 + (CAST(COUNT(1) AS DECIMAL(38,0)) * 1000000000000)"
+            " div SUM(_lm) ELSE 0 END AS LONG)"
+        ).alias("alpha_micro"),
+    )

@@ -143,3 +143,31 @@ def test_readability_micro_orders_by_difficulty(spark):
     ]
     assert a > b  # simple prose reads easier than academic sludge
     assert a > 80_000_000 and b < 30_000_000
+
+
+def test_zipf_alpha_natural_vs_uniform(spark):
+    from bytewax_spark.functions.text import zipf_alpha
+
+    # Zipfian corpus: word_k appears ~100/k times -> alpha near 2
+    rows = []
+    for k in range(1, 30):
+        rows += [(f"w{k}",)] * max(100 // k, 1)
+    zipfy = spark.createDataFrame([(" ".join(w for (w,) in rows),)], "text string")
+    a_zipf = zipf_alpha(zipfy, "text", f_min=2).collect()[0]
+    assert 1_500_000 < a_zipf.alpha_micro < 3_000_000
+
+    # every word exactly at f_min: zero log mass -> sentinel 0
+    at_min = spark.createDataFrame(
+        [(" ".join(f"u{k}" for k in range(50) for _ in range(2)),)], "text string"
+    )
+    assert zipf_alpha(at_min, "text", f_min=2).collect()[0].alpha_micro == 0
+
+    # flat at 5x f_min: alpha = 1 + n/(n*ln(2.5)) exactly
+    import math
+
+    flat5 = spark.createDataFrame(
+        [(" ".join(f"v{k}" for k in range(50) for _ in range(5)),)], "text string"
+    )
+    got = zipf_alpha(flat5, "text", f_min=2).collect()[0].alpha_micro
+    lm = round(math.log(2.5) * 1e6)
+    assert got == 1_000_000 + (50 * 10**12) // (50 * lm)
