@@ -490,8 +490,10 @@ def seasonal_index(
     totals = slots.groupBy(*g).agg(
         F.sum("n").alias("_ng"), F.sum("_s").alias("_sg")
     )
+    # totals are one row per group — broadcast, so the slot table keeps
+    # its (group, slot) partitioning instead of re-shuffling on group
     return (
-        slots.join(totals, g)
+        slots.join(F.broadcast(totals), g)
         .select(
             *g,
             "slot",

@@ -574,3 +574,43 @@ def test_table_checksum_single_pass(spark, sf_dir):
     plan = _plan(spark, "table_checksum_lineitem", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "EvalPython" not in plan
+
+
+def test_seasonal_index_totals_broadcast_back(spark, sf_dir):
+    plan = _plan(spark, "seasonal_index_hourly", sf_dir)
+    # the G-row totals broadcast back to the slot table (no re-shuffle
+    # of the slot side onto the group key); the extra keyed exchanges
+    # are the totals subtree recomputing its own (group, slot) agg
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "EvalPython" not in plan
+
+
+def test_image_ahash_binary_never_shuffles(spark, sf_dir):
+    plan = _plan(spark, "image_ahash_docs", sf_dir)
+    # the pipeline is scan -> synth -> hash: no Exchange at all; the
+    # only Python is the Arrow-batched decode (ArrowEvalPython-free,
+    # mapInPandas shows as MapInPandas)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_ranking_eval_joins_rank_tables_not_corpus(spark, sf_dir):
+    plan = _plan(spark, "compression_ranking_eval_embeddings", sf_dir)
+    # probe scoring is the deliberate broadcast nested loop; the final
+    # eval join must be broadcast/equi, and nothing sorts globally more
+    # than the two bounded top-k ranks
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_stickiness_dedup_is_the_only_wide_shuffle(spark, sf_dir):
+    plan = _plan(spark, "stickiness_monthly", sf_dir)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "EvalPython" not in plan
+
+
+def test_zipf_and_powerlaw_single_row_out(spark, sf_dir):
+    for q in ("zipf_alpha_docs", "degree_powerlaw_parts"):
+        plan = _plan(spark, q, sf_dir)
+        assert "EvalPython" not in plan, q
