@@ -9,6 +9,7 @@ matches.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from datetime import timedelta
 
@@ -9164,15 +9165,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _driver_green_names() -> "set[str]":
+    """Names with a fully-green (rows+schema+hash) row in any committed
+    CORRECTNESS_r*.json.  Used to self-rotate ``queries()`` each round so the
+    driver's first-50 sample always lands on never-verified entries —
+    committing a new correctness file IS the rotation."""
+    import glob as _glob
+    import json as _json
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+            ):
+                green.add(name)
+    return green
+
+
+# Queries rewritten AFTER their last green driver row, re-fronted on purpose
+# to earn a fresh row (mirrored by tests/test_registry_order.py REVERIFY_OK).
+_REVERIFY: "tuple[str, ...]" = ()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver samples the FIRST 50 entries for its
-    # DuckDB-oracle correctness gate, so queries without a green driver row
-    # in any committed CORRECTNESS_r0*.json come first (never-sampled first,
-    # previously-green last). tests/test_registry_order.py enforces this.
-    return {
-        # never-driver-green block (r5 rotation): these 66 lead so the
-        # driver's first-50 sample verifies them; test_registry_order.py
-        # enforces never-green-first.
+    # DuckDB-oracle correctness gate.  The registry below is in canonical
+    # (authoring) order; we reorder at call time so every query WITHOUT a
+    # green driver row in a committed CORRECTNESS_r*.json sorts first.
+    # Committing a round's correctness file automatically rotates the next
+    # round's sample onto never-verified entries (no manual re-sort; see
+    # tests/test_registry_order.py).
+    base = {
         "zipf_alpha_docs": zipf_alpha_docs,
         "compression_ranking_eval_embeddings": compression_ranking_eval_embeddings,
         "degree_powerlaw_parts": degree_powerlaw_parts,
@@ -9428,6 +9460,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     }
+    green = _driver_green_names()
+    front = [n for n in _REVERIFY if n in base]
+    never = [n for n in base if n not in green and n not in front]
+    done = [n for n in base if n in green and n not in front]
+    return {n: base[n] for n in front + never + done}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -19,14 +19,19 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries whose implementation changed materially after their last green
-# driver row, re-fronted on purpose to get a fresh row.
-# (r5: minhash_lsh_pairs_docs got its fresh green row in r4 — cleared.)
-REVERIFY_OK: set[str] = set()
+# driver row, re-fronted on purpose to get a fresh row.  Mirrors
+# __spark_entry__._REVERIFY (r6+: queries() self-rotates from the committed
+# correctness files, so this test verifies the rotation machinery rather than
+# a hand-maintained ordering).
+def _reverify_ok() -> set[str]:
+    import __spark_entry__ as entry
+
+    return set(getattr(entry, "_REVERIFY", ()))
 
 
 def _driver_green() -> set[str]:
     green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
@@ -46,15 +51,16 @@ def test_never_green_queries_come_first():
     green = _driver_green()
     if not green:  # no correctness files in a fresh clone — nothing to order
         return
+    reverify_ok = _reverify_ok()
     # index of the first already-green (non-exempt) entry
     first_green = next(
-        (i for i, n in enumerate(names) if n in green and n not in REVERIFY_OK),
+        (i for i, n in enumerate(names) if n in green and n not in reverify_ok),
         len(names),
     )
     stragglers = [
         n
         for n in names[first_green:]
-        if n not in green and n not in REVERIFY_OK
+        if n not in green and n not in reverify_ok
     ]
     assert not stragglers, (
         "never-driver-green queries sorted after already-green ones "
