@@ -326,11 +326,18 @@ def rfm_segments(
     segment)`` with ``segment`` = ``r·100 + f·10 + m`` (the "555 is
     your best customer" code).
 
-    One per-user aggregation, then three ntile windows over the USER
-    table (cardinality = users, not events; ties broken by user id so
-    every engine and partitioning agrees)."""
-    from pyspark.sql import Window
-
+    One per-user aggregation, then three EXACT ntile assignments over
+    the USER table computed WITHOUT global single-partition window
+    sorts (the classic ``ntile().over(Window.orderBy(...))`` moves the
+    whole user table to one task — three times).  Instead each
+    dimension reduces to per-distinct-value counts, ranks the value
+    blocks with the two-phase :func:`~..packing.prefix_sum`, derives
+    each block's tile from pure rank arithmetic, and only the tie
+    blocks actually straddling a tile cut (at most ``n_tiles - 1`` per
+    dimension) rank users within the block — see
+    :func:`_scalable_ntile`.  Driver state is bounded: prefix-sum
+    boundary literals plus <= ``n_tiles - 1`` crossed-block rows per
+    dimension."""
     u, t = F.col(user_col), F.col(ts_col)
     per_user = df.groupBy(user_col).agg(
         F.max(t).alias("_last"),
@@ -339,32 +346,174 @@ def rfm_segments(
             "monetary_micro"
         ),
     )
-    anchor = F.lit(as_of).cast("timestamp") if as_of is not None else F.max(
-        F.col("_last")
-    ).over(Window.partitionBy())
-    scored = per_user.select(
+    if as_of is not None:
+        anchored = per_user.withColumn(
+            "_anchor", F.lit(as_of).cast("timestamp")
+        )
+    else:
+        amax = per_user.agg(F.max("_last").alias("_anchor"))
+        anchored = per_user.crossJoin(F.broadcast(amax))
+    scored = anchored.select(
         user_col,
-        F.datediff(F.to_date(anchor), F.to_date(F.col("_last"))).alias(
-            "recency_days"
-        ),
+        F.datediff(
+            F.to_date(F.col("_anchor")), F.to_date(F.col("_last"))
+        ).alias("recency_days"),
         "frequency",
         "monetary_micro",
     )
-    r_w = Window.orderBy(F.col("recency_days").desc(), u.asc())
-    f_w = Window.orderBy(F.col("frequency").asc(), u.asc())
-    m_w = Window.orderBy(F.col("monetary_micro").asc(), u.asc())
-    out = scored.select(
-        user_col,
-        "recency_days",
-        "frequency",
-        "monetary_micro",
-        F.ntile(n_tiles).over(r_w).alias("r"),
-        F.ntile(n_tiles).over(f_w).alias("f"),
-        F.ntile(n_tiles).over(m_w).alias("m"),
+    scored = _cache_scored_table(scored)
+    total = scored.count()  # 1 driver long; also warms the cache
+    r_t = _scalable_ntile(
+        scored, "recency_days", True, user_col, n_tiles, total, "r"
+    )
+    f_t = _scalable_ntile(
+        scored, "frequency", False, user_col, n_tiles, total, "f"
+    )
+    m_t = _scalable_ntile(
+        scored, "monetary_micro", False, user_col, n_tiles, total, "m"
+    )
+    out = (
+        scored.join(r_t, user_col).join(f_t, user_col).join(m_t, user_col)
     )
     return out.withColumn(
         "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
     )
+
+
+def _ntile_of_rank(k, total: int, n: int):
+    """ANSI ``NTILE(n)`` of 1-based rank ``k`` over ``total`` rows as a
+    pure-arithmetic Column (no window): the first ``total % n`` tiles
+    hold ``total div n + 1`` rows, the rest ``total div n`` — the same
+    big-buckets-first rule Spark and DuckDB implement."""
+    base, rem = divmod(total, n)
+    if base == 0:
+        return k.cast("long")
+    cut = (base + 1) * rem
+    return F.when(
+        k <= F.lit(cut), F.floor((k - F.lit(1)) / F.lit(base + 1)) + 1
+    ).otherwise(
+        F.lit(rem) + F.floor((k - F.lit(1 + cut)) / F.lit(base)) + 1
+    )
+
+
+def _py_ntile_of_rank(k: int, total: int, n: int) -> int:
+    """Driver twin of :func:`_ntile_of_rank` for boundary checks."""
+    base, rem = divmod(total, n)
+    if base == 0:
+        return k
+    cut = (base + 1) * rem
+    if k <= cut:
+        return (k - 1) // (base + 1) + 1
+    return rem + (k - 1 - cut) // base + 1
+
+
+# Largest tie block a plain partitionBy(value) window may sort in one
+# task before rfm falls back to a per-block two-phase rank.
+_CROSSED_BLOCK_WINDOW_MAX = 4_000_000
+
+
+def _scalable_ntile(
+    scored: DataFrame,
+    key: str,
+    descending: bool,
+    user_col: str,
+    n: int,
+    total: int,
+    out: str,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY key [DESC], user ASC)`` as a
+    ``(user, out)`` DataFrame, with no unpartitioned window.
+
+    1. distinct-value counts (cardinality = |values| <= |users|);
+    2. two-phase :func:`~..packing.prefix_sum` over the VALUE table
+       gives each tie block its contiguous global rank span
+       ``(_start, _end]``;
+    3. blocks fully inside one tile (all but <= n-1 of them — a cut
+       can split at most one block) take their tile from rank
+       arithmetic alone, no per-user ordering at all;
+    4. only straddled blocks rank users within the block: a
+       ``partitionBy(value)`` window when every such block is small
+       enough for one task, else a per-block two-phase rank on the
+       unique ``user`` key (range-bucketed, skew-free).
+    """
+    from .packing import prefix_sum
+
+    kc = F.col(key)
+    vals = scored.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
+    cum = prefix_sum(
+        vals, [(key, "desc" if descending else "asc")], "_cnt", out_col="_end"
+    )
+    cum = cum.select(
+        key,
+        "_cnt",
+        (F.col("_end") - F.col("_cnt")).alias("_start"),
+        _ntile_of_rank(F.col("_end") - F.col("_cnt") + 1, total, n).alias(
+            "_t0"
+        ),
+        _ntile_of_rank(F.col("_end"), total, n).alias("_t1"),
+    )
+    # <= n-1 rows ever cross a cut: bounded driver pull by construction
+    crossed = cum.filter(F.col("_t0") != F.col("_t1")).collect()
+    blocks = scored.join(cum.select(key, "_t0", "_t1"), key)
+    easy = blocks.filter(F.col("_t0") == F.col("_t1")).select(
+        user_col, F.col("_t0").alias(out)
+    )
+    if not crossed:
+        return easy
+    starts = {r[key]: r["_start"] for r in crossed}
+    crossed_keys = list(starts)
+    if max(r["_cnt"] for r in crossed) <= _CROSSED_BLOCK_WINDOW_MAX:
+        w = Window.partitionBy(key).orderBy(F.col(user_col).asc())
+        start_map = F.create_map(
+            *[x for k2 in crossed_keys for x in (F.lit(k2), F.lit(starts[k2]))]
+        )
+        hard = (
+            scored.filter(kc.isin(crossed_keys))
+            .withColumn("_k", start_map[kc] + F.row_number().over(w))
+        )
+    else:  # huge tie block: rank by the unique user key, range-bucketed
+        parts = []
+        for k2 in crossed_keys:
+            sub = scored.filter(kc == F.lit(k2))
+            ranked = prefix_sum(sub, [user_col], F.lit(1), out_col="_rn")
+            parts.append(
+                ranked.withColumn("_k", F.lit(starts[k2]) + F.col("_rn"))
+            )
+        hard = parts[0]
+        for p in parts[1:]:
+            hard = hard.unionByName(p)
+    hard = hard.select(
+        user_col, _ntile_of_rank(F.col("_k"), total, n).alias(out)
+    )
+    return easy.unionByName(hard)
+
+
+# persisted per-user RFM tables; same lifecycle as the MinHash
+# signature caches (dedup.py _cache_signature_table): at most one
+# cached, identical replays reuse it, new inputs evict first.
+_SCORED_CACHES: list[DataFrame] = []
+
+
+def release_rfm_caches() -> None:
+    """Unpersist any per-user table cached by :func:`rfm_segments`.
+    Safe at any time — an unpersisted table still being read simply
+    recomputes from lineage."""
+    while _SCORED_CACHES:
+        _SCORED_CACHES.pop().unpersist()
+
+
+def _cache_scored_table(scored: DataFrame) -> DataFrame:
+    prev = _SCORED_CACHES.pop() if _SCORED_CACHES else None
+    if prev is not None and prev._jdf.queryExecution().analyzed().sameResult(
+        scored._jdf.queryExecution().analyzed()
+    ):
+        scored = prev
+    else:
+        if prev is not None:
+            prev.unpersist()
+        scored = scored.persist()
+    _SCORED_CACHES.append(scored)
+    return scored
 
 
 def session_paths(

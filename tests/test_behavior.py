@@ -389,3 +389,38 @@ def test_stickiness_daily_vs_single_visit(spark):
     row = bh.stickiness(_ev(spark, rows), "user_id", "ts").collect()[0]
     assert row.n_days == 3 and row.mau == 2
     assert row.stickiness_ppm == 666_666
+
+
+def test_scalable_ntile_matches_spark_ntile_under_heavy_ties(spark):
+    """rfm's distributed ntile must reproduce NTILE(n) OVER (ORDER BY
+    key [DESC], user ASC) bit-for-bit — including the big-buckets-first
+    remainder rule and tie blocks straddling a tile cut (the 1000-row /
+    1-distinct-value case is one giant tie block crossed by every
+    cut)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    random.seed(11)
+    for nrows, nvals, n in [(199, 4, 5), (60, 1, 4), (7, 50, 5)]:
+        rows = [(i, random.randrange(nvals)) for i in range(nrows)]
+        df = spark.createDataFrame(rows, "user_id long, v long")
+        for desc in (False, True):
+            w = Window.orderBy(
+                F.col("v").desc() if desc else F.col("v").asc(),
+                F.col("user_id").asc(),
+            )
+            truth = {
+                r["user_id"]: r["t"]
+                for r in df.select(
+                    "user_id", F.ntile(n).over(w).alias("t")
+                ).collect()
+            }
+            got = {
+                r["user_id"]: r["o"]
+                for r in bh._scalable_ntile(
+                    df, "v", desc, "user_id", n, nrows, "o"
+                ).collect()
+            }
+            assert got == truth, (nrows, nvals, n, desc)

@@ -614,3 +614,66 @@ def test_zipf_and_powerlaw_single_row_out(spark, sf_dir):
     for q in ("zipf_alpha_docs", "degree_powerlaw_parts"):
         plan = _plan(spark, q, sf_dir)
         assert "EvalPython" not in plan, q
+
+
+def _window_partition_sizes(df):
+    """(simpleName, partitionSpec size) for every window node in the
+    pre-AQE physical plan, via py4j tree traversal."""
+    out = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "Window" in name:
+            try:
+                out.append((name, node.partitionSpec().size()))
+            except Exception:  # noqa: BLE001 - node without a spec
+                out.append((name, -1))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return out
+
+
+def test_rfm_no_unpartitioned_window_over_users(spark, sf_dir):
+    """r4->r6 fix: the three ntile windows used to move the whole user
+    table to ONE task, three times. Now every window in the plan is
+    partitioned (prefix-sum `_pid` buckets or crossed-tie-block keys);
+    driver pulls stay bounded at <= n_tiles-1 crossed blocks/dim."""
+    df = entry.queries()["rfm_segments_users"](spark, sf_dir)
+    wins = _window_partition_sizes(df)
+    assert wins, "expected partitioned windows in the rfm plan"
+    bad = [w for w in wins if w[1] <= 0]
+    assert not bad, f"unpartitioned window nodes in rfm plan: {bad}"
+
+
+def test_qq_is_pure_percentile_aggregate(spark, sf_dir):
+    """qq_table is two array-percentile aggregations + a 1x1 join — no
+    window anywhere, no Python (the exact-order-statistics caveat is
+    its documented pre-bin contract)."""
+    plan = _plan(spark, "qq_click_purchase_value", sf_dir)
+    assert "Window" not in plan
+    assert "percentile" in plan
+    assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "ks_click_purchase_value",
+        "pareto_suppliers_revenue",
+        "heavy_hitters_users",
+        "skew_report_lineitem_suppkey",
+    ],
+)
+def test_global_window_family_runs_over_aggregated_input(spark, sf_dir, qname):
+    """The cumulative/rank windows in the KS / QQ / Pareto / heavy
+    hitter family are bounded by DISTINCT-VALUE or KEY cardinality by
+    contract (their docstrings say "bin first at a billion distinct
+    values"). Lock it in: a map-side partial aggregate must reduce the
+    corpus BEFORE any window/sort, and no Python in the path."""
+    plan = _plan(spark, qname, sf_dir)
+    assert "Window" in plan or "TakeOrdered" in plan, qname
+    assert "partial_count" in plan or "partial_sum" in plan, qname
+    assert "EvalPython" not in plan, qname
