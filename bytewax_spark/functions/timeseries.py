@@ -524,9 +524,13 @@ def gapfill_interpolate(
 
     Per-bucket values are floor-quantized to micros BEFORE filling
     (sum per bucket), so results are engine/partitioning exact. Two
-    per-key window passes (ffill and bfill of value+position over the
-    same order) on the generated grid — grid size is the key's time
-    span, never the table."""
+    per-key window passes on the generated grid — grid size is the
+    key's time span, never the table. BOTH fills are O(n) running
+    frames: the backward fill is ``last(ignorenulls)`` over a
+    DESC-ordered ``unboundedPreceding..0`` frame, value-identical to
+    ``first`` over ``0..unboundedFollowing`` but without Spark's
+    per-row re-scan of the remaining frame (which makes a key's grid
+    cost O(span^2))."""
     val = F.col(val_col) if isinstance(val_col, str) else val_col
     per_bucket = (
         df.select(
@@ -556,8 +560,8 @@ def gapfill_interpolate(
     )
     wb = (
         Window.partitionBy(key_col)
-        .orderBy("_i")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("_i").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     joined = grid.join(per_bucket, [key_col, "_h"], "left").select(
         key_col,
@@ -568,8 +572,8 @@ def gapfill_interpolate(
         F.last(F.when(F.col("_v").isNotNull(), F.col("_i")), ignorenulls=True)
         .over(wf)
         .alias("_pi"),
-        F.first("_v", ignorenulls=True).over(wb).alias("_nv"),
-        F.first(F.when(F.col("_v").isNotNull(), F.col("_i")), ignorenulls=True)
+        F.last("_v", ignorenulls=True).over(wb).alias("_nv"),
+        F.last(F.when(F.col("_v").isNotNull(), F.col("_i")), ignorenulls=True)
         .over(wb)
         .alias("_ni"),
     )
