@@ -7177,12 +7177,7 @@ def _ranking_eval_oracle() -> str:
     from bytewax_spark.functions.similarity import DCG_W_MICRO
 
     w_vals = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(DCG_W_MICRO[:10]))
-    run = 0
-    p_vals = []
-    for i, w in enumerate(DCG_W_MICRO[:10]):
-        run += w
-        p_vals.append(f"({i + 1}, {run})")
-    idcg_vals = ", ".join(p_vals)
+    idcg_k = sum(DCG_W_MICRO[:10])  # full ideal prefix: standard nDCG@10
     cos_exact = _SQL_COS.format(a="e.embedding", b="p.embedding")
     cos_round = _SQL_COS.format(a="er.emb", b="pr.emb")
     return f"""
@@ -7220,7 +7215,6 @@ def _ranking_eval_oracle() -> str:
         FROM ax) WHERE rk <= 10
     ),
     w(i, w) AS (VALUES {w_vals}),
-    idcg(h, s) AS (VALUES {idcg_vals}),
     hits AS (
       SELECT exr.probe_id, axr.rk FROM exr
       JOIN axr ON axr.probe_id = exr.probe_id AND axr.id = exr.id
@@ -7237,9 +7231,7 @@ def _ranking_eval_oracle() -> str:
     scored AS (
       SELECT probe_id,
              (nh * 1000000) // 10 AS rec,
-             CASE WHEN nh > 0 THEN
-               (dcg * 1000000) // (SELECT s FROM idcg WHERE h = nh)
-             ELSE 0 END AS ndcg
+             (dcg * 1000000) // {idcg_k} AS ndcg
       FROM per
     )
     SELECT COUNT(*) AS n_queries, CAST(10 AS INTEGER) AS k,
@@ -8331,6 +8323,7 @@ _ORACLES["knn_label_agreement_embeddings"] = f"""
              ROUND({_SQL_COS.format(a='e.embedding', b='p.embedding')}, 6) AS cosine
       FROM embeddings e
       CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0) p
+      WHERE e.vec_id <> p.vec_id
     ),
     top AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -8342,7 +8335,7 @@ _ORACLES["knn_label_agreement_embeddings"] = f"""
              AS n_same,
            CAST((SUM(CASE WHEN nlab = plab THEN 1 ELSE 0 END) * 1000000)
                 // COUNT(*) AS BIGINT) AS agree_ppm
-    FROM top WHERE rk <= 11 AND nid <> probe_id
+    FROM top WHERE rk <= 10
     GROUP BY 1, 2
 """
 
@@ -9193,7 +9186,12 @@ def _driver_green_names() -> "set[str]":
 
 # Queries rewritten AFTER their last green driver row, re-fronted on purpose
 # to earn a fresh row (mirrored by tests/test_registry_order.py REVERIFY_OK).
-_REVERIFY: "tuple[str, ...]" = ()
+# r6: ranking_eval moved to standard IDCG@k normalization; knn now excludes
+# the self row BEFORE the top-k cut (both Spark + oracle changed together).
+_REVERIFY: "tuple[str, ...]" = (
+    "compression_ranking_eval_embeddings",
+    "knn_label_agreement_embeddings",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -575,7 +575,8 @@ def stickiness(
     daily active count over the month's distinct actives, in exact
     ppm — 1e6/30 ≈ 33 333 means users show up once a month, 1e6 means
     every active user comes every day. Returns one row per month:
-    ``(month, mau, avg_dau_ppm_of_mau)`` plus the raw day count.
+    ``(month, mau, stickiness_ppm)`` — the mean-DAU-over-MAU ratio —
+    plus the raw day count.
 
     Two distinct aggregations ((day, user) then per-month rollups) —
     the (day, user) dedup is the only full shuffle."""

@@ -132,11 +132,19 @@ def cosine_topk_batch(
     probe_vec_col: str,
     k: int = 10,
     fanout: int = 16,
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """(probe_id, id, cosine) — exact top-k neighbors for EVERY probe
     in one corpus pass. ``cosine_topk`` launches one TakeOrdered job
     per query; a retrieval batch (dozens-thousands of probes) wants
     the corpus scanned ONCE with all probes scored per row.
+
+    ``exclude_same_id=True`` drops the probe's own corpus row (matched
+    by id) BEFORE the top-k cut, so every probe gets exactly k foreign
+    neighbors — the self-audit shape. A post-cut ``probe_id != id``
+    filter is NOT equivalent: with duplicate vectors tied at cosine
+    1.0 the (cosine desc, id asc) tiebreak can push the self row out
+    of a top-(k+1) fetch and leave k+1 survivors.
 
     Scale shape: the probe table broadcasts (it is the small side by
     definition — a query batch, not a corpus) and expands each corpus
@@ -162,6 +170,8 @@ def cosine_topk_batch(
             F.round(cosine(v, F.col("_pv")), 6).alias("cosine"),
         )
     )
+    if exclude_same_id:
+        scored = scored.filter(F.col("probe_id") != F.col(id_col))
     return top_k_per_group(
         scored, "probe_id", [F.col("cosine").desc()], id_col, k, fanout
     )
@@ -669,8 +679,9 @@ def knn_label_agreement(
         F.col(label_col).alias("_plab"),
     )
     nn = cosine_topk_batch(
-        df, vec_col, id_col, probes, "_pid", "_pv", k=k + 1
-    ).filter(F.col("probe_id") != F.col(id_col))
+        df, vec_col, id_col, probes, "_pid", "_pv", k=k,
+        exclude_same_id=True,
+    )
     return (
         nn.join(labels, nn[id_col] == labels["_nid"])
         .join(
@@ -706,10 +717,12 @@ def ranking_eval(
 ) -> DataFrame:
     """Grade an approximate ranking against the exact one — the ANN /
     compression quality gate: per probe, recall@k (overlap of the two
-    top-k sets) and binary-gain nDCG@k (hits discounted by the
-    APPROX rank they landed at, over the ideal prefix), both exact
-    integer ppm built from the frozen ``DCG_W_MICRO`` literals —
-    engine-replayable, no float logs at eval time. Returns ONE row
+    top-k sets) and STANDARD binary-gain nDCG@k (hits discounted by
+    the APPROX rank they landed at, normalized by the FULL ideal
+    prefix IDCG@k — so a probe that retrieves 1 of k truth items at
+    rank 1 scores w_1/IDCG@k, not 1.0), both exact integer ppm built
+    from the frozen ``DCG_W_MICRO`` literals — engine-replayable, no
+    float logs at eval time. Returns ONE row
     ``(n_queries, k, mean_recall_ppm, mean_ndcg_ppm)``.
 
     Inputs are two (probe, id, rank<=k) frames (build with
@@ -719,13 +732,9 @@ def ranking_eval(
     if not 1 <= k <= len(DCG_W_MICRO):
         raise ValueError(f"k must be in [1, {len(DCG_W_MICRO)}], got {k}")
     w_arr = F.array(*[F.lit(w) for w in DCG_W_MICRO[:k]])
-    # ideal DCG prefix sums: idcg[h] for h hits
-    prefix = []
-    run = 0
-    for w in DCG_W_MICRO[:k]:
-        run += w
-        prefix.append(run)
-    idcg_arr = F.array(*[F.lit(p) for p in prefix])
+    # full ideal prefix at k — truth always carries k relevant items
+    # here (both inputs are top-k lists), so IDCG@k is one constant
+    idcg_k = sum(DCG_W_MICRO[:k])
     t = truth.select(
         F.col(probe_col).alias("_p"), F.col(id_col).alias("_i")
     )
@@ -754,18 +763,8 @@ def ranking_eval(
         .select(
             "_p",
             F.expr(f"(_h * 1000000L) div {k}").alias("_rec"),
-            F.when(F.col("_h") > 0, F.expr("_dcg * 1000000L"))
-            .otherwise(F.lit(None))
-            .alias("_num"),
-            F.element_at(idcg_arr, F.greatest(F.col("_h"), F.lit(1)).cast("int")).alias("_den"),
+            F.expr(f"(_dcg * 1000000L) div {idcg_k}").alias("_ndcg"),
         )
-    )
-    per_probe = per_probe.select(
-        "_p",
-        "_rec",
-        F.coalesce(
-            F.expr("_num div _den"), F.lit(0).cast("long")
-        ).alias("_ndcg"),
     )
     return per_probe.agg(
         F.count(F.lit(1)).alias("n_queries"),

@@ -673,7 +673,11 @@ def benford(
     formatting differs across engines, int-to-string does not.
     Expected shares are the frozen ``BENFORD_PPM`` literals. Returns
     one row per (group, digit): ``(digit, n, obs_ppm, exp_ppm,
-    dev_ppm)``; non-positive values are excluded.
+    dev_ppm)``. Exclusion rule: the filter is ``floor(v·100) >= 1``,
+    so values below one cent (v < 0.01) are excluded along with
+    non-positives — the digit of a sub-cent double is a float-format
+    artifact, not evidence. On double inputs the ×100 scaling decides
+    boundary cents by IEEE rounding (identically on both engines).
 
     One map-side-combined count per (group, digit) — ≤9 rows per group
     emerge — and the totals re-aggregate that digit table."""

@@ -704,7 +704,7 @@ def zipf_alpha(
     df: DataFrame,
     text_col: str,
     f_min: int = 2,
-) -> Column | DataFrame:
+) -> DataFrame:
     """Zipf/power-law exponent MLE over the corpus word-frequency
     distribution (same continuous MLE as the graph degree fit,
     Clauset 2009: ``α = 1 + n / Σ ln(f/f_min)`` over word frequencies

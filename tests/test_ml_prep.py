@@ -219,7 +219,7 @@ def test_ranking_eval_partial_overlap_hand_computed(spark):
     row = ranking_eval(truth, approx, k=3).collect()[0]
     assert row.mean_recall_ppm == 666_666
     dcg = DCG_W_MICRO[0] + DCG_W_MICRO[2]   # hits at approx ranks 1 and 3
-    idcg = DCG_W_MICRO[0] + DCG_W_MICRO[1]  # ideal prefix for 2 hits
+    idcg = sum(DCG_W_MICRO[:3])  # standard nDCG@k: FULL ideal prefix
     assert row.mean_ndcg_ppm == (dcg * 1_000_000) // idcg
 
 
@@ -235,3 +235,33 @@ def test_ranking_eval_probe_missed_entirely_counts(spark):
     row = ranking_eval(truth, approx, k=1).collect()[0]
     assert row.n_queries == 2
     assert row.mean_recall_ppm == 500_000
+
+
+def test_knn_agreement_duplicate_vectors_keep_exactly_k_neighbors(spark):
+    """Self-exclusion happens BEFORE the top-k cut: with duplicate
+    vectors tied at cosine 1.0 the (cosine desc, id asc) tiebreak used
+    to push the probe's own row out of a top-(k+1) fetch and leave k+1
+    foreign neighbors."""
+    from bytewax_spark.functions.similarity import knn_label_agreement
+
+    # ids 1..4 all identical vectors; probe id=4 sorts LAST among the
+    # cosine-1.0 ties, so a post-cut filter on top-(k+1) would keep
+    # k+1 = 3 foreign rows. id=5 is a decoy far away.
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [1.0, 0.0], "a"),
+        (3, [1.0, 0.0], "b"),
+        (4, [1.0, 0.0], "a"),
+        (5, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, vec array<double>, label string"
+    )
+    probes = df.filter("id = 4")
+    out = knn_label_agreement(
+        df, "vec", "id", "label", k=2, probes=probes
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # exactly k neighbors (ids 1 and 2 by the tiebreak), both label 'a'
+    assert r.n_nbrs == 2 and r.n_same == 2 and r.agree_ppm == 1_000_000
