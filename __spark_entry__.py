@@ -8340,6 +8340,67 @@ _ORACLES["knn_label_agreement_embeddings"] = f"""
 """
 
 
+def knn_label_agreement_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale kNN label-noise screen (functions/similarity.py
+    knn_label_agreement_lsh): EVERY row audited against its k=10
+    nearest neighbors inside its random-hyperplane LSH bucket
+    (4 planes here — size with adaptive_n_planes in production so
+    expected bucket size stays constant as the corpus grows). One
+    equi self-join on the bucket key — never a broadcast nested loop
+    over the corpus — with per-bucket cost bounded by bucket size and
+    the per-probe top-k running through the skew-proof two-phase
+    rank. The brute-force variant stays the QA-sample path; this is
+    the 100 TB path."""
+    from bytewax_spark.functions import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.knn_label_agreement_lsh(
+        emb, "embedding", "vec_id", "label", k=10, n_planes=4, dims=64
+    )
+
+
+def _knn_lsh_oracle() -> str:
+    from bytewax_spark.functions.similarity import _planes
+
+    terms = []
+    for i, plane in enumerate(_planes(4, 64, seed=42)):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        dot = (
+            "list_sum(list_transform(range(1, 65),"
+            f" j -> embedding[j]::DOUBLE * ({lit})[j]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    cos = _SQL_COS.format(a="e.embedding", b="p.embedding")
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, label, CAST({bucket} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT p.vec_id AS probe_id, p.label AS plab,
+             e.vec_id AS nid, e.label AS nlab,
+             ROUND({cos}, 6) AS cosine
+      FROM b p JOIN b e ON p.bucket = e.bucket AND p.vec_id <> e.vec_id
+    ),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, nid) AS rk
+      FROM cand
+    )
+    SELECT probe_id AS vec_id, plab AS label, COUNT(*) AS n_nbrs,
+           CAST(SUM(CASE WHEN nlab = plab THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same,
+           CAST((SUM(CASE WHEN nlab = plab THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS agree_ppm
+    FROM top WHERE rk <= 10
+    GROUP BY 1, 2
+"""
+
+
+_ORACLES["knn_label_agreement_lsh_embeddings"] = _knn_lsh_oracle()
+
+
 def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact EWMA level per user (functions/timeseries.py
     ewma, num/den = 1/8 — the bit-shift smoother): the truncating
@@ -9191,6 +9252,7 @@ def _driver_green_names() -> "set[str]":
 _REVERIFY: "tuple[str, ...]" = (
     "compression_ranking_eval_embeddings",
     "knn_label_agreement_embeddings",
+    "adamic_adar_parts",
 )
 
 
@@ -9229,6 +9291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_conversion_events": session_conversion_events,
         "balanced_downsample_docs": balanced_downsample_docs,
         "knn_label_agreement_embeddings": knn_label_agreement_embeddings,
+        "knn_label_agreement_lsh_embeddings": knn_label_agreement_lsh_embeddings,
         "ewma_value_by_user": ewma_value_by_user,
         "ewma_stream_batch_by_user": ewma_stream_batch_by_user,
         "table_checksum_lineitem": table_checksum_lineitem,

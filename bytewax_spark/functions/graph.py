@@ -556,10 +556,19 @@ def adamic_adar(
     quantized to an int64 BEFORE summation, so the score is exact and
     order-independent on any engine (a float Σ 1/ln(d) is neither).
     Middles of degree 1 contribute nothing (ln 1 = 0 — they witness no
-    wedge anyway); ``max_degree`` drops hub middles and ``n_slices``
-    /explicit-count repartition pin the wedge join's parallelism (same
-    knobs and rationale as ``common_neighbors``); pairs below
-    ``min_score_micro`` drop."""
+    wedge anyway); ``max_degree`` drops hub middles; pairs below
+    ``min_score_micro`` drop.
+
+    Wedge enumeration is adjacency-array based (r6): one explicit
+    hash repartition on the middle (AQE-coalescing-proof — the pinned
+    parallelism the old salted self-join bought with an extra shuffled
+    copy), one ``collect_list`` bounded by ``max_degree``, then a
+    JVM-side ``posexplode × slice`` that emits each unordered pair
+    EXACTLY once (``id_a < id_b`` by the sorted array, no post-filter
+    halving). vs the self-join shape this halves the rows entering the
+    pair aggregation and deletes a whole shuffled table. ``n_slices``
+    is retained for API compatibility; the explicit repartition now
+    pins parallelism, so slicing is a no-op."""
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     und = (
@@ -585,16 +594,24 @@ def adamic_adar(
     shuffle_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    w1 = mid.select("m", "_w", F.col("n").alias("id_a")).withColumn(
-        "_slice", F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_slices))
-    ).repartition(shuffle_parts, "_slice", "m")
-    w2 = mid.select("m", F.col("n").alias("id_b")).withColumn(
-        "_slice", F.explode(F.sequence(F.lit(0), F.lit(n_slices - 1)))
+    nbrs = (
+        mid.repartition(shuffle_parts, "m")
+        .groupBy("m")
+        .agg(
+            F.first("_w").alias("_w"),
+            F.sort_array(F.collect_list("n")).alias("_ns"),
+        )
+    )
+    ex = nbrs.select("_w", F.posexplode("_ns").alias("_i", "id_a"), "_ns")
+    pairs = ex.select(
+        "id_a",
+        F.explode(
+            F.slice("_ns", F.col("_i") + 2, F.size("_ns"))
+        ).alias("id_b"),
+        "_w",
     )
     wedges = (
-        w1.join(w2, ["m", "_slice"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        pairs.groupBy("id_a", "id_b")
         .agg(F.sum("_w").alias("aa_micro"))
         .filter(F.col("aa_micro") >= min_score_micro)
     )

@@ -701,6 +701,82 @@ def knn_label_agreement(
     )
 
 
+def knn_label_agreement_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    dims: int | None = None,
+    seed: int = 42,
+    fanout: int = 16,
+) -> DataFrame:
+    """Corpus-scale kNN label-noise screen — the LSH-bucketed path the
+    brute-force :func:`knn_label_agreement` docstring mandates at
+    scale: every row is audited against its k nearest neighbors
+    WITHIN its random-hyperplane bucket (:func:`lsh_bucket_col` — the
+    planes are plan literals, so bucketing is one map-side pass).
+    Returns the same ``(id, label, n_nbrs, n_same, agree_ppm)`` shape.
+
+    Approximate by design: neighbors on the far side of a hyperplane
+    are unseen, and a bucket smaller than k+1 yields n_nbrs < k
+    (singleton-bucket rows emit no row at all — no neighbors, no
+    verdict). Size ``n_planes`` with :func:`adaptive_n_planes` so
+    expected bucket size stays constant as the corpus grows.
+
+    Scale shape: ONE equi self-join on the bucket key (never a
+    broadcast nested loop over the corpus), per-bucket cost quadratic
+    in bucket size (bounded by plane count; AQE skew-join splits hot
+    buckets), per-probe top-k via the skew-proof two-phase rank."""
+    b = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        as_double(vec_col).alias("_v"),
+        lsh_bucket_col(vec_col, n_planes, dims, seed).alias("_b"),
+    )
+    left = b.select(
+        F.col(id_col).alias("_pid"),
+        F.col(label_col).alias("_plab"),
+        F.col("_v").alias("_pv"),
+        "_b",
+    )
+    right = b.select(
+        F.col(id_col).alias("_nid"),
+        F.col(label_col).alias("_nlab"),
+        F.col("_v").alias("_nv"),
+        "_b",
+    )
+    cand = (
+        left.join(right, "_b")
+        .filter(F.col("_pid") != F.col("_nid"))
+        .select(
+            "_pid",
+            "_plab",
+            "_nid",
+            "_nlab",
+            F.round(cosine(F.col("_pv"), F.col("_nv")), 6).alias("cosine"),
+        )
+    )
+    from .topk import top_k_per_group
+
+    top = top_k_per_group(
+        cand, "_pid", [F.col("cosine").desc()], "_nid", k, fanout
+    )
+    return (
+        top.groupBy(
+            F.col("_pid").alias(id_col), F.col("_plab").alias(label_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum((F.col("_nlab") == F.col("_plab")).cast("long")).alias(
+                "n_same"
+            ),
+        )
+        .withColumn("agree_ppm", F.expr("(n_same * 1000000L) div n_nbrs"))
+    )
+
+
 # binary-gain DCG weights, micro-quantized per rank (1-based):
 # w_i = round(1e6 / log2(i + 1)) — frozen literals so Spark and any
 # oracle replay identical integers

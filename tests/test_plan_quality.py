@@ -677,3 +677,27 @@ def test_global_window_family_runs_over_aggregated_input(spark, sf_dir, qname):
     assert "Window" in plan or "TakeOrdered" in plan, qname
     assert "partial_count" in plan or "partial_sum" in plan, qname
     assert "EvalPython" not in plan, qname
+
+
+def test_knn_lsh_is_bucket_equi_join_no_nested_loop(spark, sf_dir):
+    """The corpus-scale kNN agreement path must candidate via the LSH
+    bucket equi self-join — never a broadcast nested loop or cartesian
+    over the corpus (that is the brute-force QA-sample variant's
+    deliberate shape, not this one's)."""
+    plan = _plan(spark, "knn_label_agreement_lsh_embeddings", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_adamic_adar_single_wedge_shuffle_no_self_join(spark, sf_dir):
+    """r6 wedge enumeration: adjacency arrays + posexplode/slice emit
+    each unordered pair once — the plan must carry NO join between the
+    middle table and a second shuffled copy of itself (the old salted
+    self-join), just the pinned repartition + collect_list + the pair
+    aggregation, and the final anti join against the edge list."""
+    plan = _plan(spark, "adamic_adar_parts", sf_dir)
+    assert "Generate" in plan          # posexplode/slice pair emission
+    assert "collect_list" in plan
+    assert "LeftAnti" in plan          # non-adjacency exclusion survives
+    assert "EvalPython" not in plan
