@@ -6217,25 +6217,39 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap removes exactly the middles that cost the most and signal the
     least; mirrored in the oracle.
 
-    Cost floor, measured at sf0.1: the capped wedge set is ~74M rows
-    aggregating to ~60M distinct pairs — the groupBy IS the workload,
-    and partial aggregation cannot shrink it (pairs repeat only once
-    per shared middle). A single-process columnar engine hash-joins
-    and hash-aggregates that volume in-memory faster at THIS scale
-    (DuckDB ~2.4 s vs ~8 s here), but the same oracle spills >79 GB of
-    temp and dies at sf1 while this plan's shuffle aggregation stays
-    ~flat (9.3 s) — the gap is the price of the shape that scales, not
-    plan fat (a packed-pair-key variant was measured ~15% faster and
-    rejected: it caps ids at 32 bits)."""
+    Cost floor, measured isolated at sf0.1 (see BASELINE.md r6 and
+    tools/adamic_yardstick.py for the reproducible DuckDB command):
+    the capped wedge set is ~74M rows aggregating to ~60M distinct
+    pairs; that aggregation alone is 4.0 s warm on this box and the
+    mandatory edge/degree/adjacency stages add ~3 s, so the Spark
+    floor here is ~7 s (isolated warm median 7.9 s) vs DuckDB 1.85 s
+    on the identical capped oracle — a single-process in-memory hash
+    agg with no exchange serialization. The same oracle spills >79 GB
+    of temp and dies at sf1 while this plan's shuffle aggregation
+    stays ~flat — the remaining gap is the price of the shape that
+    scales, not plan fat (measured rejects: packed-64-bit pair key —
+    no gain, caps ids at 32 bits; salted wedge self-join — 2.6x
+    slower than the adjacency-array emission).
+
+    Edge building mirrors the wedge trick: one ``collect_set`` of
+    partkeys per order, sorted, then each unordered co-occurrence
+    pair emitted exactly once via posexplode x slice — no lineitem
+    self-join, and the distinct that follows dedups ~1.3M pre-paired
+    rows instead of ~2.6M join outputs."""
     from bytewax_spark.functions import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
+    oa = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
+    )
+    exo = oa.select(F.posexplode("_ps").alias("_i", "id_a"), "_ps")
     edges = (
-        a.join(b, "_ok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        exo.select(
+            "id_a",
+            F.explode(F.slice("_ps", F.col("_i") + 2, F.size("_ps"))).alias(
+                "id_b"
+            ),
+        )
         .distinct()
     )
     return graph.adamic_adar(edges, min_score_micro=3_000_000, max_degree=128)

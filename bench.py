@@ -135,12 +135,20 @@ def main() -> None:
         for name in EXTENDED_QUERIES:
             fn = qs[name]
             # same prepared-plan model as the headline tier: build
-            # once (cold, discarded), one warm re-execution
+            # once (cold, discarded), then MIN of 3 warm re-executions.
+            # A single warm rep is contaminated by the C2 JIT tail on
+            # this box (isolated runs converge only after 3-4 reps:
+            # e.g. [12.1, 8.5, 7.2, 7.3, 7.9] — BASELINE.md r6), so
+            # one rep reads 1.5-3x above steady state; min-of-3 is the
+            # cheapest robust steady-state estimator.
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            ext[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            ext[name] = round(best, 3)
         _emit_tier(
             "extended",
             {
@@ -166,11 +174,14 @@ def main() -> None:
         for name in SF1_QUERIES:
             fn = qs[name]
             best = float("inf")
-            # heavy join-shaped queries get cold + 1 warm (they run
-            # tens of seconds at sf1 — their scaling exponent is the
-            # datum, not their steady-state variance); prepared-plan
-            # model as above (cold includes construction)
-            reps = 2 if name in SF1_HEAVY else 3
+            # heavy join-shaped queries get cold + 2 warm (min): one
+            # warm rep alone carries the JIT-compile tail (r5 recorded
+            # minhash_verified WARM 144.9 s vs COLD 134.8 s — the
+            # "warm > cold" contamination signature), and their
+            # scaling exponent is the datum, so the estimator must be
+            # a floor, not a single draw; prepared-plan model as above
+            # (cold includes construction)
+            reps = 3
             t0 = time.time()
             df = fn(spark, sf1_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -255,15 +266,6 @@ SF1_QUERIES = [
     "containment_pairs_docs",
     "adamic_adar_parts",
 ]
-
-# sf1 queries that run cold + 1 warm rep instead of cold + 2
-SF1_HEAVY = {
-    "minhash_lsh_pairs_docs",
-    "span_dedup_docs",
-    "minhash_verified_pairs_docs",
-    "containment_pairs_docs",
-    "adamic_adar_parts",
-}
 
 EXTENDED_QUERIES = [
     "q10_returned_revenue",

@@ -610,8 +610,16 @@ def adamic_adar(
         ).alias("id_b"),
         "_w",
     )
+    # pre-repartition on the pair key: the wedge stream's dedup factor
+    # is tiny (a pair repeats only once per extra shared middle, ~1.2x
+    # at sf0.1), so the map-side partial agg cannot shrink the shuffle
+    # — hashing the raw pairs straight to their reducer makes the
+    # partial pass a same-stage pipeline step instead of a second full
+    # hash build before the exchange (isolated sf0.1 medians: 7.9 s vs
+    # 20.5 s for the partial-first shape, see BASELINE.md r6)
     wedges = (
-        pairs.groupBy("id_a", "id_b")
+        pairs.repartition(shuffle_parts, "id_a", "id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.sum("_w").alias("aa_micro"))
         .filter(F.col("aa_micro") >= min_score_micro)
     )
