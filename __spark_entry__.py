@@ -6161,18 +6161,24 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped 10⁶-degree hub is 10¹² wedges and near-zero signal per
     pair), while Jaccard still uses EXACT full degrees. The cap is part
     of the operator's declared semantics and is mirrored in the
-    oracle."""
+    oracle.
+
+    Edge building mirrors adamic_adar_parts (r6): per-order sorted
+    ``collect_set`` arrays + posexplode x slice emit each unordered
+    co-occurrence pair once — no lineitem self-join."""
     from bytewax_spark.functions import graph
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
-    edges = (
-        a.join(b, "_ok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    oa = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
     )
+    exo = oa.select(F.posexplode("_ps").alias("_i", "id_a"), "_ps")
+    edges = exo.select(
+        "id_a",
+        F.explode(F.slice("_ps", F.col("_i") + 2, F.size("_ps"))).alias(
+            "id_b"
+        ),
+    ).distinct()
     return graph.common_neighbors(edges, min_common=14, max_degree=128)
 
 
@@ -8358,7 +8364,7 @@ def knn_label_agreement_lsh_embeddings(spark: SparkSession, sf_dir: str) -> Data
     """Corpus-scale kNN label-noise screen (functions/similarity.py
     knn_label_agreement_lsh): EVERY row audited against its k=10
     nearest neighbors inside its random-hyperplane LSH bucket
-    (4 planes here — size with adaptive_n_planes in production so
+    (6 planes here — size with adaptive_n_planes in production so
     expected bucket size stays constant as the corpus grows). One
     equi self-join on the bucket key — never a broadcast nested loop
     over the corpus — with per-bucket cost bounded by bucket size and
@@ -8369,7 +8375,7 @@ def knn_label_agreement_lsh_embeddings(spark: SparkSession, sf_dir: str) -> Data
 
     emb = _t(spark, sf_dir, "embeddings")
     return sim.knn_label_agreement_lsh(
-        emb, "embedding", "vec_id", "label", k=10, n_planes=4, dims=64
+        emb, "embedding", "vec_id", "label", k=10, n_planes=6, dims=64
     )
 
 
@@ -8377,7 +8383,7 @@ def _knn_lsh_oracle() -> str:
     from bytewax_spark.functions.similarity import _planes
 
     terms = []
-    for i, plane in enumerate(_planes(4, 64, seed=42)):
+    for i, plane in enumerate(_planes(6, 64, seed=42)):
         lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
         dot = (
             "list_sum(list_transform(range(1, 65),"
@@ -9262,11 +9268,17 @@ def _driver_green_names() -> "set[str]":
 # Queries rewritten AFTER their last green driver row, re-fronted on purpose
 # to earn a fresh row (mirrored by tests/test_registry_order.py REVERIFY_OK).
 # r6: ranking_eval moved to standard IDCG@k normalization; knn now excludes
-# the self row BEFORE the top-k cut (both Spark + oracle changed together).
+# the self row BEFORE the top-k cut (both Spark + oracle changed together);
+# adamic_adar/link_prediction switched to adjacency-array wedge emission +
+# order-array edge building; rfm lost its global ntile windows; gapfill's
+# backward fill became an O(n) running frame.
 _REVERIFY: "tuple[str, ...]" = (
     "compression_ranking_eval_embeddings",
     "knn_label_agreement_embeddings",
     "adamic_adar_parts",
+    "link_prediction_parts",
+    "rfm_segments_users",
+    "gapfill_interp_user_hourly",
 )
 
 

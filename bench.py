@@ -191,6 +191,15 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             sf1_timings[name] = round(best, 3)
+            # each heavy rep leaves GBs of dereferenced shuffle files
+            # that the ContextCleaner only reaps after a driver GC
+            # (default periodicGC is 30 min — longer than this tier);
+            # force one per query so page-cache/disk pressure from
+            # query N's garbage can't contaminate query N+1's timings
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         # minhash_verified_pairs_docs has NO DuckDB yardstick at sf1
         # (its oracle's shingle join exceeds the 20 GB temp cap), and
         # its true output grows superlinearly there by construction:

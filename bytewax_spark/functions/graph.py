@@ -467,14 +467,20 @@ def common_neighbors(
     10¹² wedges and near-zero signal per pair); None = exact.
     Jaccard is computed from exact integer degrees, rounded to 6.
 
-    The wedge join's parallelism is PINNED: its key is the middle node
-    (often few distinct values on a dense graph) and its shuffled bytes
-    are tiny while the downstream wedge fan-out is per-KEY quadratic —
-    exactly what AQE's byte-based coalescing mis-sizes.  The w1 side is
-    explicitly repartitioned to ``spark.sql.shuffle.partitions`` on
-    ``(_slice, m)``; ``n_slices`` > 1 additionally splits each middle's
-    wedges across id_a-hash slices (w2 replicated per slice) when
-    middles are few or degrees are skewed — the wedge SET is unchanged."""
+    Wedge enumeration is adjacency-array based (r6, same shape as
+    :func:`adamic_adar`): one explicit hash repartition on the middle
+    (pinned parallelism, AQE-coalescing-proof), one ``collect_list``
+    of ``(neighbor, degree)`` structs sorted by neighbor id, then a
+    JVM-side ``posexplode x slice`` emitting each unordered pair
+    EXACTLY once with both endpoint degrees carried in-row — vs the
+    old salted self-join this halves the rows entering the pair
+    aggregation and deletes a whole shuffled copy of the middle
+    table (isolated A/B at sf0.1 for the Adamic-Adar twin: 7.9 s vs
+    20.5 s median). The pair stream is pre-repartitioned on the pair
+    key: its dedup factor is near 1, so the map-side partial agg
+    cannot shrink the shuffle and hashing raw pairs straight to
+    their reducer keeps the partial pass same-stage. ``n_slices`` is
+    retained for API compatibility; slicing is a no-op now."""
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     und = (
@@ -501,19 +507,33 @@ def common_neighbors(
     shuffle_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    w1 = mid.select(
-        "m", F.col("n").alias("id_a"), F.col("_dn").alias("_da")
-    ).withColumn(
-        "_slice", F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_slices))
-    ).repartition(shuffle_parts, "_slice", "m")
-    w2 = mid.select(
-        "m", F.col("n").alias("id_b"), F.col("_dn").alias("_db")
-    ).withColumn(
-        "_slice", F.explode(F.sequence(F.lit(0), F.lit(n_slices - 1)))
+    nbrs = (
+        mid.repartition(shuffle_parts, "m")
+        .groupBy("m")
+        .agg(
+            # struct sorts lexicographically on its first field, so
+            # the array is ordered by neighbor id and the slice below
+            # yields exactly the id_a < id_b pairs
+            F.sort_array(
+                F.collect_list(F.struct(F.col("n"), F.col("_dn")))
+            ).alias("_ns"),
+        )
+    )
+    ex = nbrs.select(F.posexplode("_ns").alias("_i", "_sa"), "_ns")
+    pairs = ex.select(
+        F.col("_sa.n").alias("id_a"),
+        F.col("_sa._dn").alias("_da"),
+        F.explode(F.slice("_ns", F.col("_i") + 2, F.size("_ns"))).alias(
+            "_sb"
+        ),
+    ).select(
+        "id_a",
+        "_da",
+        F.col("_sb.n").alias("id_b"),
+        F.col("_sb._dn").alias("_db"),
     )
     wedges = (
-        w1.join(w2, ["m", "_slice"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.repartition(shuffle_parts, "id_a", "id_b")
         .groupBy("id_a", "id_b")
         # degree is functionally dependent on the id — min() just
         # carries it through the aggregate

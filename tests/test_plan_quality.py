@@ -690,6 +690,18 @@ def test_knn_lsh_is_bucket_equi_join_no_nested_loop(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_link_prediction_adjacency_wedges_no_self_join(spark, sf_dir):
+    """common_neighbors shares adamic_adar's r6 wedge shape: sorted
+    (neighbor, degree)-struct adjacency arrays + posexplode/slice emit
+    each unordered pair once with both degrees carried in-row — no
+    join between the middle table and a shuffled copy of itself."""
+    plan = _plan(spark, "link_prediction_parts", sf_dir)
+    assert "Generate" in plan
+    assert "collect_list" in plan
+    assert "LeftAnti" in plan
+    assert "EvalPython" not in plan
+
+
 def test_adamic_adar_single_wedge_shuffle_no_self_join(spark, sf_dir):
     """r6 wedge enumeration: adjacency arrays + posexplode/slice emit
     each unordered pair once — the plan must carry NO join between the
