@@ -4094,6 +4094,28 @@ def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
 _ORACLES["pagerank_purchase_graph"] = _pagerank_oracle()
 
 
+def _part_coedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part co-occurrence edges (id_a < id_b) — parts linked
+    when they share an order. Built r6-style from per-order sorted
+    ``collect_set`` arrays + posexplode x slice (each unordered pair
+    emitted once), NOT a lineitem self-join: one shuffle of the
+    lineitem keys instead of a join materializing every pair twice,
+    and per-order cost bounded by order size. Shared by every
+    part-graph wrapper; the oracles keep the equivalent
+    self-join-DISTINCT SQL (identical edge set)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    oa = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
+    )
+    exo = oa.select(F.posexplode("_ps").alias("_i", "id_a"), "_ps")
+    return exo.select(
+        "id_a",
+        F.explode(F.slice("_ps", F.col("_i") + 2, F.size("_ps"))).alias(
+            "id_b"
+        ),
+    ).distinct()
+
+
 def triangle_counts_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts (functions/graph.py triangle_counts)
     over the part co-occurrence graph: parts are linked when they
@@ -4102,15 +4124,7 @@ def triangle_counts_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     by order size, never corpus size."""
     from bytewax_spark.functions import graph
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
-    edges = (
-        a.join(b, "_ok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    edges = _part_coedges(spark, sf_dir)
     return graph.triangle_counts(edges)
 
 
@@ -5075,15 +5089,7 @@ def label_prop_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     from bytewax_spark.functions import graph
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
-    edges = (
-        a.join(b, "_ok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    edges = _part_coedges(spark, sf_dir)
     return graph.label_propagation(edges, iters=2)
 
 
@@ -5336,15 +5342,7 @@ def kcore_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     peeling is idempotent past convergence)."""
     from bytewax_spark.functions import graph
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
-    edges = (
-        a.join(b, "_ok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    edges = _part_coedges(spark, sf_dir)
     return graph.kcore(edges, 80)
 
 
@@ -6168,17 +6166,7 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence pair once — no lineitem self-join."""
     from bytewax_spark.functions import graph
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    oa = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
-    )
-    exo = oa.select(F.posexplode("_ps").alias("_i", "id_a"), "_ps")
-    edges = exo.select(
-        "id_a",
-        F.explode(F.slice("_ps", F.col("_i") + 2, F.size("_ps"))).alias(
-            "id_b"
-        ),
-    ).distinct()
+    edges = _part_coedges(spark, sf_dir)
     return graph.common_neighbors(edges, min_common=14, max_degree=128)
 
 
@@ -6244,20 +6232,7 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows instead of ~2.6M join outputs."""
     from bytewax_spark.functions import graph
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    oa = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("_ps")
-    )
-    exo = oa.select(F.posexplode("_ps").alias("_i", "id_a"), "_ps")
-    edges = (
-        exo.select(
-            "id_a",
-            F.explode(F.slice("_ps", F.col("_i") + 2, F.size("_ps"))).alias(
-                "id_b"
-            ),
-        )
-        .distinct()
-    )
+    edges = _part_coedges(spark, sf_dir)
     return graph.adamic_adar(edges, min_score_micro=3_000_000, max_degree=128)
 
 
@@ -7272,15 +7247,7 @@ def degree_powerlaw_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     so α is engine-exact."""
     from bytewax_spark.functions import graph
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
-    edges = (
-        a.join(b, "_ok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    edges = _part_coedges(spark, sf_dir)
     return graph.degree_powerlaw(edges, d_min=2)
 
 
@@ -7607,15 +7574,7 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     same integer formula."""
     from bytewax_spark.functions import graph
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
-    edges = (
-        a.join(b, "_ok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    edges = _part_coedges(spark, sf_dir)
     return graph.clustering_coefficient(edges)
 
 
@@ -7702,15 +7661,7 @@ def modularity_label_prop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_prop_copart) and the identical fraction."""
     from bytewax_spark.functions import graph
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_a"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("id_b"))
-    edges = (
-        a.join(b, "_ok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    edges = _part_coedges(spark, sf_dir)
     labels = graph.label_propagation(edges, iters=2)
     return graph.modularity(edges, labels)
 
