@@ -679,15 +679,21 @@ def test_global_window_family_runs_over_aggregated_input(spark, sf_dir, qname):
     assert "EvalPython" not in plan, qname
 
 
-def test_knn_lsh_is_bucket_equi_join_no_nested_loop(spark, sf_dir):
-    """The corpus-scale kNN agreement path must candidate via the LSH
-    bucket equi self-join — never a broadcast nested loop or cartesian
-    over the corpus (that is the brute-force QA-sample variant's
-    deliberate shape, not this one's)."""
+def test_knn_lsh_is_bucket_kernel_no_nested_loop(spark, sf_dir):
+    """The corpus-scale kNN agreement path must candidate inside LSH
+    buckets — one shuffle on the bucket key feeding the per-bucket
+    Arrow kernel — never a broadcast nested loop or cartesian over the
+    corpus (that is the brute-force QA-sample variant's deliberate
+    shape, not this one's). The kernel is a deliberate Arrow surface
+    (interpreted higher-order cosines measured 7x slower producing the
+    same pairs — see knn_label_agreement_lsh's docstring), so
+    FlatMapGroupsInPandas is REQUIRED here, and row-at-a-time
+    BatchEvalPython stays banned."""
     plan = _plan(spark, "knn_label_agreement_lsh_embeddings", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_link_prediction_adjacency_wedges_no_self_join(spark, sf_dir):
