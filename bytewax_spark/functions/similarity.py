@@ -133,6 +133,7 @@ def cosine_topk_batch(
     k: int = 10,
     fanout: int = 16,
     exclude_same_id: bool = False,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(probe_id, id, cosine) — exact top-k neighbors for EVERY probe
     in one corpus pass. ``cosine_topk`` launches one TakeOrdered job
@@ -154,9 +155,35 @@ def cosine_topk_batch(
     id, cosine) rows before anything shuffles, and per-probe top-k is
     ``topk.top_k_per_group`` — the two-phase skew-proof rank, so even
     with Q=1 (one giant 'group') no single task sorts Q×N rows.
-    Result is EXACTLY per-probe top-k under (cosine desc, id asc)."""
+    Result is EXACTLY per-probe top-k under (cosine desc, id asc).
+
+    Two implementations, identical rows (parity test in
+    tests/test_ml_prep.py): ``impl="arrow"`` (default) pulls the probe
+    batch to the driver ONCE (same memory class as the JVM path's
+    ``F.broadcast(q)`` — the probe batch is small by contract; a
+    512 MB guard raises with advice before an oversized pull), ships
+    it to executors as a broadcast numpy matrix, and scans the corpus
+    with ``mapInPandas``: each Arrow batch computes the dense
+    probes x batch cosine matrix (rounded to 6 dp BEFORE ranking) and
+    emits only its per-probe partial top-k — exact, because every
+    global top-k row is in its own batch's top-k. ``impl="sql"``
+    keeps the pure-JVM broadcast-nested-loop expression plan. The
+    kernel is default for the same reason as
+    :func:`knn_label_agreement_lsh`: Spark's higher-order array
+    functions evaluate interpreted (~17 us per 64-dim cosine), so the
+    expression plan pays ~7x more wall time for the same pairs."""
     from .topk import top_k_per_group
 
+    if impl == "arrow":
+        scored = _cosine_scatter_topk_arrow(
+            df, vec_col, id_col, probes, probe_id_col, probe_vec_col,
+            k, exclude_same_id,
+        )
+        return top_k_per_group(
+            scored, "probe_id", [F.col("cosine").desc()], id_col, k, fanout
+        )
+    if impl != "sql":
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     q = probes.select(
         F.col(probe_id_col).alias("probe_id"),
         as_double(probe_vec_col).alias("_pv"),
@@ -175,6 +202,79 @@ def cosine_topk_batch(
     return top_k_per_group(
         scored, "probe_id", [F.col("cosine").desc()], id_col, k, fanout
     )
+
+
+_PROBE_PULL_CAP_BYTES = 512 * 1024 * 1024
+
+
+def _cosine_scatter_topk_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probes: DataFrame,
+    probe_id_col: str,
+    probe_vec_col: str,
+    k: int,
+    exclude_same_id: bool,
+) -> DataFrame:
+    """(probe_id, id, cosine) per-batch partial top-k via a broadcast
+    probe matrix + ``mapInPandas`` corpus scan. The caller composes
+    the exact global cut with ``top_k_per_group``."""
+    import numpy as np
+    import pandas as pd
+
+    pr = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        as_double(probe_vec_col).alias("_pv"),
+    ).toPandas()
+    n_probes = len(pr)
+    dims = len(pr["_pv"].iloc[0]) if n_probes else 0
+    if n_probes * dims * 8 > _PROBE_PULL_CAP_BYTES:
+        raise ValueError(
+            f"probe batch ({n_probes} x {dims} doubles) exceeds the "
+            "512 MB scatter cap - audit a sample, use impl='sql', or "
+            "bucket with knn_label_agreement_lsh at corpus scale"
+        )
+    pids = pr["probe_id"].to_numpy()
+    pmat = (
+        np.stack(pr["_pv"].to_numpy()).astype(np.float64)
+        if n_probes
+        else np.zeros((0, 0))
+    )
+    pnorm = np.sqrt((pmat * pmat).sum(axis=1)) if n_probes else pmat
+    bc = df.sparkSession.sparkContext.broadcast((pids, pmat, pnorm))
+    id_dt = df.schema[id_col].dataType.simpleString()
+    schema = f"probe_id long, {id_col} {id_dt}, cosine double"
+
+    def gen(batches):
+        b_pids, b_pmat, b_pnorm = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or len(b_pids) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            vnorm = np.sqrt((v * v).sum(axis=1))
+            cmat = np.round(
+                (b_pmat @ v.T) / np.outer(b_pnorm, vnorm), 6
+            )
+            if exclude_same_id:
+                cmat[b_pids[:, None] == ids[None, :]] = -np.inf
+            kk = min(k, n)
+            out_p, out_i, out_c = [], [], []
+            for qi in range(len(b_pids)):
+                row = cmat[qi]
+                sel = np.lexsort((ids, -row))[:kk]
+                sel = sel[row[sel] > -np.inf]
+                out_p.extend([int(b_pids[qi])] * len(sel))
+                out_i.extend(ids[sel].tolist())
+                out_c.extend(row[sel].tolist())
+            yield pd.DataFrame(
+                {"probe_id": out_p, id_col: out_i, "cosine": out_c}
+            )
+
+    src = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    return src.mapInPandas(gen, schema)
 
 
 def hard_negatives(

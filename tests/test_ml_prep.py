@@ -330,3 +330,42 @@ def test_knn_lsh_small_bucket_emits_partial_neighborhood(spark):
     assert close, "clustered vectors must be audited"
     for r in close:
         assert 1 <= r["n_nbrs"] <= 2
+
+
+def test_cosine_topk_batch_arrow_sql_parity(spark):
+    """The Arrow scatter kernel and the JVM broadcast-NL plan must
+    produce identical (probe_id, id, cosine) rows — including the
+    pre-cut self-exclusion and duplicate-vector ties broken by id."""
+    import random
+
+    from bytewax_spark.functions.similarity import cosine_topk_batch
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)], i % 3)
+        for i in range(60)
+    ]
+    rows.append((100, list(rows[0][1]), 0))  # exact duplicate vector
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    probes = df.limit(9).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    for excl in (False, True):
+        a = {
+            tuple(r)
+            for r in cosine_topk_batch(
+                df, "embedding", "vec_id", probes, "pid", "pvec",
+                k=4, exclude_same_id=excl, impl="arrow",
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in cosine_topk_batch(
+                df, "embedding", "vec_id", probes, "pid", "pvec",
+                k=4, exclude_same_id=excl, impl="sql",
+            ).collect()
+        }
+        assert a == b, f"exclude_same_id={excl}"
+        assert len(a) == 9 * 4

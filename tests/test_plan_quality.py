@@ -349,18 +349,21 @@ def test_perplexity_bigram_lm_broadcasts(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
-def test_cosine_topk_batch_broadcast_probes_skinny_shuffle(spark, sf_dir):
-    """Probes broadcast (the one legitimate BroadcastNestedLoopJoin);
+def test_cosine_topk_batch_scatter_kernel_skinny_shuffle(spark, sf_dir):
+    """Probes scatter to a MapInPandas corpus scan (the Arrow kernel —
+    deliberate: interpreted higher-order cosines are ~7x slower, see
+    cosine_topk_batch's docstring) emitting per-batch partial top-k;
     the rank shuffle carries only (probe_id, id, cosine)."""
     plan = _plan(spark, "cosine_topk_batch_embeddings", sf_dir)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "EvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     # map-side per-group limits run BEFORE each exchange (Spark fuses
     # row_number()<=k into partial WindowGroupLimit), so at most k rows
     # per (probe, subbucket) per partition ever shuffle
     assert "WindowGroupLimit" in plan and ", Partial" in plan
-    # scoring is projected to skinny rows pre-shuffle: the exchange
-    # partitions on probe_id, not on any vector column
+    # the kernel already emits skinny rows: the exchange partitions on
+    # probe_id, not on any vector column
     assert "Exchange hashpartitioning(probe_id" in plan
 
 
