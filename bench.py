@@ -372,6 +372,7 @@ EXTENDED_QUERIES = [
     "wpagerank_purchase_graph",
     "rrf_hybrid_search_docs",
     "knn_label_agreement_embeddings",
+    "knn_label_agreement_lsh_embeddings",
     "ewma_value_by_user",
     "bloom_semijoin_lineitem",
     "apply_upserts_events",
