@@ -827,7 +827,7 @@ def knn_label_agreement_lsh(
     expected bucket size stays constant as the corpus grows.
 
     Two implementations, bit-identical outputs (asserted in
-    tests/test_similarity_ops.py): ``impl="arrow"`` (default) groups
+    tests/test_ml_prep.py): ``impl="arrow"`` (default) groups
     by bucket and runs ONE ``applyInPandas`` kernel per bucket — the
     bucket's vectors arrive once, numpy does the dense B×B cosine
     matrix and the per-probe top-k cut, and only the 5-column verdict
@@ -846,7 +846,9 @@ def knn_label_agreement_lsh(
     Scale shape (either impl): ONE shuffle on the bucket key (never a
     broadcast nested loop over the corpus), per-bucket cost quadratic
     in bucket size — bounded by plane count; size planes so buckets
-    stay O(100-1000) rows and the kernel's B×B matrix stays a few MB."""
+    stay O(100-1000) rows and the kernel's B×B matrix stays a few MB.
+    ``fanout`` only affects ``impl="sql"``'s two-phase rank; the
+    kernel cuts top-k inside its bucket and needs no subbucketing."""
     if impl == "arrow":
         return _knn_lsh_arrow(
             df, vec_col, id_col, label_col, k, n_planes, dims, seed
