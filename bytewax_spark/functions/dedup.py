@@ -658,8 +658,22 @@ def embedding_cosine_pairs(
     block_col: str,
     threshold: float = 0.9,
     n_slices: int = 1,
+    impl: str = "sql",
 ) -> DataFrame:
     """Embedding near-dup pairs within blocks (id_a < id_b, cos ≥ t).
+
+    ``impl="arrow"`` (opt-in, r6) replaces the in-block self-join with
+    one ``applyInPandas`` kernel per block: the block's vectors arrive
+    once, numpy computes the dense upper-triangle cosine matrix
+    (round-6 THEN threshold, matching the SQL predicate), and only
+    surviving (id_a, id_b, cosine) rows return. Same motivation as
+    ``similarity.knn_label_agreement_lsh``: Spark's higher-order array
+    functions evaluate interpreted (~17 µs per 64-dim cosine), so the
+    join shape pays ~7× more per pair. Parity with the SQL plan is
+    asserted in tests/test_functions.py; the default stays
+    ``"sql"`` until the registered queries rotate through a driver
+    re-verification (flip planned r7). ``n_slices`` applies only to
+    the SQL path; the kernel's unit of work is the block itself.
 
     Blocked self-join: cosine is only computed inside ``block_col``
     groups (label, IVF cell, LSH bucket) — the 100 TB pattern where the
@@ -688,6 +702,12 @@ def embedding_cosine_pairs(
     Cost: the right-side projection is shuffled ``n_slices`` times."""
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
+    if impl == "arrow":
+        return _embedding_cosine_pairs_arrow(
+            df, vec_col, id_col, block_col, threshold
+        )
+    if impl != "sql":
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
@@ -713,6 +733,58 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _embedding_cosine_pairs_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Per-block Arrow kernel for :func:`embedding_cosine_pairs`:
+    rows sorted by id inside the block so the upper triangle of the
+    cosine matrix enumerates exactly the ``id_a < id_b`` pairs; the
+    cosine is ``(V·Vᵀ) / outer(norms)`` in float64, rounded to 6 dp
+    BEFORE the ``>= threshold`` test — the same predicate order as the
+    SQL plan, so boundary pairs agree."""
+    import numpy as np
+    import pandas as pd
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_dt}, id_b {id_dt}, cosine double"
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy()
+        v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((v * v).sum(axis=1))
+        cmat = np.round((v @ v.T) / np.outer(norms, norms), 6)
+        ia, ib = np.triu_indices(n, 1)
+        keep = cmat[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine": cmat[ia[keep], ib[keep]],
+            }
+        )
+
+    src = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    return src.groupBy("_blk").applyInPandas(kernel, schema)
 
 
 def lsh_cosine_pairs(

@@ -823,3 +823,37 @@ def test_normalize_text_nbsp_and_dashes(spark):
     df = spark.createDataFrame([("a b–c−d­e",)], "text string")
     got = df.select(text.normalize_text("text").alias("t")).collect()[0]["t"]
     assert got == "a b-c-de"
+
+
+def test_embedding_cosine_pairs_arrow_sql_parity(spark):
+    """The opt-in Arrow block kernel must reproduce the SQL plan's
+    pairs exactly — same id_a < id_b enumeration, same round-6-then-
+    threshold predicate, including boundary cosines from duplicate
+    vectors (exactly 1.0)."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(80):
+        vec = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, vec, i % 4))
+    rows.append((200, list(rows[0][1]), 0))   # exact duplicate in block 0
+    rows.append((201, [x * 2 for x in rows[0][1]], 0))  # scaled dup: cos 1.0
+    df = spark.createDataFrame(
+        rows, "doc_id long, embedding array<float>, blk int"
+    )
+    for t in (0.5, 0.9):
+        a = {
+            tuple(r)
+            for r in dedup.embedding_cosine_pairs(
+                df, "embedding", "doc_id", "blk", threshold=t, impl="arrow"
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in dedup.embedding_cosine_pairs(
+                df, "embedding", "doc_id", "blk", threshold=t, impl="sql"
+            ).collect()
+        }
+        assert a == b, f"threshold={t}: arrow^sql diff {a ^ b}"
+    assert any(r[2] == 1.0 for r in a)
