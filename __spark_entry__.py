@@ -1404,11 +1404,18 @@ def quantized_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/similarity.py quantize_embeddings): corpus reduces to
     one row of per-dim max-abs scales (dims rows shuffle, never
     vectors), broadcast back, map-local zip_with quantize — the
-    standard 4x ANN memory lever."""
+    standard 4x ANN memory lever. House rule
+    (tests/test_registry_schema.py): the int8 ARRAY is stringified
+    (comma-joined) at the registry boundary — the driver's pandas
+    canonicalizer cannot lexsort list cells."""
     from bytewax_spark.functions import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.quantize_embeddings(emb, "embedding", "vec_id")
+    q = sim.quantize_embeddings(emb, "embedding", "vec_id")
+    return q.withColumn(
+        "qvec",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ","),
+    )
 
 
 def lsh_cosine_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3646,10 +3653,10 @@ _ORACLES["quantized_embeddings_int8"] = """
     ),
     sv AS (SELECT LIST(m ORDER BY i) AS ms FROM s)
     SELECT vec_id,
-           LIST_TRANSFORM(RANGE(1, 65),
+           ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, 65),
              j -> CASE WHEN ms[j] = 0 THEN 0
                        ELSE CAST(FLOOR(embedding[j]::DOUBLE * 127 / ms[j] + 0.5) AS INT)
-                  END) AS qvec
+                  END), ',') AS qvec
     FROM embeddings, sv
 """
 
@@ -6655,12 +6662,19 @@ def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a doc-id-sorted array of "id:tf" strings capped at 64 entries
     (counts stay exact over all occurrences). One wordcount-class
     shuffle + one groupBy(term); the cap bounds the term-row size so
-    stopwords cannot blow an executor at web scale."""
+    stopwords cannot blow an executor at web scale.
+
+    House rule (tests/test_registry_schema.py): registered queries
+    must not emit array/map columns — the driver's pandas
+    canonicalizer cannot lexsort them (this exact class red-rowed
+    collect_linenumbers in r1 and this query in r6) — so the postings
+    ARRAY is joined to one comma-separated string for the gate."""
     from bytewax_spark.functions import retrieval
 
     flow = _flow("invidx")
     docs = op.input("docs", flow, _t(spark, sf_dir, "documents")).df
-    return retrieval.inverted_index(docs, "text", "doc_id", max_postings=64)
+    idx = retrieval.inverted_index(docs, "text", "doc_id", max_postings=64)
+    return idx.withColumn("postings", F.array_join("postings", ","))
 
 
 _ORACLES["inverted_index_docs"] = """
@@ -6674,7 +6688,8 @@ _ORACLES["inverted_index_docs"] = """
     SELECT term,
            COUNT(*) AS df_count,
            CAST(SUM(tf) AS BIGINT) AS cf_count,
-           (LIST(doc_id || ':' || tf ORDER BY doc_id))[1:64] AS postings
+           ARRAY_TO_STRING((LIST(doc_id || ':' || tf ORDER BY doc_id))[1:64], ',')
+             AS postings
     FROM tf GROUP BY 1
 """
 
@@ -9193,17 +9208,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _correctness_files() -> "list[str]":
+    """Paths of the COMMITTED CORRECTNESS_r*.json files. The ordering
+    contract says 'committed' — an uncommitted/partial file appearing
+    in the working directory must not silently reorder ``queries()``
+    mid-round — so the list comes from ``git ls-files``, falling back
+    to a bare glob only when git is unavailable (e.g. an exported
+    tarball, where working dir == committed by construction)."""
+    import glob as _glob
+    import subprocess as _sp
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = _sp.run(
+            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode == 0:
+            return sorted(
+                os.path.join(repo, p) for p in out.stdout.split() if p
+            )
+    except Exception:
+        pass
+    return sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+
+
 def _driver_green_names() -> "set[str]":
     """Names with a fully-green (rows+schema+hash) row in any committed
     CORRECTNESS_r*.json.  Used to self-rotate ``queries()`` each round so the
     driver's first-50 sample always lands on never-verified entries —
     committing a new correctness file IS the rotation."""
-    import glob as _glob
     import json as _json
 
-    repo = os.path.dirname(os.path.abspath(__file__))
     green: set[str] = set()
-    for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in _correctness_files():
         try:
             with open(path) as f:
                 data = _json.load(f)
@@ -9221,18 +9261,21 @@ def _driver_green_names() -> "set[str]":
 
 # Queries rewritten AFTER their last green driver row, re-fronted on purpose
 # to earn a fresh row (mirrored by tests/test_registry_order.py REVERIFY_OK).
-# r6: ranking_eval moved to standard IDCG@k normalization; knn now excludes
-# the self row BEFORE the top-k cut (both Spark + oracle changed together);
-# adamic_adar/link_prediction switched to adjacency-array wedge emission +
-# order-array edge building; rfm lost its global ntile windows; gapfill's
-# backward fill became an O(n) running frame.
+# r7: embedding_cosine_pairs flipped to the Arrow block kernel by default
+# (affects embedding_near_dup_pairs, lsh_cosine_neardup_pairs=multiprobe-0,
+# semdedup_docs), and the shared Arrow kernels changed internally — half-up
+# 6dp rounding replacing np.round's banker's rule, row-block chunking, and
+# schema-derived id types — which touches every query routed through
+# cosine_topk_batch / knn_label_agreement[_lsh] (all r6-green AFTER the
+# kernels first landed, so their green rows predate these edits).
 _REVERIFY: "tuple[str, ...]" = (
-    "compression_ranking_eval_embeddings",
+    "embedding_near_dup_pairs",
+    "lsh_cosine_neardup_pairs",
+    "semdedup_docs",
+    "cosine_topk_batch_embeddings",
     "knn_label_agreement_embeddings",
-    "adamic_adar_parts",
-    "link_prediction_parts",
-    "rfm_segments_users",
-    "gapfill_interp_user_hourly",
+    "knn_label_agreement_lsh_embeddings",
+    "compression_ranking_eval_embeddings",
 )
 
 
@@ -9501,11 +9544,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     }
-    green = _driver_green_names()
-    front = [n for n in _REVERIFY if n in base]
-    never = [n for n in base if n not in green and n not in front]
-    done = [n for n in base if n in green and n not in front]
-    return {n: base[n] for n in front + never + done}
+    order = _registry_order(
+        list(base),
+        green=_driver_green_names(),
+        front=_REVERIFY,
+        rows_only={n for n in base if n not in _ORACLES},
+    )
+    return {n: base[n] for n in order}
+
+
+def _registry_order(
+    names: "list[str]",
+    green: "set[str]",
+    front: "tuple[str, ...]",
+    rows_only: "set[str]",
+) -> "list[str]":
+    """Pure ordering rule for ``queries()`` (fixture-tested on its own
+    in tests/test_registry_order.py so the gate is not self-referential):
+    1. ``front`` (rewritten-after-green re-verification list), in order;
+    2. oracled never-green entries (these are the slots that can turn a
+       driver sample row green);
+    3. oracled already-green entries;
+    4. rows-only entries (no SQL oracle) LAST — they are TERMINALLY
+       never-green (the driver records a weaker rows-only check once;
+       a sample slot spent on them can never produce a green row).
+    Groups 2-4 keep the authoring order of ``names``."""
+    fronted = [n for n in front if n in names]
+    in_front = set(fronted)
+    never = [
+        n for n in names if n not in green and n not in in_front and n not in rows_only
+    ]
+    done = [n for n in names if n in green and n not in in_front and n not in rows_only]
+    tail = [n for n in names if n in rows_only and n not in in_front]
+    return fronted + never + done + tail
 
 
 def oracle_sql() -> dict[str, str]:

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -454,27 +454,42 @@ def _scalable_ntile(
     )
     # <= n-1 rows ever cross a cut: bounded driver pull by construction
     crossed = cum.filter(F.col("_t0") != F.col("_t1")).collect()
-    blocks = scored.join(cum.select(key, "_t0", "_t1"), key)
+    # NULL is a legitimate tie block (e.g. recency from a user with no
+    # timestamped event): groupBy already made it one row of `cum`, so
+    # every per-key construct below must be NULL-SAFE — a plain
+    # equi-join/isin/create_map would silently drop (or raise on) the
+    # null block and those users would vanish from the output.
+    cum_k = cum.select(F.col(key).alias("_vkey"), "_t0", "_t1")
+    blocks = scored.join(cum_k, kc.eqNullSafe(F.col("_vkey")))
     easy = blocks.filter(F.col("_t0") == F.col("_t1")).select(
         user_col, F.col("_t0").alias(out)
     )
     if not crossed:
         return easy
+
+    def _match(k2) -> Column:
+        return kc.isNull() if k2 is None else kc == F.lit(k2)
+
     starts = {r[key]: r["_start"] for r in crossed}
     crossed_keys = list(starts)
+    crossed_pred = _match(crossed_keys[0])
+    for k2 in crossed_keys[1:]:
+        crossed_pred = crossed_pred | _match(k2)
     if max(r["_cnt"] for r in crossed) <= _CROSSED_BLOCK_WINDOW_MAX:
         w = Window.partitionBy(key).orderBy(F.col(user_col).asc())
-        start_map = F.create_map(
-            *[x for k2 in crossed_keys for x in (F.lit(k2), F.lit(starts[k2]))]
+        # when-chain instead of create_map: map literals forbid NULL
+        # keys, and <= n-1 branches is trivially small
+        start_expr = F.coalesce(
+            *[F.when(_match(k2), F.lit(starts[k2])) for k2 in crossed_keys]
         )
         hard = (
-            scored.filter(kc.isin(crossed_keys))
-            .withColumn("_k", start_map[kc] + F.row_number().over(w))
+            scored.filter(crossed_pred)
+            .withColumn("_k", start_expr + F.row_number().over(w))
         )
     else:  # huge tie block: rank by the unique user key, range-bucketed
         parts = []
         for k2 in crossed_keys:
-            sub = scored.filter(kc == F.lit(k2))
+            sub = scored.filter(_match(k2))
             ranked = prefix_sum(sub, [user_col], F.lit(1), out_col="_rn")
             parts.append(
                 ranked.withColumn("_k", F.lit(starts[k2]) + F.col("_rn"))

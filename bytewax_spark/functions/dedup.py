@@ -658,21 +658,24 @@ def embedding_cosine_pairs(
     block_col: str,
     threshold: float = 0.9,
     n_slices: int = 1,
-    impl: str = "sql",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding near-dup pairs within blocks (id_a < id_b, cos ≥ t).
+    Rows with a NULL block key are dropped by BOTH impls (the SQL
+    equi self-join can never match them; the arrow path filters them
+    before grouping so the two plans agree by construction).
 
-    ``impl="arrow"`` (opt-in, r6) replaces the in-block self-join with
-    one ``applyInPandas`` kernel per block: the block's vectors arrive
-    once, numpy computes the dense upper-triangle cosine matrix
-    (round-6 THEN threshold, matching the SQL predicate), and only
-    surviving (id_a, id_b, cosine) rows return. Same motivation as
+    ``impl="arrow"`` (the default since r7; parity-tested against the
+    SQL plan in tests/test_functions.py, 4.0 s → 0.67 s on 8 M pairs)
+    replaces the in-block self-join with one ``applyInPandas`` kernel
+    per block: the block's vectors arrive once, numpy computes the
+    upper-triangle cosine matrix in bounded row blocks (round-6 THEN
+    threshold, matching the SQL predicate), and only surviving
+    (id_a, id_b, cosine) rows return. Same motivation as
     ``similarity.knn_label_agreement_lsh``: Spark's higher-order array
     functions evaluate interpreted (~17 µs per 64-dim cosine), so the
-    join shape pays ~7× more per pair. Parity with the SQL plan is
-    asserted in tests/test_functions.py; the default stays
-    ``"sql"`` until the registered queries rotate through a driver
-    re-verification (flip planned r7). ``n_slices`` applies only to
+    join shape pays ~7× more per pair. ``impl="sql"`` keeps the
+    pure-JVM expression plan. ``n_slices`` applies only to
     the SQL path; the kernel's unit of work is the block itself.
 
     Blocked self-join: cosine is only computed inside ``block_col``
@@ -712,7 +715,7 @@ def embedding_cosine_pairs(
     nrm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    base = df.select(
+    base = df.filter(F.col(block_col).isNotNull()).select(
         F.col(id_col), F.col(block_col).alias("_blk"), v.alias("_v"), nrm.alias("_n")
     )
     a = base.select(
@@ -745,22 +748,33 @@ def _embedding_cosine_pairs_arrow(
     """Per-block Arrow kernel for :func:`embedding_cosine_pairs`:
     rows sorted by id inside the block so the upper triangle of the
     cosine matrix enumerates exactly the ``id_a < id_b`` pairs; the
-    cosine is ``(V·Vᵀ) / outer(norms)`` in float64, rounded to 6 dp
-    BEFORE the ``>= threshold`` test — the same predicate order as the
-    SQL plan, so boundary pairs agree."""
+    cosine is ``(V·Vᵀ) / outer(norms)`` in float64, rounded HALF-UP to
+    6 dp (``similarity.round6_half_up`` — the rule Spark ``F.round``
+    and DuckDB ``ROUND`` share) BEFORE the ``>= threshold`` test — the
+    same predicate order as the SQL plan, so boundary pairs agree.
+
+    Skew guard: the matrix is computed in ROW BLOCKS sized <= ~64 MB
+    of float64 so a degenerate block (mass-duplicate vectors) costs
+    quadratic TIME but never materializes a quadratic dense matrix in
+    one task. Output pairs are unchanged — block [s:e) emits exactly
+    the pairs whose smaller-sorted-index row lands in it."""
     import numpy as np
     import pandas as pd
 
+    from bytewax_spark.functions import similarity as _sim
+    from bytewax_spark.functions.similarity import round6_half_up
+
     id_dt = df.schema[id_col].dataType.simpleString()
     schema = f"id_a {id_dt}, id_b {id_dt}, cosine double"
+    block_bytes = _sim._KERNEL_BLOCK_BYTES  # bind by value: ships to executors
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(
                 {
-                    "id_a": pd.Series(dtype="int64"),
-                    "id_b": pd.Series(dtype="int64"),
+                    "id_a": pd.Series(dtype="object"),
+                    "id_b": pd.Series(dtype="object"),
                     "cosine": pd.Series(dtype="float64"),
                 }
             )
@@ -768,18 +782,31 @@ def _embedding_cosine_pairs_arrow(
         ids = pdf[id_col].to_numpy()
         v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         norms = np.sqrt((v * v).sum(axis=1))
-        cmat = np.round((v @ v.T) / np.outer(norms, norms), 6)
-        ia, ib = np.triu_indices(n, 1)
-        keep = cmat[ia, ib] >= threshold
+        blk = max(1, min(n, block_bytes // (n * 8)))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            cblk = round6_half_up(
+                (v[s:e] @ v.T) / np.outer(norms[s:e], norms)
+            )
+            # strict upper triangle of the FULL matrix restricted to
+            # rows [s, e): columns j > global row index i
+            ia, ib = np.nonzero(
+                (cblk >= threshold)
+                & (np.arange(n)[None, :] > (s + np.arange(e - s))[:, None])
+            )
+            out_a.append(ids[ia + s])
+            out_b.append(ids[ib])
+            out_c.append(cblk[ia, ib])
         return pd.DataFrame(
             {
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "cosine": cmat[ia[keep], ib[keep]],
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
             }
         )
 
-    src = df.select(
+    src = df.filter(F.col(block_col).isNotNull()).select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),

@@ -69,6 +69,20 @@ def _qvec(query_vec: list[float]) -> Column:
     return F.array([F.lit(float(x)) for x in query_vec])
 
 
+def round6_half_up(x):
+    """6-dp HALF-AWAY-FROM-ZERO rounding for numpy arrays — the ONE
+    rounding rule all three engine surfaces share: Spark ``F.round``
+    and DuckDB ``ROUND`` both round halves away from zero, while
+    ``np.round`` is banker's (half-to-even), so a kernel using
+    ``np.round`` could flip a threshold pair or a top-k tie landing
+    exactly on a .5 boundary at 6 dp and silently crack the
+    engine-exact-replay invariant. Sign-aware scaled floor keeps the
+    negative-cosine range correct."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
 def cosine_topk(
     df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
 ) -> DataFrame:
@@ -206,6 +220,14 @@ def cosine_topk_batch(
 
 _PROBE_PULL_CAP_BYTES = 512 * 1024 * 1024
 
+# max bytes of float64 a pair-stage kernel may materialize as ONE dense
+# cosine block: kernels chunk their matrix into row blocks of
+# <= this size so a degenerate bucket/block (mass-duplicate vectors all
+# hashing together) costs quadratic TIME but can never OOM a task with
+# a quadratic ALLOCATION. Module-level so tests can shrink it and drive
+# the multi-block path on small corpora.
+_KERNEL_BLOCK_BYTES = 64 * 1024 * 1024
+
 
 def _cosine_scatter_topk_arrow(
     df: DataFrame,
@@ -243,8 +265,12 @@ def _cosine_scatter_topk_arrow(
     )
     pnorm = np.sqrt((pmat * pmat).sum(axis=1)) if n_probes else pmat
     bc = df.sparkSession.sparkContext.broadcast((pids, pmat, pnorm))
+    # output id types DERIVE from the input schemas (a hardcoded
+    # `long` here silently broke every caller with string ids the
+    # moment arrow became the default path)
+    pid_dt = probes.schema[probe_id_col].dataType.simpleString()
     id_dt = df.schema[id_col].dataType.simpleString()
-    schema = f"probe_id long, {id_col} {id_dt}, cosine double"
+    schema = f"probe_id {pid_dt}, {id_col} {id_dt}, cosine double"
 
     def gen(batches):
         b_pids, b_pmat, b_pnorm = bc.value
@@ -255,8 +281,8 @@ def _cosine_scatter_topk_arrow(
             ids = pdf[id_col].to_numpy()
             v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
             vnorm = np.sqrt((v * v).sum(axis=1))
-            cmat = np.round(
-                (b_pmat @ v.T) / np.outer(b_pnorm, vnorm), 6
+            cmat = round6_half_up(
+                (b_pmat @ v.T) / np.outer(b_pnorm, vnorm)
             )
             if exclude_same_id:
                 cmat[b_pids[:, None] == ids[None, :]] = -np.inf
@@ -266,7 +292,7 @@ def _cosine_scatter_topk_arrow(
                 row = cmat[qi]
                 sel = np.lexsort((ids, -row))[:kk]
                 sel = sel[row[sel] > -np.inf]
-                out_p.extend([int(b_pids[qi])] * len(sel))
+                out_p.extend([b_pids[qi]] * len(sel))
                 out_i.extend(ids[sel].tolist())
                 out_c.extend(row[sel].tolist())
             yield pd.DataFrame(
@@ -915,52 +941,59 @@ def _knn_lsh_arrow(
 ) -> DataFrame:
     """Per-bucket Arrow kernel for :func:`knn_label_agreement_lsh`:
     each bucket's rows ship ONCE into pandas, numpy computes the
-    dense cosine matrix (float64, rounded to 6 dp before ranking so
+    cosine matrix (float64, rounded to 6 dp before ranking so
     ordering is engine-exact), and per-probe neighbors are the top-k
     by (rounded cosine desc, id asc) excluding self. Buckets smaller
-    than 2 emit nothing (no neighbors, no verdict)."""
+    than 2 emit nothing (no neighbors, no verdict).
+
+    Skew guard: the cosine matrix is computed in ROW BLOCKS sized so
+    one block is <= ~64 MB of float64 — a degenerate bucket (e.g. a
+    corpus of mass-duplicate vectors hashing into one bucket) costs
+    O(n^2) TIME by definition, but never materializes an O(n^2) dense
+    matrix in a single task, so it degrades instead of OOMing the
+    executor. Each probe's top-k needs only its own row of cosines,
+    so block results are exact, not approximate."""
     import numpy as np
     import pandas as pd
 
+    id_dt = df.schema[id_col].dataType.simpleString()
     label_dt = df.schema[label_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, {label_col} {label_dt}, "
+        f"{id_col} {id_dt}, {label_col} {label_dt}, "
         "n_nbrs long, n_same long, agree_ppm long"
     )
-    empty = {
-        id_col: pd.Series(dtype="int64"),
-        label_col: pd.Series(dtype="object"),
-        "n_nbrs": pd.Series(dtype="int64"),
-        "n_same": pd.Series(dtype="int64"),
-        "agree_ppm": pd.Series(dtype="int64"),
-    }
+    cols = [id_col, label_col, "n_nbrs", "n_same", "agree_ppm"]
+    block_bytes = _KERNEL_BLOCK_BYTES  # bind by value: closure ships to executors
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame(empty)
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
         ids = pdf[id_col].to_numpy()
         labs = pdf[label_col].to_numpy()
         v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         norms = np.sqrt((v * v).sum(axis=1))
-        cmat = np.round((v @ v.T) / np.outer(norms, norms), 6)
+        blk = max(1, min(n, block_bytes // (n * 8)))
         rows = []
-        for i in range(n):
-            c = cmat[i].copy()
-            c[i] = -np.inf  # self excluded before the cut
-            if n - 1 <= k:
-                sel = np.flatnonzero(c > -np.inf)
-            else:
-                idx = np.lexsort((ids, -c))
-                sel = idx[idx != i][:k]
-            nn = len(sel)
-            ns = int((labs[sel] == labs[i]).sum())
-            rows.append(
-                (int(ids[i]), labs[i], nn, ns, ns * 1_000_000 // nn)
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            cblk = round6_half_up(
+                (v[s:e] @ v.T) / np.outer(norms[s:e], norms)
             )
-        return pd.DataFrame(
-            rows, columns=[id_col, label_col, "n_nbrs", "n_same", "agree_ppm"]
-        )
+            for i in range(s, e):
+                c = cblk[i - s]
+                c[i] = -np.inf  # self excluded before the cut
+                if n - 1 <= k:
+                    sel = np.flatnonzero(c > -np.inf)
+                else:
+                    idx = np.lexsort((ids, -c))
+                    sel = idx[idx != i][:k]
+                nn = len(sel)
+                ns = int((labs[sel] == labs[i]).sum())
+                rows.append(
+                    (ids[i], labs[i], nn, ns, ns * 1_000_000 // nn)
+                )
+        return pd.DataFrame(rows, columns=cols)
 
     b = df.select(
         F.col(id_col),

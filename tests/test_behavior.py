@@ -424,3 +424,35 @@ def test_scalable_ntile_matches_spark_ntile_under_heavy_ties(spark):
                 ).collect()
             }
             assert got == truth, (nrows, nvals, n, desc)
+
+
+def test_scalable_ntile_null_dimension_values(spark):
+    """A NULL dimension value (e.g. recency from a user with no
+    timestamped event) is a legitimate tie block: it must receive a
+    tile like any other value — matching Spark's NTILE over the same
+    ordering (nulls first asc / last desc) — not vanish from the
+    output (the old equi-join/isin path) or raise (the old create_map
+    path when the null block straddled a tile cut)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # 5 nulls straddle the n=3 cut of 9 rows (tiles of 3): the null
+    # block [ranks 1-5 asc] crosses the rank-3 boundary
+    rows = [(i, None if i < 5 else i * 10) for i in range(9)]
+    df = spark.createDataFrame(rows, "user_id long, v long")
+    for desc in (False, True):
+        w = Window.orderBy(
+            F.col("v").desc() if desc else F.col("v").asc(),
+            F.col("user_id").asc(),
+        )
+        truth = {
+            r["user_id"]: r["t"]
+            for r in df.select("user_id", F.ntile(3).over(w).alias("t")).collect()
+        }
+        got = {
+            r["user_id"]: r["o"]
+            for r in bh._scalable_ntile(
+                df, "v", desc, "user_id", 3, 9, "o"
+            ).collect()
+        }
+        assert got == truth, (desc, got, truth)

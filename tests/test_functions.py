@@ -857,3 +857,52 @@ def test_embedding_cosine_pairs_arrow_sql_parity(spark):
         }
         assert a == b, f"threshold={t}: arrow^sql diff {a ^ b}"
     assert any(r[2] == 1.0 for r in a)
+
+
+def test_embedding_cosine_pairs_null_blocks_dropped_both_impls(spark):
+    """Rows with a NULL block key must be DROPPED by both impls: the
+    SQL equi self-join can never match them, and the arrow path now
+    filters them before grouping (it used to collect all null-block
+    rows into one pandas group and emit pairs among them — a silent
+    parity break the non-null-only parity test never saw)."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.01], 0),
+        (3, [1.0, 0.0], None),   # null block: must pair with nothing
+        (4, [0.99, 0.01], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, embedding array<float>, blk int"
+    )
+    for impl in ("arrow", "sql"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_cosine_pairs(
+                df, "embedding", "doc_id", "blk", threshold=0.5, impl=impl
+            ).collect()
+        }
+        assert got == {(1, 2)}, f"impl={impl}: {got}"
+
+
+def test_embedding_cosine_pairs_block_chunked_kernel_exact(spark, monkeypatch):
+    """Skew guard: with the kernel's dense-matrix budget shrunk to a
+    few rows per block, a mass-duplicate corpus (every vector
+    identical, all in ONE block — the degenerate 100 TB case) must
+    produce exactly the same pair set as the unchunked SQL plan:
+    all C(n,2) pairs at cosine 1.0."""
+    from bytewax_spark.functions import similarity as sim
+
+    monkeypatch.setattr(sim, "_KERNEL_BLOCK_BYTES", 256)  # ~2 rows/block at n=16
+    n = 16
+    df = spark.createDataFrame(
+        [(i, [3.0, 4.0, 0.0], 7) for i in range(n)],
+        "doc_id long, embedding array<float>, blk int",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.embedding_cosine_pairs(
+            df, "embedding", "doc_id", "blk", threshold=0.9, impl="arrow"
+        ).collect()
+    }
+    want = {(a, b, 1.0) for a in range(n) for b in range(a + 1, n)}
+    assert got == want

@@ -369,3 +369,115 @@ def test_cosine_topk_batch_arrow_sql_parity(spark):
         }
         assert a == b, f"exclude_same_id={excl}"
         assert len(a) == 9 * 4
+
+
+def test_knn_lsh_arrow_block_chunked_degenerate_bucket(spark, monkeypatch):
+    """Skew guard (round-7): a mass-duplicate corpus — every vector
+    identical, so ALL rows hash into one LSH bucket — must not require
+    one O(n^2) dense matrix in a single task. With the kernel's block
+    budget shrunk to a few rows, the chunked kernel must still produce
+    exactly the SQL plan's verdict rows."""
+    from bytewax_spark.functions import similarity as sim
+
+    monkeypatch.setattr(sim, "_KERNEL_BLOCK_BYTES", 256)
+    n = 20
+    rows = [(i, [0.6, 0.8, 0.0, 0.0], i % 3) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    kw = dict(k=5, n_planes=2, dims=4, seed=11)
+    arrow = {
+        tuple(r)
+        for r in sim.knn_label_agreement_lsh(
+            df, "embedding", "vec_id", "label", impl="arrow", **kw
+        ).collect()
+    }
+    sql = {
+        tuple(r)
+        for r in sim.knn_label_agreement_lsh(
+            df, "embedding", "vec_id", "label", impl="sql", **kw
+        ).collect()
+    }
+    assert arrow == sql
+    assert len(arrow) == n  # every row audited despite the degenerate bucket
+
+
+def test_arrow_kernels_preserve_string_ids(spark):
+    """The kernels' output schemas derive from the INPUT id types —
+    a hardcoded `long` silently turned string-id callers into runtime
+    task failures once arrow became the default path."""
+    import random
+
+    from bytewax_spark.functions.similarity import (
+        cosine_topk_batch,
+        knn_label_agreement_lsh,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (f"doc-{i:03d}", [rng.uniform(-1, 1) for _ in range(4)], f"lab{i % 2}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<float>, label string"
+    )
+    probes = df.limit(4).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    for excl in (False, True):
+        a = {
+            tuple(r)
+            for r in cosine_topk_batch(
+                df, "embedding", "vec_id", probes, "pid", "pvec",
+                k=3, exclude_same_id=excl, impl="arrow",
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in cosine_topk_batch(
+                df, "embedding", "vec_id", probes, "pid", "pvec",
+                k=3, exclude_same_id=excl, impl="sql",
+            ).collect()
+        }
+        assert a == b, f"exclude_same_id={excl}"
+        assert all(isinstance(t[0], str) and isinstance(t[1], str) for t in a)
+    kw = dict(k=3, n_planes=2, dims=4, seed=5)
+    ka = {
+        tuple(r)
+        for r in knn_label_agreement_lsh(
+            df, "embedding", "vec_id", "label", impl="arrow", **kw
+        ).collect()
+    }
+    ks = {
+        tuple(r)
+        for r in knn_label_agreement_lsh(
+            df, "embedding", "vec_id", "label", impl="sql", **kw
+        ).collect()
+    }
+    assert ka == ks
+    assert all(isinstance(t[0], str) for t in ka)
+
+
+def test_round6_half_up_is_half_away_from_zero_not_bankers():
+    """The kernels' shared rounding rule must be HALF-AWAY-FROM-ZERO
+    (what Spark F.round and DuckDB ROUND apply) — np.round is banker's
+    (half-to-even) and would flip threshold pairs / top-k ties landing
+    exactly on a .5 boundary at 6 dp. The probe values are exact .5
+    ties in the scaled float64 space (v * 1e6 == N + 0.5 exactly)."""
+    import numpy as np
+
+    from bytewax_spark.functions.similarity import round6_half_up
+
+    ties = np.array([5e-07, 1.5e-06, 2.5e-06, 3.5e-06, 4.5e-06])
+    got = round6_half_up(ties)
+    want = np.array([1e-06, 2e-06, 3e-06, 4e-06, 5e-06])
+    assert np.array_equal(got, want), got
+    # banker's would collapse 1.5/2.5 -> 2 and 3.5/4.5 -> 4
+    assert not np.array_equal(np.round(ties, 6), want)
+    # sign-aware: negatives round away from zero symmetrically
+    assert np.array_equal(round6_half_up(-ties), -want)
+    # non-tie values are plain rounding
+    assert np.array_equal(
+        round6_half_up(np.array([0.1234561, -0.9999994])),
+        np.array([0.123456, -0.999999]),
+    )

@@ -1,13 +1,20 @@
 """Registry-order guard: the driver's correctness gate samples the FIRST 50
 entries of ``__spark_entry__.queries()``.  To maximize cumulative driver
-verification coverage across rounds, every query that has NEVER received a
-fully-green driver row (rows+schema+hash in some committed
-``CORRECTNESS_r0*.json``) must sort BEFORE every query that already has one —
-otherwise a round's 50-row sample burns slots re-verifying known-green
-queries.
+verification coverage across rounds, every ORACLED query that has never
+received a fully-green driver row (rows+schema+hash in some committed
+``CORRECTNESS_r0*.json``) must sort BEFORE every query that already has
+one — otherwise a round's 50-row sample burns slots re-verifying
+known-green queries.  Rows-only queries (no SQL oracle) are TERMINALLY
+never-green — a sample slot spent on them can never produce a green row —
+so they must sort LAST, behind even already-green entries.
 
 One deliberate exception is allowed: a query that was rewritten AFTER its
-green row may be re-fronted (listed in ``REVERIFY_OK``).
+green row may be re-fronted (``__spark_entry__._REVERIFY``).
+
+The ordering RULE itself (``_registry_order``) is additionally tested on
+synthetic fixtures, independent of the repo's committed correctness files
+and of the ``_REVERIFY`` constant, so the gate is not the rotation
+verifying itself.
 """
 
 from __future__ import annotations
@@ -15,14 +22,11 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Queries whose implementation changed materially after their last green
-# driver row, re-fronted on purpose to get a fresh row.  Mirrors
-# __spark_entry__._REVERIFY (r6+: queries() self-rotates from the committed
-# correctness files, so this test verifies the rotation machinery rather than
-# a hand-maintained ordering).
+
 def _reverify_ok() -> set[str]:
     import __spark_entry__ as entry
 
@@ -44,7 +48,64 @@ def _driver_green() -> set[str]:
     return green
 
 
-def test_never_green_queries_come_first():
+# ---------------------------------------------------------------- fixtures
+# Independent checks of the PURE ordering rule — no correctness files, no
+# _REVERIFY, no git: synthetic inputs, hand-written expected output.
+
+def test_registry_order_rule_fixture():
+    import __spark_entry__ as entry
+
+    names = ["a", "b", "c", "d", "e", "f"]
+    out = entry._registry_order(
+        names,
+        green={"b", "e"},
+        front=("e",),           # green but rewritten: re-fronted
+        rows_only={"c"},        # no oracle: terminal, sorts last
+    )
+    #        front  never-green  green  rows-only
+    assert out == ["e", "a", "d", "f", "b", "c"]
+
+
+def test_registry_order_rule_rows_only_never_before_green():
+    import __spark_entry__ as entry
+
+    out = entry._registry_order(
+        ["x", "y", "z"], green={"y"}, front=(), rows_only={"x", "z"}
+    )
+    assert out == ["y", "x", "z"]
+
+
+def test_registry_order_rule_front_wins_even_if_rows_only():
+    import __spark_entry__ as entry
+
+    out = entry._registry_order(
+        ["x", "y"], green=set(), front=("y",), rows_only={"y"}
+    )
+    assert out == ["y", "x"]
+
+
+# ------------------------------------------------------------- end-to-end
+
+def test_green_set_reads_only_committed_files():
+    """_driver_green_names must derive from git-TRACKED correctness files:
+    an uncommitted/partial CORRECTNESS file in the working dir must not
+    silently reorder queries() mid-round."""
+    import __spark_entry__ as entry
+
+    tracked = subprocess.run(
+        ["git", "-C", REPO, "ls-files", "CORRECTNESS_r*.json"],
+        capture_output=True,
+        text=True,
+    )
+    if tracked.returncode != 0:
+        return  # not a git checkout: glob fallback is the contract there
+    expect = sorted(
+        os.path.join(REPO, p) for p in tracked.stdout.split() if p
+    )
+    assert entry._correctness_files() == expect
+
+
+def test_never_green_oracled_queries_come_first():
     import __spark_entry__ as entry
 
     names = list(entry.queries())
@@ -52,20 +113,36 @@ def test_never_green_queries_come_first():
     if not green:  # no correctness files in a fresh clone — nothing to order
         return
     reverify_ok = _reverify_ok()
-    # index of the first already-green (non-exempt) entry
-    first_green = next(
-        (i for i, n in enumerate(names) if n in green and n not in reverify_ok),
+    rows_only = set(names) - set(entry.oracle_sql())
+    # index of the first already-green or rows-only (non-exempt) entry
+    first_settled = next(
+        (
+            i
+            for i, n in enumerate(names)
+            if (n in green or n in rows_only) and n not in reverify_ok
+        ),
         len(names),
     )
     stragglers = [
         n
-        for n in names[first_green:]
-        if n not in green and n not in reverify_ok
+        for n in names[first_settled:]
+        if n not in green and n not in reverify_ok and n not in rows_only
     ]
     assert not stragglers, (
-        "never-driver-green queries sorted after already-green ones "
-        f"(first green entry at index {first_green}): {stragglers[:10]}"
+        "never-driver-green oracled queries sorted after settled ones "
+        f"(first settled entry at index {first_settled}): {stragglers[:10]}"
     )
+
+
+def test_rows_only_queries_sort_last():
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    rows_only = set(names) - set(entry.oracle_sql())
+    reverify_ok = _reverify_ok()
+    tail = names[-len(rows_only):] if rows_only else []
+    misplaced = rows_only - set(tail) - reverify_ok
+    assert not misplaced, f"rows-only queries not at the tail: {sorted(misplaced)}"
 
 
 def test_oracle_for_every_query_or_documented():
