@@ -811,6 +811,14 @@ def _embedding_cosine_pairs_arrow(
         F.col(block_col).alias("_blk"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    # pin the kernel stage's fan-out: the bucket shuffle is tiny in
+    # BYTES so AQE coalesces it, but per-task cost is per-PAIR
+    # (quadratic in block size) — coalescing serializes the kernel
+    # pass (same 12x-degradation trap as the SQL path's pinned
+    # repartition). An explicit-count HashPartitioning on _blk
+    # satisfies applyInPandas' clustering requirement, so no second
+    # exchange is added.
+    src = src.repartition(_pair_parallelism(df), "_blk")
     return src.groupBy("_blk").applyInPandas(kernel, schema)
 
 

@@ -1001,7 +1001,13 @@ def _knn_lsh_arrow(
         as_double(vec_col).alias("_v"),
         lsh_bucket_col(vec_col, n_planes, dims, seed).alias("_b"),
     )
-    return b.groupBy("_b").applyInPandas(kernel, schema)
+    # pin the kernel stage's fan-out (see _embedding_cosine_pairs_arrow:
+    # AQE coalesces the small bucket shuffle; per-task cost is
+    # quadratic per bucket, so coalescing serializes the kernels); the
+    # explicit-count HashPartitioning satisfies applyInPandas'
+    # clustering requirement — no extra exchange.
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return b.repartition(parts, "_b").groupBy("_b").applyInPandas(kernel, schema)
 
 
 # binary-gain DCG weights, micro-quantized per rank (1-based):
