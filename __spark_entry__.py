@@ -9271,6 +9271,7 @@ def _driver_green_names() -> "set[str]":
 _REVERIFY: "tuple[str, ...]" = (
     "embedding_near_dup_pairs",
     "lsh_cosine_neardup_pairs",
+    "lsh_cosine_multiprobe_pairs",
     "semdedup_docs",
     "cosine_topk_batch_embeddings",
     "knn_label_agreement_embeddings",

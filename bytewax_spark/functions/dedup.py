@@ -833,9 +833,18 @@ def lsh_cosine_pairs(
     target_bucket_rows: int = 4096,
     multiprobe: int = 0,
     n_slices: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding near-dup pairs on an UNblocked table: LSH buckets as
     the blocking key, exact cosine inside each bucket.
+
+    ``impl="arrow"`` (default, r7) runs the pair stage as per-bucket
+    numpy kernels — identical rows to ``impl="sql"``'s pure-JVM join
+    plans (parity tests in tests/test_functions.py); the rationale is
+    the measured ~17 µs/cosine interpreted-HOF tax (BASELINE.md r6).
+    ``multiprobe=0`` delegates to :func:`embedding_cosine_pairs`;
+    ``multiprobe>0`` uses the dedicated probe×home kernel below
+    (isolated sf0.1: 2.2 s SQL → measured in BASELINE.md r7).
 
     The scale path when no natural block (label, cell) exists: the
     bucket is a map-side expression (plan-time hyperplane literals —
@@ -897,8 +906,15 @@ def lsh_cosine_pairs(
     if multiprobe == 0:
         blocked = df.withColumn("_lsh_bucket", bucket)
         return embedding_cosine_pairs(
-            blocked, vec_col, id_col, "_lsh_bucket", threshold, n_slices=n_slices
+            blocked, vec_col, id_col, "_lsh_bucket", threshold,
+            n_slices=n_slices, impl=impl,
         )
+    if impl == "arrow":
+        return _lsh_multiprobe_pairs_arrow(
+            df, vec_col, id_col, threshold, n_planes, dims, seed, multiprobe
+        )
+    if impl != "sql":
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
     vv = as_double(vec_col)
@@ -932,6 +948,109 @@ def lsh_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _lsh_multiprobe_pairs_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_planes: int,
+    dims: int,
+    seed: int,
+    multiprobe: int,
+) -> DataFrame:
+    """Per-bucket Arrow kernel for :func:`lsh_cosine_pairs` with
+    ``multiprobe > 0`` — identical pair set to the SQL join plan.
+
+    Emission rule mirrors the SQL shape exactly: a pair ``(a, b)``
+    with ``id_a < id_b`` is emitted in bucket ``home(b)`` iff that
+    bucket is in a's probe set (home + hamming-``multiprobe`` flips).
+    Hamming is symmetric, so every qualifying pair is probed from its
+    LOWER id exactly once — no dedup pass. Each bucket's group holds
+    its HOME rows plus incoming PROBE rows (role flag ``_h``); the
+    kernel computes the probe×home cosine matrix in <=64 MB row
+    blocks (skew guard, same as the other kernels), masks
+    ``id_probe < id_home``, rounds HALF-UP to 6 dp, then thresholds —
+    the SQL predicate order.
+
+    Shuffle shape vs SQL: (p+1)·N probe vector rows + N home rows
+    through ONE pinned exchange — strictly fewer bytes than the SQL
+    path, which additionally replicates the home side ``n_slices``
+    times."""
+    import numpy as np
+    import pandas as pd
+
+    from bytewax_spark.functions.similarity import (
+        as_double,
+        lsh_bucket_col,
+        lsh_probe_buckets,
+        round6_half_up,
+    )
+    from bytewax_spark.functions.similarity import _KERNEL_BLOCK_BYTES
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_dt}, id_b {id_dt}, cosine double"
+    block_bytes = _KERNEL_BLOCK_BYTES  # bind by value: ships to executors
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        probe = pdf[pdf["_h"] == 0]
+        home = pdf[pdf["_h"] == 1]
+        np_, nh = len(probe), len(home)
+        if np_ == 0 or nh == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="object"),
+                    "id_b": pd.Series(dtype="object"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        pid = probe[id_col].to_numpy()
+        hid = home[id_col].to_numpy()
+        pv = np.stack(probe["_v"].to_numpy()).astype(np.float64)
+        hv = np.stack(home["_v"].to_numpy()).astype(np.float64)
+        pn = np.sqrt((pv * pv).sum(axis=1))
+        hn = np.sqrt((hv * hv).sum(axis=1))
+        blk = max(1, min(np_, block_bytes // (nh * 8)))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, np_, blk):
+            e = min(s + blk, np_)
+            cblk = round6_half_up(
+                (pv[s:e] @ hv.T) / np.outer(pn[s:e], hn)
+            )
+            ia, ib = np.nonzero(
+                (cblk >= threshold) & (pid[s:e, None] < hid[None, :])
+            )
+            out_a.append(pid[ia + s])
+            out_b.append(hid[ib])
+            out_c.append(cblk[ia, ib])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    bucket = lsh_bucket_col(vec_col, n_planes, dims, seed)
+    base = df.select(
+        F.col(id_col), bucket.alias("_b"), as_double(vec_col).alias("_v")
+    )
+    probes = base.select(
+        id_col,
+        "_v",
+        F.explode(
+            lsh_probe_buckets(F.col("_b"), n_planes, multiprobe)
+        ).alias("_blk"),
+        F.lit(0).alias("_h"),
+    )
+    homes = base.select(
+        id_col, "_v", F.col("_b").alias("_blk"), F.lit(1).alias("_h")
+    )
+    u = probes.unionByName(homes)
+    # pinned fan-out, same rationale as _embedding_cosine_pairs_arrow
+    u = u.repartition(_pair_parallelism(df), "_blk")
+    return u.groupBy("_blk").applyInPandas(kernel, schema)
 
 
 def semdedup(

@@ -906,3 +906,36 @@ def test_embedding_cosine_pairs_block_chunked_kernel_exact(spark, monkeypatch):
     }
     want = {(a, b, 1.0) for a in range(n) for b in range(a + 1, n)}
     assert got == want
+
+
+def test_lsh_multiprobe_pairs_arrow_sql_parity(spark):
+    """The multiprobe probe x home Arrow kernel must reproduce the SQL
+    join plan's pairs exactly: same once-per-pair emission (probed
+    from the lower id), same round-6-then-threshold predicate,
+    including duplicate vectors (cosine exactly 1.0) and pairs split
+    across a single hyperplane boundary."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(90):
+        vec = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, vec))
+    rows.append((300, list(rows[0][1])))  # exact duplicate vector
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    kw = dict(dims=8, n_planes=3, threshold=0.4, seed=9, multiprobe=1)
+    a = {
+        tuple(r)
+        for r in dedup.lsh_cosine_pairs(
+            df, "embedding", "doc_id", impl="arrow", **kw
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in dedup.lsh_cosine_pairs(
+            df, "embedding", "doc_id", impl="sql", **kw
+        ).collect()
+    }
+    assert a == b, f"arrow^sql diff: {a ^ b}"
+    assert any(r[2] == 1.0 for r in a)
+    assert len(a) > 0

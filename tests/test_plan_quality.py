@@ -165,16 +165,21 @@ def test_domain_mixture_count_bounded_to_listed_domains(spark, sf_dir):
     assert "partial_count" in plan
 
 
-def test_lsh_multiprobe_single_equi_join_no_python(spark, sf_dir):
-    """The hamming-1 multiprobe stays one equi-join on the probe
-    bucket key (hash-joinable at scale) — never a nested-loop over
-    pairs, never Python."""
+def test_lsh_multiprobe_one_pinned_bucket_exchange(spark, sf_dir):
+    """The hamming-1 multiprobe (impl='arrow' default since r7) is ONE
+    exchange on the probe bucket key feeding grouped Arrow kernels —
+    never a nested-loop over pairs, never a per-row Python UDF, and
+    the kernel stage keeps the pinned shuffle-partition fan-out (AQE
+    would coalesce the byte-small bucket shuffle and serialize the
+    quadratic per-bucket work). The SQL join shape stays gated by the
+    parity test (tests/test_functions.py)."""
     plan = _plan(spark, "lsh_cosine_multiprobe_pairs", sf_dir)
     assert "NestedLoop" not in plan
-    assert "EvalPython" not in plan
-    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
-        "ShuffledHashJoin" in plan
-    )
+    assert "FlatMapGroupsInPandas" in plan  # grouped kernel, not a join
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    df = entry.queries()["lsh_cosine_multiprobe_pairs"](spark, sf_dir)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert df.rdd.getNumPartitions() >= parts
 
 
 def test_quantize_corpus_side_never_hash_shuffles(spark, sf_dir):
