@@ -26,18 +26,30 @@ __all__ = ["run_main", "cli_main"]
 
 
 def run_main(flow: Dataflow, checkpoint: str | None = None, **trigger: Any) -> None:
-    """Execute all sinks queued on the flow (one pass, deterministic)."""
+    """Execute all sinks queued on the flow (one pass, deterministic).
+
+    When ``BYTEWAX_DATAFLOW_API_ENABLED`` is set, a daemon-thread HTTP
+    server exposes ``/dataflow`` + ``/metrics`` for the duration of the
+    run (reference ``src/run.rs:368-372``; see
+    :mod:`bytewax_spark.webserver`)."""
     if not flow.sinks:
         raise ValueError(f"flow {flow.flow_id!r} has no outputs; add op.output(...)")
-    queries = []
-    for _sid, stream, sink in flow.sinks:
-        if stream.is_streaming:
-            q = sink.write_stream(stream.df, checkpoint=checkpoint, **trigger)
-            queries.append(q)
-        else:
-            sink.write_batch(stream.df)
-    for q in queries:
-        q.awaitTermination()
+    from bytewax_spark.webserver import maybe_serve_dataflow_api
+
+    server = maybe_serve_dataflow_api(flow)
+    try:
+        queries = []
+        for _sid, stream, sink in flow.sinks:
+            if stream.is_streaming:
+                q = sink.write_stream(stream.df, checkpoint=checkpoint, **trigger)
+                queries.append(q)
+            else:
+                sink.write_batch(stream.df)
+        for q in queries:
+            q.awaitTermination()
+    finally:
+        if server is not None:
+            server.shutdown()
 
 
 def _locate_flow(spec: str) -> Dataflow:
