@@ -29,6 +29,10 @@ __all__ = [
     "KafkaSource",
     "RandomMetricSource",
     "SimplePollingSource",
+    "batch",
+    "batch_getter",
+    "batch_getter_ex",
+    "batch_async",
 ]
 
 
@@ -453,3 +457,124 @@ class SimplePollingSource(Source):
                     yield pd.DataFrame([getter()])
 
         return ticks.mapInPandas(fetch, schema=self.schema)
+
+
+# -- batching helpers for custom-source authors -------------------------
+# (reference §2.6 input helpers, ``pysrc/bytewax/inputs.py:455-629``:
+# ``batch`` / ``batch_getter`` / ``batch_getter_ex`` / ``batch_async``.)
+# Arrow batching is native on the Spark path, so the ENGINE never needs
+# these — they exist for the user-side contract: code written against
+# the reference's helpers (hand-rolled pollers, queue drains, async
+# feeds wrapped for TestingSource / SimplePollingSource) ports over
+# unchanged. Semantics matched to the reference: batch() never yields
+# an empty list; the getter variants yield a (possibly empty) partial
+# batch on their "no items yet" signal and yield the final partial
+# batch once on EOF (StopIteration); batch_async never blocks longer
+# than `timeout` per yielded batch and keeps the in-flight item task
+# alive across timeouts so no item is lost.
+
+
+def batch(ib, batch_size: int):
+    """Chunk an iterable into lists of at most ``batch_size`` items.
+    Yields only non-empty batches; stops when the iterable is
+    exhausted."""
+    from itertools import islice
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    it = iter(ib)
+    for head in it:
+        chunk = [head]
+        chunk.extend(islice(it, batch_size - 1))
+        yield chunk
+
+
+def batch_getter(getter, batch_size: int, yield_on=None):
+    """Chunk a getter that signals "no item yet" with a SENTINEL value
+    (``yield_on``, default None). Each yielded batch has at most
+    ``batch_size`` items; seeing the sentinel ends the current batch
+    (which may be empty — the caller's poll loop keeps cadence); the
+    getter raising StopIteration is EOF: the final partial batch is
+    yielded once, then iteration ends."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    while True:
+        chunk: list = []
+        while len(chunk) < batch_size:
+            try:
+                item = getter()
+            except StopIteration:
+                yield chunk
+                return
+            if item == yield_on:
+                break
+            chunk.append(item)
+        yield chunk
+
+
+def batch_getter_ex(getter, batch_size: int, yield_ex=None):
+    """Chunk a getter that signals "no item yet" by RAISING
+    ``yield_ex`` (default ``queue.Empty`` — the queue-drain idiom).
+    Same batch/EOF contract as :func:`batch_getter`."""
+    import queue
+
+    if yield_ex is None:
+        yield_ex = queue.Empty
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    while True:
+        chunk: list = []
+        while len(chunk) < batch_size:
+            try:
+                chunk.append(getter())
+            except yield_ex:
+                break
+            except StopIteration:
+                yield chunk
+                return
+        yield chunk
+
+
+def batch_async(aib, timeout: timedelta, batch_size: int, loop=None):
+    """Drive an async iterable from synchronous code, yielding at most
+    every ``timeout``: each yielded batch holds up to ``batch_size``
+    items gathered within the window (possibly zero — the caller's
+    poll loop keeps its cadence and never blocks past the timeout).
+    The in-flight ``__anext__`` task is shielded from the timeout
+    cancellation and carried over to the next batch, so no item is
+    ever dropped at a window boundary. Ends when the async iterator
+    is exhausted and all gathered items have been yielded."""
+    import asyncio
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    ait = aib.__aiter__()
+    run_loop = loop if loop is not None else asyncio.new_event_loop()
+    carry: list = [None]  # the in-flight __anext__ task, if any
+
+    async def _gather() -> list:
+        chunk: list = []
+        while len(chunk) < batch_size:
+            if carry[0] is None:
+                carry[0] = run_loop.create_task(ait.__anext__())
+            try:
+                # shield: a timeout must not kill the fetch itself —
+                # the pending task is resumed by the NEXT batch
+                item = await asyncio.shield(carry[0])
+            except asyncio.CancelledError:
+                break  # window closed; yield what we have
+            except StopAsyncIteration:
+                if chunk:
+                    break  # flush gathered items; EOF re-raises next call
+                raise
+            carry[0] = None
+            chunk.append(item)
+        return chunk
+
+    while True:
+        try:
+            yield run_loop.run_until_complete(
+                asyncio.wait_for(_gather(), timeout.total_seconds())
+            )
+        except StopAsyncIteration:
+            return
