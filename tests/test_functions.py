@@ -939,3 +939,33 @@ def test_lsh_multiprobe_pairs_arrow_sql_parity(spark):
     assert a == b, f"arrow^sql diff: {a ^ b}"
     assert any(r[2] == 1.0 for r in a)
     assert len(a) > 0
+
+
+def test_lsh_multiprobe_pairs_arrow_string_ids(spark):
+    """The multiprobe kernel compares id arrays directly (the
+    id_probe < id_home mask), so non-numeric ids must survive: parity
+    with the SQL plan on string doc ids."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (f"d{i:03d}", [rng.uniform(-1, 1) for _ in range(6)])
+        for i in range(50)
+    ]
+    rows.append(("d900", list(rows[0][1])))  # duplicate vector
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<float>")
+    kw = dict(dims=6, n_planes=2, threshold=0.4, seed=3, multiprobe=1)
+    a = {
+        tuple(r)
+        for r in dedup.lsh_cosine_pairs(
+            df, "embedding", "doc_id", impl="arrow", **kw
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in dedup.lsh_cosine_pairs(
+            df, "embedding", "doc_id", impl="sql", **kw
+        ).collect()
+    }
+    assert a == b
+    assert all(isinstance(t[0], str) and isinstance(t[1], str) for t in a)
