@@ -955,6 +955,21 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(docs, "text", "doc_id", n=1, k=32, bands=4)
 
 
+def lsh_recall_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the banded MinHash-LSH parameters
+    (functions/dedup.py minhash_lsh_recall): of the EXACT token-set
+    Jaccard >= 0.95 pairs (PPJoin prefix-filtered), how many does the
+    production K=32 / 4-band candidate join catch? One row
+    (n_true, n_caught, recall_ppm) — the tuning gate you run (on a
+    sample) before trusting an LSH configuration at corpus scale."""
+    from bytewax_spark.functions import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_recall(
+        docs, "text", "doc_id", n=1, k=32, bands=4, threshold=0.95
+    )
+
+
 def neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment (functions/graph.py): banded
     MinHash-LSH candidate pairs → connected components (min-label
@@ -3299,6 +3314,51 @@ _ORACLES["minhash_lsh_pairs_docs"] = f"""
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+# recall audit: exact-pairs CTEs (as ngram_jaccard_pairs_docs) +
+# banded-LSH CTEs (as minhash_lsh_pairs_docs) -> one counts row
+_ORACLES["lsh_recall_audit_docs"] = f"""
+    WITH {_SQL_SHINGLES_N1},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.95
+    ),
+    sig AS (
+      SELECT doc_id, i,
+             MIN((((i * 2654435761) % 2147483647) * (shingle % 2147483647)
+                  + ((i * 40503 + 17) % 2147483647)) % 2147483647) AS minhash
+      FROM sh CROSS JOIN (SELECT UNNEST(RANGE(1, 33)) AS i)
+      GROUP BY doc_id, i
+    ),
+    banded AS (
+      SELECT doc_id, (i - 1) // 8 AS band,
+             MD5(STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM truth t
+              JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_caught
+    )
+    SELECT n_true, n_caught,
+           CASE WHEN n_true = 0 THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(n_caught * 1000000 // n_true AS BIGINT)
+           END AS recall_ppm
+    FROM agg
 """
 
 # LSH candidates (same sig/banded CTEs as minhash_lsh_pairs_docs)
@@ -9432,6 +9492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_mean_by_type": winsorized_mean_by_type,
         "auc_purchase_by_source": auc_purchase_by_source,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "lsh_recall_audit_docs": lsh_recall_audit_docs,
         "span_dedup_docs": span_dedup_docs,
         "semdedup_docs": semdedup_docs,
         "minhash_verified_pairs_docs": minhash_verified_pairs_docs,

@@ -969,3 +969,30 @@ def test_lsh_multiprobe_pairs_arrow_string_ids(spark):
     }
     assert a == b
     assert all(isinstance(t[0], str) and isinstance(t[1], str) for t in a)
+
+
+def test_minhash_lsh_recall_catches_identical_docs(spark):
+    """Exact duplicates share every shingle, hence every band bucket:
+    recall over a corpus of duplicate groups must be 1.0 exactly."""
+    rows = []
+    for g in range(6):
+        base = f"alpha bravo charlie delta echo{g} foxtrot golf hotel"
+        rows.append((g * 10, base))
+        rows.append((g * 10 + 1, base))  # exact duplicate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_lsh_recall(
+        df, "text", "doc_id", n=1, k=16, bands=4, threshold=0.9
+    ).collect()[0]
+    assert out["n_true"] == 6
+    assert out["n_caught"] == 6
+    assert out["recall_ppm"] == 1_000_000
+
+
+def test_minhash_lsh_recall_vacuous_when_no_true_pairs(spark):
+    rows = [(i, f"token{i}a token{i}b token{i}c token{i}d") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_lsh_recall(
+        df, "text", "doc_id", n=1, k=16, bands=4, threshold=0.9
+    ).collect()[0]
+    assert out["n_true"] == 0
+    assert out["recall_ppm"] == 1_000_000  # vacuous full recall
