@@ -956,12 +956,15 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_recall_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall audit of the banded MinHash-LSH parameters
+    """Recall + precision audit of the banded MinHash-LSH parameters
     (functions/dedup.py minhash_lsh_recall): of the EXACT token-set
     Jaccard >= 0.95 pairs (PPJoin prefix-filtered), how many does the
-    production K=32 / 4-band candidate join catch? One row
-    (n_true, n_caught, recall_ppm) — the tuning gate you run (on a
-    sample) before trusting an LSH configuration at corpus scale."""
+    production K=32 / 4-band candidate join catch (recall — parameter
+    safety), and what fraction of its candidates are true pairs
+    (precision — downstream verification cost)? One row
+    (n_true, n_cand, n_caught, recall_ppm, precision_ppm) — the
+    tuning gate you run (on a sample) before trusting an LSH
+    configuration at corpus scale."""
     from bytewax_spark.functions import dedup as dd
 
     docs = _t(spark, sf_dir, "documents")
@@ -3351,13 +3354,17 @@ _ORACLES["lsh_recall_audit_docs"] = f"""
     ),
     agg AS (
       SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM cand) AS n_cand,
              (SELECT COUNT(*) FROM truth t
               JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_caught
     )
-    SELECT n_true, n_caught,
+    SELECT n_true, n_cand, n_caught,
            CASE WHEN n_true = 0 THEN CAST(1000000 AS BIGINT)
                 ELSE CAST(n_caught * 1000000 // n_true AS BIGINT)
-           END AS recall_ppm
+           END AS recall_ppm,
+           CASE WHEN n_cand = 0 THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(n_caught * 1000000 // n_cand AS BIGINT)
+           END AS precision_ppm
     FROM agg
 """
 

@@ -588,39 +588,49 @@ def minhash_lsh_recall(
     bands: int = MINHASH_BANDS,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Recall audit of banded MinHash-LSH against EXACT n-gram Jaccard
-    — the parameter-tuning gate before trusting an (k, bands) choice
-    on a real corpus: one row ``(n_true, n_caught, recall_ppm)`` where
+    """Recall AND precision audit of banded MinHash-LSH against EXACT
+    n-gram Jaccard — the parameter-tuning gate before trusting a
+    (k, bands) choice on a real corpus. One row
+    ``(n_true, n_cand, n_caught, recall_ppm, precision_ppm)``:
     ``n_true`` counts the exact Jaccard >= ``threshold`` pairs
     (:func:`ngram_jaccard_pairs`, PPJoin prefix-filtered — exact, no
-    quadratic shingle join), ``n_caught`` those of them the banded LSH
-    candidate set (:func:`minhash_lsh_pairs`, same shingling) also
-    contains, and ``recall_ppm = n_caught / n_true`` in ppm
-    (1,000,000 when there are no true pairs — vacuous full recall).
-    The theoretical curve is recall ≈ 1-(1-J^(k/bands))^bands; this
-    measures the real thing on the real corpus.
+    quadratic shingle join), ``n_cand`` the banded LSH candidates
+    (:func:`minhash_lsh_pairs`, same shingling), ``n_caught`` their
+    intersection. ``recall_ppm = n_caught/n_true`` grades parameter
+    SAFETY (missed true dups survive dedup); ``precision_ppm =
+    n_caught/n_cand`` grades verification COST (each false candidate
+    buys one wasted exact-Jaccard check downstream). Ratios read
+    1,000,000 when their denominator is 0 (vacuous). The theoretical
+    recall curve is ≈ 1-(1-J^(k/bands))^bands; this measures the real
+    thing on the real corpus.
 
     Scale shape: candidates are the production banded join; truth is
     prefix-filtered exact — the audit's cost driver, so at corpus
     scale run it on a uniform document SAMPLE
     (:func:`bytewax_spark.functions.sampling.sample_fraction`) the
-    same way the kNN label audit samples probes; the recall estimate
-    is unbiased because sampling documents subsamples true pairs
-    uniformly. The caught-join is a pair-key semi-join — linear in
-    the true-pair count."""
+    same way the kNN label audit samples probes; the estimates are
+    unbiased because sampling documents subsamples pairs uniformly.
+    The caught-join is a pair-key semi-join — linear in the true-pair
+    count."""
     truth = ngram_jaccard_pairs(
         df, text_col, id_col, n=n, threshold=threshold
     ).select("id_a", "id_b")
     cand = minhash_lsh_pairs(df, text_col, id_col, n=n, k=k, bands=bands)
     caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
     t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    k_ = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     c = caught.agg(F.count(F.lit(1)).alias("n_caught"))
-    return t.crossJoin(c).select(
+    vac = F.lit(1_000_000).cast("long")
+    return t.crossJoin(k_).crossJoin(c).select(
         "n_true",
+        "n_cand",
         "n_caught",
-        F.when(F.col("n_true") == 0, F.lit(1_000_000).cast("long"))
+        F.when(F.col("n_true") == 0, vac)
         .otherwise(F.expr("(n_caught * 1000000L) div n_true"))
         .alias("recall_ppm"),
+        F.when(F.col("n_cand") == 0, vac)
+        .otherwise(F.expr("(n_caught * 1000000L) div n_cand"))
+        .alias("precision_ppm"),
     )
 
 

@@ -986,6 +986,8 @@ def test_minhash_lsh_recall_catches_identical_docs(spark):
     assert out["n_true"] == 6
     assert out["n_caught"] == 6
     assert out["recall_ppm"] == 1_000_000
+    assert out["n_cand"] >= 6
+    assert 0 < out["precision_ppm"] <= 1_000_000
 
 
 def test_minhash_lsh_recall_vacuous_when_no_true_pairs(spark):
@@ -996,3 +998,7 @@ def test_minhash_lsh_recall_vacuous_when_no_true_pairs(spark):
     ).collect()[0]
     assert out["n_true"] == 0
     assert out["recall_ppm"] == 1_000_000  # vacuous full recall
+    if out["n_cand"] == 0:
+        assert out["precision_ppm"] == 1_000_000  # vacuous too
+    else:
+        assert out["precision_ppm"] == 0  # candidates, none true
