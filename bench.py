@@ -378,6 +378,7 @@ SF1_QUERIES = [
     # amortizing on the ops that matter most at corpus scale
     "dedup_fingerprint_docs",
     "minhash_lsh_pairs_docs",
+    "lsh_cosine_neardup_pairs",  # r7 Arrow bucket kernel at 10x vectors
     "curate_corpus",
     # heavy join-shaped queries with non-trivial scaling exponents —
     # the sf0.1->sf1 ratio is the scale-robustness datum (see
