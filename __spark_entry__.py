@@ -1417,6 +1417,22 @@ def lsh_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_cosine_recall_audit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the hyperplane-LSH cosine bucketing
+    (functions/dedup.py lsh_cosine_recall): of the exact cosine >=
+    0.35 pairs WITHIN labels (the computable blocked truth), how many
+    does the global 8-plane bucket join recover? One
+    (n_true, n_caught, recall_ppm) row — measures the boundary-split
+    loss the multiprobe knob exists to recover; the vector-side twin
+    of lsh_recall_audit_docs."""
+    from bytewax_spark.functions import dedup as dd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.lsh_cosine_recall(
+        emb, "embedding", "vec_id", "label", dims=64, n_planes=8, threshold=0.35
+    )
+
+
 def quantized_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-dimension int8 quantization
     (functions/similarity.py quantize_embeddings): corpus reduces to
@@ -3709,6 +3725,33 @@ _ORACLES["lsh_cosine_neardup_pairs"] = f"""
            ROUND({_SQL_COS.format(a='a.embedding', b='c.embedding')}, 6) AS cosine
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
     WHERE ROUND({_SQL_COS.format(a='a.embedding', b='c.embedding')}, 6) >= 0.35
+"""
+
+# vector-side LSH audit: within-label exact pairs (truth) vs the
+# global bucket join's verified candidates (same CTEs as above)
+_ORACLES["lsh_cosine_recall_audit_embeddings"] = f"""
+    WITH bk AS ({_lsh_oracle().replace("SELECT vec_id,", "SELECT vec_id, embedding,")}),
+    truth AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND({_SQL_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE ROUND({_SQL_COS.format(a='a.embedding', b='c.embedding')}, 6) >= 0.35
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM truth t
+              JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_caught
+    )
+    SELECT n_true, n_caught,
+           CASE WHEN n_true = 0 THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(n_caught * 1000000 // n_true AS BIGINT)
+           END AS recall_ppm
+    FROM agg
 """
 
 # floor(x*127/m + 0.5) with identical IEEE op order on both engines;
@@ -9500,6 +9543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_purchase_by_source": auc_purchase_by_source,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "lsh_recall_audit_docs": lsh_recall_audit_docs,
+        "lsh_cosine_recall_audit_embeddings": lsh_cosine_recall_audit_embeddings,
         "span_dedup_docs": span_dedup_docs,
         "semdedup_docs": semdedup_docs,
         "minhash_verified_pairs_docs": minhash_verified_pairs_docs,

@@ -56,6 +56,7 @@ __all__ = [
     "simhash",
     "embedding_cosine_pairs",
     "lsh_cosine_pairs",
+    "lsh_cosine_recall",
     "semdedup",
 ]
 
@@ -1107,6 +1108,64 @@ def _lsh_multiprobe_pairs_arrow(
     # pinned fan-out, same rationale as _embedding_cosine_pairs_arrow
     u = u.repartition(_pair_parallelism(df), "_blk")
     return u.groupBy("_blk").applyInPandas(kernel, schema)
+
+
+def lsh_cosine_recall(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    dims: int,
+    n_planes: int | None = None,
+    threshold: float = 0.9,
+    seed: int = 42,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Recall audit of hyperplane-LSH cosine bucketing — the
+    vector-side twin of :func:`minhash_lsh_recall`: one row
+    ``(n_true, n_caught, recall_ppm)`` where ``n_true`` counts the
+    exact cosine >= ``threshold`` pairs within ``block_col`` groups
+    (:func:`embedding_cosine_pairs` — the computable truth: a label /
+    cluster-cell / sampled block bounds the quadratic exact pass) and
+    ``n_caught`` those of them the LSH bucket join
+    (:func:`lsh_cosine_pairs` — GLOBAL, no blocks) also finds.
+    ``recall_ppm`` is 1,000,000 when there are no true pairs.
+
+    No precision column on purpose: ``lsh_cosine_pairs`` verifies the
+    exact cosine inside each bucket, so every candidate it returns IS
+    a true pair (precision 1.0 by construction) — the tunables here
+    are ``n_planes``/``multiprobe``, which trade bucket size
+    (quadratic per-bucket cost) against boundary-split recall, and
+    this measures that recall on the real corpus (theory per pair:
+    (1 - angle/pi)^n_planes without multiprobe).
+
+    Scale shape: truth is block-bounded exact (run on a blocked
+    SAMPLE at corpus scale — unbiased for within-block pairs);
+    candidates are the production bucket kernel; the caught-join is a
+    pair-key semi-join."""
+    truth = embedding_cosine_pairs(
+        df, vec_col, id_col, block_col, threshold
+    ).select("id_a", "id_b")
+    cand = lsh_cosine_pairs(
+        df,
+        vec_col,
+        id_col,
+        dims=dims,
+        n_planes=n_planes,
+        threshold=threshold,
+        seed=seed,
+        multiprobe=multiprobe,
+    ).select("id_a", "id_b")
+    caught = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    c = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    return t.crossJoin(c).select(
+        "n_true",
+        "n_caught",
+        F.when(F.col("n_true") == 0, F.lit(1_000_000).cast("long"))
+        .otherwise(F.expr("(n_caught * 1000000L) div n_true"))
+        .alias("recall_ppm"),
+    )
 
 
 def semdedup(

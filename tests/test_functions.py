@@ -1002,3 +1002,46 @@ def test_minhash_lsh_recall_vacuous_when_no_true_pairs(spark):
         assert out["precision_ppm"] == 1_000_000  # vacuous too
     else:
         assert out["precision_ppm"] == 0  # candidates, none true
+
+
+def test_lsh_cosine_recall_full_on_identical_vectors(spark):
+    """Identical vectors land in the same bucket under any hyperplane
+    set: recall must be exactly 1.0."""
+    rows = []
+    for g in range(5):
+        vec = [float(g + 1), float(2 * g + 1), 0.5, -1.0]
+        rows.append((g * 10, vec, g))
+        rows.append((g * 10 + 1, list(vec), g))  # exact duplicate, same block
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = dedup.lsh_cosine_recall(
+        df, "embedding", "vec_id", "label", dims=4, n_planes=3, threshold=0.99
+    ).collect()[0]
+    assert out["n_true"] == 5
+    assert out["n_caught"] == 5
+    assert out["recall_ppm"] == 1_000_000
+
+
+def test_lsh_cosine_recall_multiprobe_never_lower(spark):
+    """multiprobe=1 probes every hamming-1 bucket as well, so its
+    candidate set is a superset: measured recall can only go up."""
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 2) for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    kw = dict(dims=8, n_planes=4, threshold=0.3)
+    base = dedup.lsh_cosine_recall(
+        df, "embedding", "vec_id", "label", multiprobe=0, **kw
+    ).collect()[0]
+    probed = dedup.lsh_cosine_recall(
+        df, "embedding", "vec_id", "label", multiprobe=1, **kw
+    ).collect()[0]
+    assert base["n_true"] == probed["n_true"] > 0
+    assert probed["n_caught"] >= base["n_caught"]
+    assert probed["recall_ppm"] >= base["recall_ppm"]
