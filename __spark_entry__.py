@@ -946,6 +946,20 @@ def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.95)
 
 
+def dedup_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source impact report of the canonical-fingerprint exact
+    dedup (functions/dedup.py dedup_report): which sources the pass
+    actually ate — (source, n_before, n_after, n_removed, removed_ppm,
+    w_before, w_after) with char mass as the weight. Two group-key
+    aggregations + one tiny outer join; documents never move."""
+    from bytewax_spark.functions import dedup as dd
+    from bytewax_spark.functions import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = dd.dedup_exact(docs, "text", "doc_id", key=tx.fingerprint("text"))
+    return dd.dedup_report(docs, survivors, "source", weight_col="n_chars")
+
+
 def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (K=32, 4 bands x 8 rows) — the
     100 TB-scale near-dup path."""
@@ -3239,6 +3253,28 @@ _ORACLES["quality_band_docs"] = """
 
 _ORACLES["dedup_fingerprint_docs"] = f"""
     SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_SQL_CANON}
+"""
+
+_ORACLES["dedup_report_docs"] = f"""
+    WITH keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_SQL_CANON}
+    ),
+    b AS (
+      SELECT source, COUNT(*) AS n_before, SUM(n_chars) AS w_before
+      FROM documents GROUP BY 1
+    ),
+    a AS (
+      SELECT d.source, COUNT(*) AS n_after, SUM(d.n_chars) AS w_after
+      FROM documents d JOIN keep k ON d.doc_id = k.doc_id GROUP BY 1
+    )
+    SELECT b.source, b.n_before,
+           COALESCE(a.n_after, 0) AS n_after,
+           b.n_before - COALESCE(a.n_after, 0) AS n_removed,
+           CAST(1000000 * (b.n_before - COALESCE(a.n_after, 0)) // b.n_before
+                AS BIGINT) AS removed_ppm,
+           CAST(b.w_before AS BIGINT) AS w_before,
+           CAST(COALESCE(a.w_after, 0) AS BIGINT) AS w_after
+    FROM b LEFT JOIN a ON b.source = a.source
 """
 
 # curate_corpus mirrors the Spark pipeline stage by stage: score/lang
@@ -9655,6 +9691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "doc_fingerprints": doc_fingerprints,
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
+        "dedup_report_docs": dedup_report_docs,
         "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     }
     order = _registry_order(

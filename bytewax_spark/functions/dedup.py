@@ -38,6 +38,7 @@ __all__ = [
     "dedup_exact",
     "dedup_incremental",
     "dedup_bloom_incremental",
+    "dedup_report",
     "bloom_build",
     "bloom_might_contain",
     "dedup_keep_best",
@@ -82,6 +83,50 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str, key: Column | None = 
         .select(id_col)
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def dedup_report(
+    before: DataFrame,
+    after: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-group impact report of a dedup (or any filtering) pass —
+    the observability leg of the dedup suite next to the recall/
+    precision audits: one row per ``group_col`` value (source, domain,
+    language, shard) with ``(n_before, n_after, n_removed,
+    removed_ppm)`` plus ``(w_before, w_after)`` sums of ``weight_col``
+    (chars, tokens, bytes) when given — "which sources did the dedup
+    actually eat" is the first question after any corpus-scale pass.
+    Groups absent from ``after`` report 0 survivors (fully deduped);
+    groups that appear only in ``after`` are a pipeline bug and
+    surface as NULL ``n_before`` rather than being silently dropped.
+
+    Scale shape: two independent map-side-combined groupBy
+    aggregations (group-key shuffles carry one row per group per
+    partition, never documents) + one tiny group-key outer join —
+    nothing pairwise, nothing driver-side."""
+    def aggs(side: str):
+        out = [F.count(F.lit(1)).alias(f"n_{side}")]
+        if weight_col is not None:
+            out.append(F.sum(weight_col).alias(f"w_{side}"))
+        return out
+
+    b = before.groupBy(group_col).agg(*aggs("before"))
+    a = after.groupBy(group_col).agg(*aggs("after"))
+    joined = b.join(a, group_col, "full_outer")
+    cols = [
+        group_col,
+        "n_before",
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        (F.col("n_before") - F.coalesce("n_after", F.lit(0))).alias("n_removed"),
+        F.expr(
+            "(1000000L * (n_before - coalesce(n_after, 0L))) div n_before"
+        ).alias("removed_ppm"),
+    ]
+    if weight_col is not None:
+        cols += ["w_before", F.coalesce("w_after", F.lit(0)).alias("w_after")]
+    return joined.select(*cols)
 
 
 def dedup_incremental(

@@ -1045,3 +1045,44 @@ def test_lsh_cosine_recall_multiprobe_never_lower(spark):
     assert base["n_true"] == probed["n_true"] > 0
     assert probed["n_caught"] >= base["n_caught"]
     assert probed["recall_ppm"] >= base["recall_ppm"]
+
+
+def test_dedup_report_counts_and_edges(spark):
+    """Per-group before/after accounting: a fully-deduped group
+    reports 0 survivors (not a dropped row), and a group appearing
+    only in `after` surfaces with NULL n_before (pipeline bug made
+    visible, not silently swallowed)."""
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 40), (5, "b", 50)],
+        "doc_id long, source string, n_chars long",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10), (9, "c", 90)],  # b fully deduped; c from nowhere
+        "doc_id long, source string, n_chars long",
+    )
+    rows = {
+        r["source"]: r
+        for r in dedup.dedup_report(
+            before, after, "source", weight_col="n_chars"
+        ).collect()
+    }
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    assert (a["n_before"], a["n_after"], a["n_removed"]) == (3, 1, 2)
+    assert a["removed_ppm"] == 666666
+    assert (a["w_before"], a["w_after"]) == (60, 10)
+    assert (b["n_before"], b["n_after"], b["n_removed"]) == (2, 0, 2)
+    assert b["removed_ppm"] == 1_000_000
+    assert b["w_after"] == 0
+    assert c["n_before"] is None  # after-only group kept visible
+
+
+def test_dedup_report_without_weight(spark):
+    before = spark.createDataFrame(
+        [(1, "a"), (2, "a")], "doc_id long, source string"
+    )
+    after = before.limit(1)
+    out = dedup.dedup_report(before, after, "source").collect()[0]
+    assert set(out.asDict()) == {
+        "source", "n_before", "n_after", "n_removed", "removed_ppm"
+    }
+    assert out["removed_ppm"] == 500000
