@@ -4247,26 +4247,35 @@ def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
 _ORACLES["pagerank_purchase_graph"] = _pagerank_oracle()
 
 
-def _part_coedges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct part co-occurrence edges (id_a < id_b) — parts linked
-    when they share an order. Built r6-style from per-order sorted
+def _part_coedges(
+    spark: SparkSession, sf_dir: str, dedup: bool = True
+) -> DataFrame:
+    """Part co-occurrence edges (id_a < id_b) — parts linked when
+    they share an order. Built r6-style from per-order sorted
     ``collect_set`` arrays + posexplode x slice (each unordered pair
     emitted once), NOT a lineitem self-join: one shuffle of the
     lineitem keys instead of a join materializing every pair twice,
     and per-order cost bounded by order size. Shared by every
     part-graph wrapper; the oracles keep the equivalent
-    self-join-DISTINCT SQL (identical edge set)."""
+    self-join-DISTINCT SQL (identical edge set).
+
+    ``dedup=False`` skips the trailing ``distinct`` (one whole
+    exchange) for consumers that dedup in their own aggregate —
+    the r7 adamic_adar/common_neighbors shape collect_set-dedups
+    inside the adjacency build, so handing it pre-distinct pairs
+    just re-bought the same exchange."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     oa = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("_ps")
     )
     exo = oa.select(F.posexplode("_ps").alias("_i", "id_a"), "_ps")
-    return exo.select(
+    out = exo.select(
         "id_a",
         F.explode(F.slice("_ps", F.col("_i") + 2, F.size("_ps"))).alias(
             "id_b"
         ),
-    ).distinct()
+    )
+    return out.distinct() if dedup else out
 
 
 def triangle_counts_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6302,10 +6311,12 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction (functions/graph.py
     common_neighbors) over the part co-occurrence graph: non-adjacent
     part pairs ranked by shared-neighbor count and neighborhood
-    Jaccard — one wedge join + an anti-join on existing edges, exact
-    integer degrees. (The supplier co-order graph is near-complete at
-    this scale — no distance-2 pairs to predict; the part graph is ~7%
-    dense, the right regime for the operator.)
+    Jaccard — adjacency-array wedges with the anti-join folded into
+    the pair aggregate as sentinel rows, exact integer degrees
+    (r7 shape; isolated sf0.1: Spark 4.47 s vs DuckDB 18.0 s — 4x
+    faster, see BASELINE.md r7). (The supplier co-order graph is
+    near-complete at this scale — no distance-2 pairs to predict;
+    the part graph is ~7% dense, the right regime for the operator.)
 
     ``max_degree=128`` caps the wedge fan-out: middles above the cap
     are dropped from the wedge join (Σ deg(m)² is the scale hazard — an
@@ -6319,7 +6330,7 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence pair once — no lineitem self-join."""
     from bytewax_spark.functions import graph
 
-    edges = _part_coedges(spark, sf_dir)
+    edges = _part_coedges(spark, sf_dir, dedup=False)
     return graph.common_neighbors(edges, min_common=14, max_degree=128)
 
 
@@ -6364,28 +6375,30 @@ def adamic_adar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap removes exactly the middles that cost the most and signal the
     least; mirrored in the oracle.
 
-    Cost floor, measured isolated at sf0.1 (see BASELINE.md r6 and
-    tools/adamic_yardstick.py for the reproducible DuckDB command):
-    the capped wedge set is ~74M rows aggregating to ~60M distinct
-    pairs; that aggregation alone is 4.0 s warm on this box and the
-    mandatory edge/degree/adjacency stages add ~3 s, so the Spark
-    floor here is ~7 s (isolated warm median 7.9 s) vs DuckDB 1.85 s
-    on the identical capped oracle — a single-process in-memory hash
-    agg with no exchange serialization. The same oracle spills >79 GB
-    of temp and dies at sf1 while this plan's shuffle aggregation
-    stays ~flat — the remaining gap is the price of the shape that
-    scales, not plan fat (measured rejects: packed-64-bit pair key —
-    no gain, caps ids at 32 bits; salted wedge self-join — 2.6x
-    slower than the adjacency-array emission).
+    Isolated at sf0.1 (r7, tools/yardstick.py both engines): Spark
+    4.18-4.32 s warm median vs DuckDB 2.22 s same-day — 1.9x, inside
+    the 2x bar (r6 shape: 5.9-6.3 s). The r7 shape (BASELINE.md r7)
+    dedups edges inside the middle-key ``collect_set`` (no distinct
+    or degree exchanges), folds the adjacency anti-join into the
+    pair aggregation as ``_w = -1`` sentinel rows off the raw edge
+    stream, and ships wedges as SUFFIX ARRAYS partitioned on id_a
+    alone, exploded post-shuffle into a same-stage aggregate (~8 B
+    per pair through the exchange instead of a 24 B row). The ~74M
+    capped wedge set still aggregates to ~60M distinct pairs; DuckDB
+    runs the identical capped oracle fully in-process — and spills
+    >79 GB and dies at sf1, while this plan's shuffle aggregation
+    stays ~flat (measured rejects: packed-64-bit pair key — no gain,
+    caps ids at 32 bits; salted wedge self-join — 2.6x slower;
+    localCheckpoint on the edge list — 2x slower, hides AQE stats).
 
     Edge building mirrors the wedge trick: one ``collect_set`` of
     partkeys per order, sorted, then each unordered co-occurrence
     pair emitted exactly once via posexplode x slice — no lineitem
-    self-join, and the distinct that follows dedups ~1.3M pre-paired
-    rows instead of ~2.6M join outputs."""
+    self-join, and ``dedup=False`` hands the raw pair stream straight
+    to the operator's own dedup-in-aggregate."""
     from bytewax_spark.functions import graph
 
-    edges = _part_coedges(spark, sf_dir)
+    edges = _part_coedges(spark, sf_dir, dedup=False)
     return graph.adamic_adar(edges, min_score_micro=3_000_000, max_degree=128)
 
 

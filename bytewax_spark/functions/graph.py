@@ -467,96 +467,94 @@ def common_neighbors(
     10¹² wedges and near-zero signal per pair); None = exact.
     Jaccard is computed from exact integer degrees, rounded to 6.
 
-    Wedge enumeration is adjacency-array based (r6, same shape as
-    :func:`adamic_adar`): one explicit hash repartition on the middle
-    (pinned parallelism, AQE-coalescing-proof), one ``collect_list``
-    of ``(neighbor, degree)`` structs sorted by neighbor id, then a
-    JVM-side ``posexplode x slice`` emitting each unordered pair
-    EXACTLY once with both endpoint degrees carried in-row — vs the
-    old salted self-join this halves the rows entering the pair
-    aggregation and deletes a whole shuffled copy of the middle
-    table (isolated A/B at sf0.1 for the Adamic-Adar twin: 7.9 s vs
-    20.5 s median). The pair stream is pre-repartitioned on the pair
-    key: its dedup factor is near 1, so the map-side partial agg
-    cannot shrink the shuffle and hashing raw pairs straight to
-    their reducer keeps the partial pass same-stage. ``n_slices`` is
+    Two-exchange shape (r7, same as :func:`adamic_adar`): the
+    symmetrized RAW pair stream (no ``distinct``) hash-repartitions
+    on the middle once and ``collect_set`` dedups + builds the sorted
+    adjacency array in the same aggregate; degree is ``size(_ns)``.
+    Wedge pairs ship to the pair aggregation as PLAIN-long SUFFIX
+    ARRAYS ``(id_a, [id_b...])`` partitioned on ``id_a`` and exploded
+    post-shuffle (subset-of-grouping-keys partitioning keeps the
+    explode + both agg phases in one stage; the r6 shape carried
+    ``(neighbor, degree)`` structs through an exploded per-pair
+    stream — triple the exchange bytes), and the adjacency anti-join
+    is FOLDED INTO the pair aggregation via sentinel rows (``_c =
+    -1``, taken straight from the raw symmetrized stream — duplicates
+    are harmless because the aggregate sums only positive counts and
+    detects adjacency via ``min(_c) < 0``): an adjacent pair is
+    dropped by one filter.
+    Endpoint degrees for Jaccard are joined AFTER the count filter,
+    onto the (tiny) surviving pair set, from a projection of the
+    SAME adjacency aggregate — the r6 objection to post-hoc degree
+    joins (they re-executed the whole edge-construction subtree) no
+    longer applies because Catalyst's ReuseExchange shares the one
+    middle-key exchange. The pair stream is pre-repartitioned on the
+    pair key: its dedup factor is near 1, so the map-side partial agg
+    cannot shrink the shuffle and hashing raw pairs straight to their
+    reducer keeps the partial pass same-stage. ``n_slices`` is
     retained for API compatibility; slicing is a no-op now."""
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
-    # carry BOTH the middle's degree (for the cap) and the endpoint's
-    # degree (for jaccard) on the wedge rows: one broadcast-sized join
-    # each on the E-row mid table, instead of re-joining deg onto the
-    # result AFTER the anti-join — the post-hoc joins re-executed the
-    # whole edge-construction subtree twice (measured ~2x end-to-end).
-    mid = both.select(F.col("v").alias("m"), F.col("u").alias("n"))
-    if max_degree is not None:
-        degm = deg.select(F.col("u").alias("m"), F.col("_deg").alias("_dm"))
-        mid = mid.join(degm, "m").filter(F.col("_dm") <= max_degree).drop("_dm")
-    degn = deg.select(F.col("u").alias("n"), F.col("_deg").alias("_dn"))
-    mid = mid.join(degn, "n")
+    sym = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    both = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     shuffle_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     nbrs = (
-        mid.repartition(shuffle_parts, "m")
+        both.select(F.col("u").alias("m"), F.col("v").alias("n"))
+        .repartition(shuffle_parts, "m")
         .groupBy("m")
-        .agg(
-            # struct sorts lexicographically on its first field, so
-            # the array is ordered by neighbor id and the slice below
-            # yields exactly the id_a < id_b pairs
-            F.sort_array(
-                F.collect_list(F.struct(F.col("n"), F.col("_dn")))
-            ).alias("_ns"),
-        )
+        .agg(F.sort_array(F.collect_set("n")).alias("_ns"))
     )
-    ex = nbrs.select(F.posexplode("_ns").alias("_i", "_sa"), "_ns")
-    pairs = ex.select(
-        F.col("_sa.n").alias("id_a"),
-        F.col("_sa._dn").alias("_da"),
-        F.explode(F.slice("_ns", F.col("_i") + 2, F.size("_ns"))).alias(
-            "_sb"
-        ),
-    ).select(
+    wmid = nbrs
+    if max_degree is not None:
+        wmid = wmid.filter(F.size("_ns") <= max_degree)
+    ex = wmid.select(F.posexplode("_ns").alias("_i", "id_a"), "_ns")
+    # suffix arrays through the exchange + post-shuffle explode, same
+    # rationale as adamic_adar: HashPartitioning(id_a) satisfies the
+    # (id_a, id_b) grouping, so the explode and both aggregate phases
+    # stay in the one post-shuffle stage.
+    arrs = ex.select(
         "id_a",
-        "_da",
-        F.col("_sb.n").alias("id_b"),
-        F.col("_sb._dn").alias("_db"),
+        F.slice("_ns", F.col("_i") + 2, F.size("_ns")).alias("_bs"),
+        F.lit(1).cast("long").alias("_c"),
+    ).filter(F.size("_bs") > 0)
+    sent = sym.select(
+        F.col("u").alias("id_a"),
+        F.array(F.col("v")).alias("_bs"),
+        F.lit(-1).cast("long").alias("_c"),
     )
     wedges = (
-        pairs.repartition(shuffle_parts, "id_a", "id_b")
+        arrs.unionByName(sent)
+        .repartition(shuffle_parts, "id_a")
+        .select("id_a", F.explode("_bs").alias("id_b"), "_c")
         .groupBy("id_a", "id_b")
-        # degree is functionally dependent on the id — min() just
-        # carries it through the aggregate
         .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.min("_da").alias("_da"),
-            F.min("_db").alias("_db"),
+            F.sum(F.when(F.col("_c") > 0, F.col("_c")).otherwise(0)).alias(
+                "common"
+            ),
+            F.min("_c").alias("_mn"),
         )
-        .filter(F.col("common") >= min_common)
+        .filter((F.col("_mn") > 0) & (F.col("common") >= min_common))
     )
-    non_adj = wedges.join(
-        und,
-        (wedges["id_a"] == und["u"]) & (wedges["id_b"] == und["v"]),
-        "left_anti",
-    )
-    return non_adj.select(
-        "id_a",
-        "id_b",
-        "common",
-        F.round(
-            F.col("common") / (F.col("_da") + F.col("_db") - F.col("common")),
-            6,
-        ).alias("jaccard"),
+    deg = nbrs.select(F.col("m"), F.size("_ns").cast("long").alias("_d"))
+    da = deg.select(F.col("m").alias("id_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("m").alias("id_b"), F.col("_d").alias("_db"))
+    return (
+        wedges.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("_da") + F.col("_db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -579,75 +577,90 @@ def adamic_adar(
     wedge anyway); ``max_degree`` drops hub middles; pairs below
     ``min_score_micro`` drop.
 
-    Wedge enumeration is adjacency-array based (r6): one explicit
-    hash repartition on the middle (AQE-coalescing-proof — the pinned
-    parallelism the old salted self-join bought with an extra shuffled
-    copy), one ``collect_list`` bounded by ``max_degree``, then a
-    JVM-side ``posexplode × slice`` that emits each unordered pair
-    EXACTLY once (``id_a < id_b`` by the sorted array, no post-filter
-    halving). vs the self-join shape this halves the rows entering the
-    pair aggregation and deletes a whole shuffled table. ``n_slices``
-    is retained for API compatibility; the explicit repartition now
-    pins parallelism, so slicing is a no-op."""
+    Two-exchange shape (r7): the symmetrized RAW pair stream (no
+    ``distinct`` — duplicate observations are welcome) goes straight
+    into one hash repartition on the middle and a ``collect_set``,
+    which dedups and builds the sorted adjacency array in the SAME
+    aggregate; degree is then just ``size(_ns)`` (the r6 shape spent
+    separate exchanges on ``distinct`` + a degree ``groupBy`` + a
+    mid-table join to carry it). Wedges are shipped to the pair
+    aggregation as SUFFIX ARRAYS ``(id_a, [id_b...], _w)`` — one row
+    per (middle, position), ~8 bytes per pair — hash-partitioned on
+    ``id_a`` alone and exploded AFTER the exchange; partitioning on a
+    subset of the grouping keys satisfies the aggregate's clustering
+    requirement, so the explode + partial + final agg share the one
+    post-shuffle stage (each unordered pair still appears EXACTLY
+    once: ``id_a < id_b`` by the sorted array). The adjacency
+    anti-join is FOLDED INTO the pair aggregation: sentinel rows
+    with ``_w = -1`` are taken STRAIGHT from the raw symmetrized
+    stream (duplicates are harmless — the aggregate sums only
+    positive weights and detects adjacency via ``min(_w) < 0``), so
+    an adjacent pair is dropped by one filter with no separate join
+    stage, no edge-side shuffle at corpus scale, and no second pass
+    over the adjacency aggregate.
+    ``n_slices`` is retained for API compatibility; the explicit
+    repartition pins parallelism, so slicing is a no-op."""
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
-    w_mid = deg.filter(F.col("_deg") >= 2)
-    if max_degree is not None:
-        w_mid = w_mid.filter(F.col("_deg") <= max_degree)
-    mid = (
-        both.select(F.col("v").alias("m"), F.col("u").alias("n"))
-        .join(w_mid.select(F.col("u").alias("m"), "_deg"), "m")
-        .withColumn(
-            "_w", F.round(F.lit(1_000_000) / F.log(F.col("_deg"))).cast("long")
-        )
-    )
+    sym = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    both = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     shuffle_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     nbrs = (
-        mid.repartition(shuffle_parts, "m")
+        both.select(F.col("u").alias("m"), F.col("v").alias("n"))
+        .repartition(shuffle_parts, "m")
         .groupBy("m")
-        .agg(
-            F.first("_w").alias("_w"),
-            F.sort_array(F.collect_list("n")).alias("_ns"),
-        )
+        .agg(F.sort_array(F.collect_set("n")).alias("_ns"))
     )
-    ex = nbrs.select("_w", F.posexplode("_ns").alias("_i", "id_a"), "_ns")
-    pairs = ex.select(
-        "id_a",
-        F.explode(
-            F.slice("_ns", F.col("_i") + 2, F.size("_ns"))
-        ).alias("id_b"),
+    wmid = nbrs.filter(F.size("_ns") >= 2)
+    if max_degree is not None:
+        wmid = wmid.filter(F.size("_ns") <= max_degree)
+    wmid = wmid.withColumn(
         "_w",
+        F.round(F.lit(1_000_000) / F.log(F.size("_ns"))).cast("long"),
     )
-    # pre-repartition on the pair key: the wedge stream's dedup factor
-    # is tiny (a pair repeats only once per extra shared middle, ~1.2x
-    # at sf0.1), so the map-side partial agg cannot shrink the shuffle
-    # — hashing the raw pairs straight to their reducer makes the
-    # partial pass a same-stage pipeline step instead of a second full
-    # hash build before the exchange (isolated sf0.1 medians: 7.9 s vs
-    # 20.5 s for the partial-first shape, see BASELINE.md r6)
-    wedges = (
-        pairs.repartition(shuffle_parts, "id_a", "id_b")
+    ex = wmid.select("_w", F.posexplode("_ns").alias("_i", "id_a"), "_ns")
+    # ship SUFFIX ARRAYS through the pair exchange, not exploded pairs:
+    # (id_a, [id_b...], _w) is ~8 bytes per pair plus one row overhead
+    # per (middle, position) instead of a 24-byte row per pair — ~3x
+    # fewer exchange bytes and ~25x fewer shuffle rows at sf0.1. The
+    # explode happens AFTER the repartition: HashPartitioning(id_a)
+    # satisfies the (id_a, id_b) grouping's ClusteredDistribution
+    # (partitioning on a subset of the grouping keys), so the partial
+    # + final aggregate run in the SAME post-shuffle stage — no second
+    # exchange. Skew note: this hashes on id_a alone; per-partition
+    # pair volume is bounded by deg(id_a) x max_degree, so set
+    # max_degree on hub-heavy graphs (the same knob that bounds the
+    # wedge count itself).
+    arrs = ex.select(
+        "id_a",
+        F.slice("_ns", F.col("_i") + 2, F.size("_ns")).alias("_bs"),
+        "_w",
+    ).filter(F.size("_bs") > 0)
+    # adjacency sentinels straight off the raw edge stream — dups OK
+    sent = sym.select(
+        F.col("u").alias("id_a"),
+        F.array(F.col("v")).alias("_bs"),
+        F.lit(-1).cast("long").alias("_w"),
+    )
+    return (
+        arrs.unionByName(sent)
+        .repartition(shuffle_parts, "id_a")
+        .select("id_a", F.explode("_bs").alias("id_b"), "_w")
         .groupBy("id_a", "id_b")
-        .agg(F.sum("_w").alias("aa_micro"))
-        .filter(F.col("aa_micro") >= min_score_micro)
+        .agg(
+            F.sum(F.when(F.col("_w") > 0, F.col("_w")).otherwise(0)).alias(
+                "aa_micro"
+            ),
+            F.min("_w").alias("_mn"),
+        )
+        .filter((F.col("_mn") > 0) & (F.col("aa_micro") >= min_score_micro))
+        .select("id_a", "id_b", "aa_micro")
     )
-    return wedges.join(
-        und,
-        (wedges["id_a"] == und["u"]) & (wedges["id_b"] == und["v"]),
-        "left_anti",
-    ).select("id_a", "id_b", "aa_micro")
 
 
 def hits(

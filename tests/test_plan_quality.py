@@ -705,25 +705,30 @@ def test_knn_lsh_is_bucket_kernel_no_nested_loop(spark, sf_dir):
 
 
 def test_link_prediction_adjacency_wedges_no_self_join(spark, sf_dir):
-    """common_neighbors shares adamic_adar's r6 wedge shape: sorted
-    (neighbor, degree)-struct adjacency arrays + posexplode/slice emit
-    each unordered pair once with both degrees carried in-row — no
-    join between the middle table and a shuffled copy of itself."""
+    """common_neighbors shares adamic_adar's r7 two-exchange wedge
+    shape: collect_set adjacency arrays (dedup in-agg, degree =
+    size) + posexplode/slice emit each unordered pair once, and the
+    adjacency exclusion is FOLDED into the pair aggregation via
+    sentinel rows — no LeftAnti stage, no join between the middle
+    table and a shuffled copy of itself."""
     plan = _plan(spark, "link_prediction_parts", sf_dir)
     assert "Generate" in plan
-    assert "collect_list" in plan
-    assert "LeftAnti" in plan
+    assert "collect_set" in plan
+    assert "LeftAnti" not in plan      # folded into the pair agg
     assert "EvalPython" not in plan
 
 
 def test_adamic_adar_single_wedge_shuffle_no_self_join(spark, sf_dir):
-    """r6 wedge enumeration: adjacency arrays + posexplode/slice emit
-    each unordered pair once — the plan must carry NO join between the
-    middle table and a second shuffled copy of itself (the old salted
-    self-join), just the pinned repartition + collect_list + the pair
-    aggregation, and the final anti join against the edge list."""
+    """r7 wedge enumeration: collect_set adjacency arrays (dedup
+    in-agg — no separate distinct or degree exchanges) +
+    posexplode/slice emit each unordered pair once, and the
+    non-adjacency exclusion is folded into the pair aggregation as
+    -2^62 sentinel rows — the plan must carry NO join between the
+    middle table and a second shuffled copy of itself and NO
+    LeftAnti, just the pinned repartition + collect_set + the pair
+    aggregation."""
     plan = _plan(spark, "adamic_adar_parts", sf_dir)
     assert "Generate" in plan          # posexplode/slice pair emission
-    assert "collect_list" in plan
-    assert "LeftAnti" in plan          # non-adjacency exclusion survives
+    assert "collect_set" in plan
+    assert "LeftAnti" not in plan      # folded into the pair agg
     assert "EvalPython" not in plan
