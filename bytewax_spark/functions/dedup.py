@@ -727,24 +727,41 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
 
     Near-dup docs differ in few bits; at scale group directly on the
     fingerprint (or on rotated bands for hamming>0 tolerance) — no
-    pairwise join. Pure expressions: tokens × bits expansion happens
-    inside ``aggregate``, not as rows."""
+    pairwise join.
+
+    Shape (r7, the ``_minhash_wide`` posture): explode DISTINCT tokens
+    to rows, hash each token ONCE in a whole-stage-codegen projection,
+    then one ``groupBy(id)`` whose ``bits`` ``sum`` votes all run
+    map-side partial aggregation — the shuffle carries one
+    (id, votes...) row per doc per partition. The previous array-only
+    form (``aggregate`` HOF per bit) evaluated interpreted AND inlined
+    the full tokenize+md5 pipeline into every bit's lambda (no
+    cross-expression CSE on the CodegenFallback path): 16 bits × the
+    whole corpus re-hashed 16× (measured in the r7 plan dump — 16
+    ``aggregate(transform(...md5...))`` copies in one projection).
+    ``explode_outer`` keeps zero-token docs (null/empty text): their
+    ``_h`` is null, votes stay null (the ±1 term guards on non-null),
+    and the fp falls to 0 exactly as the array form produced."""
     toks = F.array_distinct(tokenize(text_col))
-    th = F.transform(toks, lambda t: F.pmod(hash64(t), F.lit(1 << bits)))
-    bit_votes = [
-        F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.pmod(F.shiftright(h, i), F.lit(2)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
+    rows = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("_t")
+    ).select(
+        id_col, F.pmod(hash64(F.col("_t")), F.lit(1 << bits)).alias("_h")
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.pmod(F.shiftright(F.col("_h"), i), F.lit(2)) == 1, F.lit(1)
+            ).when(F.col("_h").isNotNull(), F.lit(-1))
+        ).alias(f"_v{i}")
         for i in range(bits)
     ]
+    agg = rows.groupBy(id_col).agg(*votes)
     fp = None
-    for i, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for i in range(bits):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
-    return df.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
 def _pair_parallelism(df: DataFrame) -> int:
@@ -1493,6 +1510,15 @@ def hamming_neighbor_pairs(
     widths = [base + 1] * rem + [base] * (n_blocks - rem)
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
     members = df.select(F.col(fp_col).alias("_fp"), F.col(id_col).alias("_id"))
+    # the membership table feeds FOUR subtrees below (distinct fps,
+    # both sides of the cross expansion, the hamming-0 cliques).
+    # Left as lineage each one re-executes the whole fingerprint
+    # pipeline (alias renames break exchange reuse) — for SimHash that
+    # was 4x re-tokenizing the corpus, for aHash 4x re-decoding every
+    # image. Persist the (fp, id) sliver once, same lifecycle as the
+    # MinHash signature tables (at most one cached; see
+    # _cache_signature_table / release_signature_caches).
+    members = _cache_signature_table(members)
     fps = members.select("_fp").distinct()
     blocks = fps.select(
         "_fp",

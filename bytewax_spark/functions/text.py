@@ -204,8 +204,83 @@ def fingerprint(c: Column | str) -> Column:
     return hash64(canon)
 
 
+def _winnow_arrow(df, text_col: str, id_col: str, k: int, window: int):
+    """Arrow kernel for :func:`winnow_fingerprints` — the whole
+    windowed-argmin is per-document, so it runs shuffle-FREE as one
+    ``mapInArrow`` over (id, text): scan → kernel, zero Exchange (the
+    SQL shape pays one full gram-row exchange + sort for the window
+    plus nothing else). Values are bit-identical by construction:
+    md5-first-10-hex == first 5 digest bytes big-endian, the packed
+    ``hash*2^20+pos`` int64s and the width-``window`` sliding minimum
+    are replayed in numpy, and the per-doc ``np.unique`` equals the
+    global distinct because ``pos`` packing makes duplicates
+    impossible across documents."""
+    import pyarrow as pa
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(id_col, text_col)
+    mask = (1 << 20) - 1
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            idx: list = []
+            sels: list = []
+            for j, t in enumerate(texts):
+                if not t:
+                    continue
+                if t.isascii():
+                    s = t.encode()
+                else:
+                    s = t  # code-point slicing matches Spark substr
+                m = len(s) - k + 1
+                if m <= 0:
+                    continue
+                if isinstance(s, bytes):
+                    it = (
+                        int.from_bytes(md5(s[i : i + k]).digest()[:5], "big")
+                        for i in range(m)
+                    )
+                else:
+                    it = (
+                        int.from_bytes(
+                            md5(s[i : i + k].encode()).digest()[:5], "big"
+                        )
+                        for i in range(m)
+                    )
+                packed = (np.fromiter(it, dtype=np.int64, count=m) << 20) + np.arange(
+                    m, dtype=np.int64
+                )
+                if m >= window:
+                    n_out = m - window + 1
+                    wins = packed[:n_out].copy()
+                    for off in range(1, window):
+                        np.minimum(wins, packed[off : off + n_out], out=wins)
+                else:
+                    wins = packed.min(keepdims=True)
+                sel = np.unique(wins)
+                idx.append(np.full(len(sel), j, dtype=np.int64))
+                sels.append(sel)
+            if idx:
+                take = pa.array(np.concatenate(idx))
+                sel = np.concatenate(sels)
+                yield pa.RecordBatch.from_arrays(
+                    [ids.take(take), pa.array(sel >> 20), pa.array(sel & mask)],
+                    names=[id_col, "fp", "pos"],
+                )
+
+    return src.mapInArrow(gen, f"{id_col} {id_type}, fp bigint, pos bigint")
+
+
 def winnow_fingerprints(
-    df, text_col: str, id_col: str, k: int = 5, window: int = 4
+    df, text_col: str, id_col: str, k: int = 5, window: int = 4,
+    impl: str = "arrow",
 ):
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
     the MOSS plagiarism-detection algorithm, public): hash every
@@ -230,7 +305,19 @@ def winnow_fingerprints(
     loses badly: higher-order lambdas don't codegen, and any explode
     of the result collapses the projection into the Generate where the
     md5 transform gets inlined per window branch (23 copies measured,
-    ~60x slower) — Catalyst does no cross-lambda CSE."""
+    ~60x slower) — Catalyst does no cross-lambda CSE.
+
+    ``impl="arrow"`` (default since r7; parity-tested vs the SQL plan
+    in tests/test_retrieval.py): the winnow is per-document, so one
+    ``mapInArrow`` kernel does grams → md5 → packed sliding min →
+    per-doc distinct with ZERO shuffles (the SQL shape's only real
+    cost beyond the per-gram md5 is the full gram-row exchange + sort
+    feeding the window — deleted outright). ``impl="sql"`` keeps the
+    pure-JVM plan for engines without Python workers."""
+    if impl == "arrow":
+        return _winnow_arrow(df, text_col, id_col, k, window)
+    if impl != "sql":
+        raise ValueError(f"impl must be arrow|sql, got {impl!r}")
     from pyspark.sql import Window
 
     # gram count as a LENGTH formula, not size(char_ngrams(...)): the

@@ -244,10 +244,29 @@ def test_dsir_weight_table_broadcasts(spark, sf_dir):
 
 
 def test_winnow_single_hash_transform_in_plan(spark, sf_dir):
-    # regression gate for the Generate-inlining pathology: the gram
-    # md5 must appear ONCE (codegen projection after the explode),
-    # never replicated per window branch or per output row
+    # r7: the default is the shuffle-free mapInArrow kernel — the
+    # whole winnow is per-document, so the plan must be scan → kernel
+    # with NO Exchange (the old SQL shape paid a full gram-row
+    # exchange + sort for the window; it survives behind impl="sql",
+    # gated below)
     plan = _plan(spark, "winnow_fingerprints_docs", sf_dir)
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
+
+
+def test_winnow_sql_impl_single_hash_transform_in_plan(spark, sf_dir):
+    # regression gate for the Generate-inlining pathology in the SQL
+    # path: the gram md5 must appear ONCE (codegen projection after
+    # the explode), never replicated per window branch or per output
+    # row
+    from bytewax_spark.functions import text as tx
+    from bytewax_spark.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    df = tx.winnow_fingerprints(docs, "text", "doc_id", k=5, window=4, impl="sql")
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
     assert plan.count("md5") == 1
     assert "EvalPython" not in plan
 

@@ -324,6 +324,33 @@ def test_winnow_shared_substring_collides(spark):
     assert sorted(map(tuple, fps.collect())) == sorted(map(tuple, fps2.collect()))
 
 
+def test_winnow_arrow_sql_parity(spark):
+    # the r7 mapInArrow kernel must reproduce the SQL plan's rows
+    # bit-for-bit, across the edge shapes: empty text, text shorter
+    # than k, gram count below the window width, ties, and non-ascii
+    # (code-point slicing vs utf-8 byte slicing)
+    from bytewax_spark.functions import text as tx
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),
+        (2, None),
+        (3, "abc"),          # < k chars: no grams
+        (4, "abcde"),        # exactly one gram (m=1 < window)
+        (5, "abcdefg"),      # m=3 < window
+        (6, "abcdefgh"),     # m=4 == window
+        (7, "aaaaaaaaaaaaaaa"),  # all grams identical: tie-break path
+        (8, "héllo wörld — ünïcode tëxt here"),
+        (9, "the quick brown fox jumps over the lazy dog"),  # dup text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = tx.winnow_fingerprints(df, "text", "doc_id", k=5, window=4)
+    sql = tx.winnow_fingerprints(df, "text", "doc_id", k=5, window=4, impl="sql")
+    assert sorted(map(tuple, arrow.collect())) == sorted(map(tuple, sql.collect()))
+    with pytest.raises(ValueError):
+        tx.winnow_fingerprints(df, "text", "doc_id", impl="nope")
+
+
 # ---------------------------------------------------------------------------
 # time-series gap-fill
 # ---------------------------------------------------------------------------
