@@ -319,7 +319,8 @@ def shingle_docs(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     Jaccard and MinHash. Hashing the shingle BEFORE the explode keeps
     the shuffled rows at 16 bytes."""
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_sh"))
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_sh"))
         .select(id_col, hash64(F.col("_sh")).alias("shingle"))
         .distinct()
     )
@@ -347,11 +348,15 @@ def ngram_jaccard_pairs(
     verified with one ``array_intersect`` over the full sets — no
     quadratic key ever shuffles.
     """
-    sh = shingle_docs(df, text_col, id_col, n)
+    # sh feeds the frequency agg AND the ordering join; docs feeds the
+    # prefix explode and both verify joins — cache each sliver once
+    # (signature-table lifecycle) instead of re-running the shingle
+    # explode + groupBy-collect pipeline per consumer subtree
+    sh = _cache_signature_table(shingle_docs(df, text_col, id_col, n))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_freq"))
     # per doc: shingle array ordered rarest-first (global (freq, shingle)
     # order makes prefixes consistent across docs), plus set size
-    docs = (
+    docs = _cache_signature_table(
         sh.join(freq, "shingle")
         .groupBy(id_col)
         .agg(
@@ -420,7 +425,7 @@ def _minhash_wide(
     shingles = (
         shingler(F.col(text_col)) if shingler else word_shingles(text_col, n)
     )
-    sh = df.select(
+    sh = _spread(df.select(F.col(id_col), F.col(text_col), *extra_cols)).select(
         F.col(id_col), *extra_cols, F.explode(shingles).alias("_s")
     ).select(
         id_col, *extra_cols, F.pmod(hash64(F.col("_s")), F.lit(MINHASH_P)).alias("_h")
@@ -467,25 +472,39 @@ def release_signature_caches() -> None:
         _SIGNATURE_CACHES.pop().unpersist()
 
 
+_SIGNATURE_CACHE_SLOTS = 3
+
+
 def _cache_signature_table(banded: DataFrame) -> DataFrame:
-    """Lifecycle for persisted signature tables: at most ONE stays
-    cached. A repeated run over the same inputs produces a
-    canonically-identical plan — reuse the still-cached table (exactly
-    what Spark's CacheManager does for any identical cached plan; same
-    staleness semantics as ``df.cache()``). A run over different
-    inputs evicts the old entry BEFORE persisting: CacheManager keys
-    on canonicalized plans, so unpersisting the old handle after the
-    new persist would tear down a shared entry and leave the read
-    diamond uncached."""
-    prev = _SIGNATURE_CACHES.pop() if _SIGNATURE_CACHES else None
-    if prev is not None and prev._jdf.queryExecution().analyzed().sameResult(
-        banded._jdf.queryExecution().analyzed()
-    ):
-        banded = prev
-    else:
-        if prev is not None:
-            prev.unpersist()
-        banded = banded.persist()
+    """Lifecycle for persisted signature tables: at most
+    ``_SIGNATURE_CACHE_SLOTS`` stay cached (LRU by registration). A
+    repeated run over the same inputs produces a canonically-identical
+    plan — reuse the still-cached table (exactly what Spark's
+    CacheManager does for any identical cached plan; same staleness
+    semantics as ``df.cache()``). A different table beyond the slot
+    cap evicts the OLDEST entry BEFORE persisting: CacheManager keys
+    on canonicalized plans, so unpersisting an old handle after a new
+    persist of the same plan would tear down the shared entry and
+    leave its read diamond uncached.
+
+    Why more than one slot (r7): a composed query can hold several
+    hot diamonds at once — e.g. the LSH recall audit builds the
+    PPJoin doc-set table AND the banded signature table, and
+    verified-pairs caches the banded table plus the shingle-set
+    table. One slot made the second registration evict the first
+    mid-build; each cached sliver is a docs x (id, hash/array) table,
+    so the bounded handful is the same executor-memory posture the
+    single slot had."""
+    for i, prev in enumerate(_SIGNATURE_CACHES):
+        if prev._jdf.queryExecution().analyzed().sameResult(
+            banded._jdf.queryExecution().analyzed()
+        ):
+            # refresh LRU position
+            _SIGNATURE_CACHES.append(_SIGNATURE_CACHES.pop(i))
+            return prev
+    while len(_SIGNATURE_CACHES) >= _SIGNATURE_CACHE_SLOTS:
+        _SIGNATURE_CACHES.pop(0).unpersist()
+    banded = banded.persist()
     _SIGNATURE_CACHES.append(banded)
     return banded
 
@@ -559,7 +578,7 @@ def minhash_lsh_verified_pairs(
     (id, shingle) form would pay an explode + groupBy/collect shuffle
     just to reassemble what each row already had."""
     cand = minhash_lsh_pairs(df, text_col, id_col, n, k, bands, shingler=shingler)
-    sets = df.select(
+    sets = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.array_sort(
             F.array_distinct(
@@ -570,6 +589,10 @@ def minhash_lsh_verified_pairs(
             )
         ).alias("_toks"),
     )
+    # the set table feeds BOTH verify joins; uncached, each side would
+    # re-run the interpreted per-doc shingle+md5 transform over the
+    # whole corpus
+    sets = _cache_signature_table(sets)
     da = sets.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
     db = sets.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
@@ -743,7 +766,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     ``_h`` is null, votes stay null (the ±1 term guards on non-null),
     and the fp falls to 0 exactly as the array form produced."""
     toks = F.array_distinct(tokenize(text_col))
-    rows = df.select(
+    rows = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode_outer(toks).alias("_t")
     ).select(
         id_col, F.pmod(hash64(F.col("_t")), F.lit(1 << bits)).alias("_h")
@@ -762,6 +785,19 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         bit = F.when(F.col(f"_v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism guard for md5-heavy stages that sit directly on a
+    scan: single-row-group parquet files give the scan ONE split, so
+    the hash/explode projection serializes onto one core. No-op when
+    the scan already splits (always true at scale) — see
+    :func:`bytewax_spark.io.ensure_min_partitions`. Only call on
+    scan+project frames (a frame with upstream exchanges would be
+    planned eagerly by the ``.rdd`` probe under AQE)."""
+    from ..io import ensure_min_partitions
+
+    return ensure_min_partitions(df)
 
 
 def _pair_parallelism(df: DataFrame) -> int:
@@ -1383,9 +1419,12 @@ def containment_pairs(
     candidate."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = shingle_docs(df, text_col, id_col, n)
+    # sh feeds the freq agg, the ordering join AND the full index;
+    # docs feeds the prefix explode, the size join and both verify
+    # joins — cache each sliver once (signature-table lifecycle)
+    sh = _cache_signature_table(shingle_docs(df, text_col, id_col, n))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_freq"))
-    docs = (
+    docs = _cache_signature_table(
         sh.join(freq, "shingle")
         .groupBy(id_col)
         .agg(

@@ -217,8 +217,12 @@ def _winnow_arrow(df, text_col: str, id_col: str, k: int, window: int):
     impossible across documents."""
     import pyarrow as pa
 
+    from ..io import ensure_min_partitions
+
     id_type = df.schema[id_col].dataType.simpleString()
-    src = df.select(id_col, text_col)
+    # under-split inputs (single-row-group files) would serialize the
+    # md5 kernel onto one core; no-ops when the scan already splits
+    src = ensure_min_partitions(df.select(id_col, text_col))
     mask = (1 << 20) - 1
 
     def gen(batches):

@@ -15,7 +15,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_parquet", "write_bucketed", "bucketed_table"]
+__all__ = [
+    "read_parquet",
+    "write_bucketed",
+    "bucketed_table",
+    "ensure_min_partitions",
+]
+
+
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` up to ``n`` partitions (default:
+    the cluster's core count) ONLY when it currently has fewer — the
+    scale-adaptive guard for per-row-expensive stages that sit
+    directly on a scan.
+
+    Why: scan parallelism is bounded by file splits, and a parquet
+    file is only splittable at row-group boundaries — a small table
+    written as one row group becomes ONE task no matter what
+    ``maxPartitionBytes``/``minPartitionNum`` say, serializing any
+    heavy per-row compute (Arrow kernels, md5 pipelines) onto a single
+    core. At real scale inputs carry plenty of splits and this helper
+    no-ops, so no shuffle is ever added where the scan already
+    parallelizes; the repartition only fires for under-split inputs,
+    where the shuffled bytes (the raw projected rows) are trivially
+    small by the same token."""
+    target = n or df.sparkSession.sparkContext.defaultParallelism
+    # .rdd here only plans the scan (no exchanges below a projected
+    # scan, so AQE has nothing to execute); it reports the file-split
+    # count the scan would actually get.
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def write_bucketed(

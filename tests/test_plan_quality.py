@@ -251,7 +251,12 @@ def test_winnow_single_hash_transform_in_plan(spark, sf_dir):
     # gated below)
     plan = _plan(spark, "winnow_fingerprints_docs", sf_dir)
     assert "MapInArrow" in plan
-    assert "Exchange" not in plan
+    # no keyed shuffle and no window machinery remain; the only
+    # Exchange permitted is the round-robin parallelism guard for
+    # under-split inputs (ensure_min_partitions — no-op at scale)
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1
 
 
 def test_winnow_sql_impl_single_hash_transform_in_plan(spark, sf_dir):
