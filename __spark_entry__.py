@@ -1362,8 +1362,12 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bytewax_spark.functions import text as tx
 
     flow = _flow("curate")
+    from bytewax_spark.io import ensure_min_partitions
+
     docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
-    scored = docs.select(
+    # scoring/lang-id are the dominant per-row cost; under-split
+    # inputs would run them on one core (no-op at scale)
+    scored = ensure_min_partitions(docs.select("doc_id", "text")).select(
         "doc_id",
         "text",
         tx.lang_id("text").alias("lang_pred"),
@@ -4698,8 +4702,13 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine- and order-exact."""
     from bytewax_spark.functions import text as tx
 
+    from bytewax_spark.io import ensure_min_partitions
+
     flow = _flow("chent")
     docs = op.input("d", flow, _t(spark, sf_dir, "documents")).df
+    # the per-char fold is the whole query; under-split inputs would
+    # run it on one core (no-op at scale)
+    docs = ensure_min_partitions(docs.select("doc_id", "text"))
     return docs.select("doc_id", tx.char_entropy("text").alias("ent_micro"))
 
 

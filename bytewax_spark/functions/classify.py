@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..io import ensure_min_partitions as _spread
+
 from .text import hash64, tokenize
 
 __all__ = ["eval_confusion", "hashed_buckets", "nb_train", "nb_score"]
@@ -67,7 +69,9 @@ def nb_train(
         "bigint"
     )
     v = 1 << bits
-    toks = df.select(y.alias("_y"), F.explode(hashed_buckets(text_col, bits)).alias("bucket"))
+    toks = _spread(df).select(
+        y.alias("_y"), F.explode(hashed_buckets(text_col, bits)).alias("bucket")
+    )
     per = toks.groupBy("bucket").agg(
         F.sum("_y").alias("c1"),
         F.sum(F.lit(1) - F.col("_y")).alias("c0"),
@@ -107,7 +111,7 @@ def nb_score(
     The model join is an explicit broadcast (≤ ``2^bits`` rows by
     construction); documents with no tokens keep the bare prior via
     the left join back onto the id set."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.explode(hashed_buckets(text_col, bits)).alias("bucket")
     )
     scored = (

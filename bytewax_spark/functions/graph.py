@@ -234,6 +234,12 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # read twice below (degree agg + orientation join); without the
+        # checkpoint each side re-executes the whole upstream edge
+        # builder (for the part graph: the lineitem collect_set +
+        # posexplode pipeline). |E| x 16 B — same posture as the
+        # `oriented` checkpoint further down.
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -271,12 +277,27 @@ def triangle_counts(
         )
     )
     # triangle {x,y,z} found once at (s=x, d=y, z in common): each of
-    # the three nodes gets one membership
-    contrib = (
-        per_edge.select(F.col("s").alias("node"), F.size("common").alias("c"))
-        .union(per_edge.select(F.col("d").alias("node"), F.size("common").alias("c")))
-        .union(per_edge.select(F.explode("common").alias("node"), F.lit(1).alias("c")))
-    )
+    # the three nodes gets one membership. ONE generator pass emits
+    # all three contribution kinds — the previous 3-way union
+    # re-executed the adjacency-join + intersect subtree once per
+    # branch (measured: the intersect pass ran 3x per action).
+    c = F.size("common").cast("long")
+    contrib = per_edge.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("s").alias("node"), c.alias("c")),
+                    F.struct(F.col("d").alias("node"), c.alias("c")),
+                ),
+                F.transform(
+                    "common",
+                    lambda z: F.struct(
+                        z.alias("node"), F.lit(1).cast("long").alias("c")
+                    ),
+                ),
+            )
+        ).alias("_x")
+    ).select(F.col("_x.node").alias("node"), F.col("_x.c").alias("c"))
     return (
         contrib.groupBy("node")
         .agg(F.sum("c").alias("triangles"))
@@ -879,6 +900,11 @@ def clustering_coefficient(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # read by the triangle pass AND the degree agg below; the
+        # checkpoint stops both from re-running the upstream edge
+        # builder (triangle_counts checkpoints again after its own
+        # no-op re-normalization — that one reads from this one)
+        .localCheckpoint(eager=True)
     )
     tri = triangle_counts(und, "u", "v")
     deg = (

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import ensure_min_partitions as _spread
 from .text import hash64, tokenize
 
 __all__ = [
@@ -43,7 +44,7 @@ def _bucketed_tokens(df: DataFrame, text_col: str, id_col: str, buckets: int) ->
     """(id, bucket) — one row per token OCCURRENCE, hashed into a
     fixed feature space. The hash runs before the explode leaves the
     row, so shuffled rows are (id, int) regardless of token length."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("_t")
     ).select(id_col, F.pmod(hash64(F.col("_t")), F.lit(buckets)).alias("_b"))
 
@@ -136,7 +137,7 @@ def _bucketed_ngrams(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(grams).alias("_t")).select(
+    return _spread(df).select(F.col(id_col), F.explode(grams).alias("_t")).select(
         id_col, F.pmod(hash64(F.col("_t")), F.lit(buckets)).alias("_b")
     )
 
@@ -235,7 +236,7 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     tf = (
-        df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+        _spread(df).select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -278,7 +279,7 @@ def bm25_scores(
     frequencies are |query| rows. Final top-k is sort+limit →
     TakeOrderedAndProject, no global sort."""
     terms = [t.lower() for t in query_terms]
-    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    toks = _spread(df).select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_TOT")
@@ -333,7 +334,7 @@ def vocab_coverage(
     from pyspark.sql import Window
 
     counts = (
-        df.select(F.explode(tokenize(text_col)).alias("token"))
+        _spread(df).select(F.explode(tokenize(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -380,7 +381,7 @@ def inverted_index(
     cap (or pre-drop stopwords) so no single term row exceeds executor
     memory."""
     tf = (
-        df.select(F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("term"))
+        _spread(df).select(F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("term"))
         .groupBy("_id", "term")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )

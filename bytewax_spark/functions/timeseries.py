@@ -523,14 +523,21 @@ def gapfill_interpolate(
     ts, out_col, interpolated)``.
 
     Per-bucket values are floor-quantized to micros BEFORE filling
-    (sum per bucket), so results are engine/partitioning exact. Two
-    per-key window passes on the generated grid — grid size is the
-    key's time span, never the table. BOTH fills are O(n) running
-    frames: the backward fill is ``last(ignorenulls)`` over a
-    DESC-ordered ``unboundedPreceding..0`` frame, value-identical to
-    ``first`` over ``0..unboundedFollowing`` but without Spark's
-    per-row re-scan of the remaining frame (which makes a key's grid
-    cost O(span^2))."""
+    (sum per bucket), so results are engine/partitioning exact.
+
+    Shape (r7): every grid cell is fully determined by its BRACKETING
+    observation pair, so the fill is generated straight from
+    consecutive observations — one ``lead`` window over the OBSERVED
+    buckets (sparse: |observations|, never the span) and one
+    ``posexplode(sequence(...))`` that emits each cell with its
+    bracket values in hand. The cell at offset 0 is the observation
+    itself (exact value); offsets 1..span-1 read the straight line.
+    The previous shape materialized the dense grid first and ran four
+    running-fill window expressions over TWO full sorts of it
+    (span-sized, ~10x the observation count on this workload) plus a
+    grid join — all deleted; values are bit-identical because the
+    interpolation arithmetic (int64 micros, DECIMAL(38,0) widening,
+    one floor-div) is unchanged."""
     val = F.col(val_col) if isinstance(val_col, str) else val_col
     per_bucket = (
         df.select(
@@ -541,51 +548,33 @@ def gapfill_interpolate(
         .groupBy(key_col, "_h")
         .agg(F.floor(F.sum("_raw") * 1_000_000).cast("long").alias("_v"))
     )
-    grid = (
-        per_bucket.groupBy(key_col)
-        .agg(F.min("_h").alias("_lo"), F.max("_h").alias("_hi"))
-        .select(
-            key_col,
-            F.posexplode(
-                F.sequence(
-                    F.col("_lo"), F.col("_hi"), F.expr(f"interval 1 {bucket}")
-                )
-            ).alias("_i", "_h"),
-        )
-    )
-    wf = (
-        Window.partitionBy(key_col)
-        .orderBy("_i")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wb = (
-        Window.partitionBy(key_col)
-        .orderBy(F.col("_i").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    joined = grid.join(per_bucket, [key_col, "_h"], "left").select(
+    w = Window.partitionBy(key_col).orderBy("_h")
+    brackets = per_bucket.select(
         key_col,
         "_h",
-        F.col("_i").cast("long").alias("_i"),
         "_v",
-        F.last("_v", ignorenulls=True).over(wf).alias("_pv"),
-        F.last(F.when(F.col("_v").isNotNull(), F.col("_i")), ignorenulls=True)
-        .over(wf)
-        .alias("_pi"),
-        F.last("_v", ignorenulls=True).over(wb).alias("_nv"),
-        F.last(F.when(F.col("_v").isNotNull(), F.col("_i")), ignorenulls=True)
-        .over(wb)
-        .alias("_ni"),
+        F.lead("_h").over(w).alias("_nh"),
+        F.lead("_v").over(w).alias("_nv"),
+    )
+    step = F.expr(f"interval 1 {bucket}")
+    # cells [_h, _nh): the next observation's own cell is emitted by
+    # ITS bracket row; the key's final observation (null _nh) emits
+    # just itself. _span = bucket steps between the two observations
+    # (sequence semantics, so any bucket width works).
+    gap = F.sequence(F.col("_h"), F.coalesce(F.col("_nh") - step, F.col("_h")), step)
+    cells = brackets.select(
+        key_col,
+        "_v",
+        "_nv",
+        F.size(gap).cast("long").alias("_span"),
+        F.posexplode(gap).alias("_p", "_hc"),
     )
     interp = F.expr(
-        "_pv + ((CAST(_nv AS DECIMAL(38,0)) - _pv) * (_i - _pi))"
-        " div (_ni - _pi)"
+        "_v + ((CAST(_nv AS DECIMAL(38,0)) - _v) * _p) div _span"
     ).cast("long")
-    return joined.select(
-        key_col,
-        F.col("_h").alias(bucket),
-        F.when(F.col("_v").isNotNull(), F.col("_v"))
-        .otherwise(interp)
-        .alias(out_col),
-        F.col("_v").isNull().alias("interpolated"),
+    return cells.select(
+        F.col(key_col),
+        F.col("_hc").alias(bucket),
+        F.when(F.col("_p") == 0, F.col("_v")).otherwise(interp).alias(out_col),
+        (F.col("_p") > 0).alias("interpolated"),
     )
