@@ -1339,16 +1339,29 @@ def dedup_spans_global(
     """
     out_col = out_col or text_col
     toks = tokenize(text_col)
-    base = df.select(F.col(id_col), toks.alias("_toks"))
+    # base feeds the span explode AND the final reassembly join; spans
+    # feeds the first-occurrence agg AND the covered join. Cache both
+    # slivers (signature-table lifecycle) so the tokenize and the
+    # per-span md5 pipeline each run once, spread off the scan first
+    # (single-row-group inputs would serialize them onto one core).
+    base = _cache_signature_table(
+        _spread(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), toks.alias("_toks")
+        )
+    )
     npos = F.size("_toks") - F.lit(span_len - 1)
-    spans = base.filter(npos > 0).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), npos - 1),
-                lambda p: hash64(F.array_join(F.slice("_toks", p + 1, span_len), " ")),
-            )
-        ).alias("_pos", "_h"),
+    spans = _cache_signature_table(
+        base.filter(npos > 0).select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), npos - 1),
+                    lambda p: hash64(
+                        F.array_join(F.slice("_toks", p + 1, span_len), " ")
+                    ),
+                )
+            ).alias("_pos", "_h"),
+        )
     )
     first = spans.groupBy("_h").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))).alias(

@@ -219,4 +219,9 @@ def table_checksum(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(row_h).alias("checksum"),
     ]
+    # the per-row md5 is the whole cost and combines map-side; an
+    # under-split scan would run it on one core (no-op at scale)
+    from bytewax_spark.io import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     return df.groupBy(*g).agg(*agg) if g else df.agg(*agg)
