@@ -169,6 +169,15 @@ def _worker() -> None:
         for _ in range(reps):
             if best < float("inf") and time.monotonic() > w_deadline:
                 break
+            # heavy queries leave multi-GB of dereferenced shuffle/agg
+            # garbage per rep; without a collection the NEXT rep runs
+            # against a near-full old gen and measures GC churn, not
+            # the query (measured r7: link_prediction 12-50 s/rep
+            # dirty vs 6.5-8 s steady with a collection between reps
+            # — the same debt-control the isolated yardsticks apply
+            # between processes)
+            if cold > 5.0:
+                _jvm_gc(spark)
             t0 = time.time()
             _noop(df)
             best = min(best, time.time() - t0)
