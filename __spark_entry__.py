@@ -8664,8 +8664,14 @@ def bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction."""
     from bytewax_spark.functions import dedup as dd
 
+    from bytewax_spark.io import ensure_min_partitions
+
     flow = _flow("bsemi")
     li = op.input("li", flow, _t(spark, sf_dir, "lineitem")).df
+    # the 4-hash probe is per-row md5 work on the fact scan; an
+    # under-split scan would run it on one core (no-op at scale, so
+    # the zero-shuffle probe claim is untouched where it matters)
+    li = ensure_min_partitions(li.select("l_orderkey"))
     orders = _t(spark, sf_dir, "orders")
     members = (
         orders.filter(F.col("o_totalprice") > 480000)
@@ -8679,12 +8685,16 @@ def bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = members.withColumn("_is", F.lit(1))
     return (
         li.join(m, li["l_orderkey"] == m["o_orderkey"], "left")
+        # project the probe ONCE: inlined in the agg expressions it is
+        # evaluated per aggregate function (2x the 4-hash md5 work per
+        # row) and drags the 64 Ki-bit word array into every partial
+        .withColumn("_hit", probe)
         .agg(
-            F.sum(probe.cast("long")).alias("n_candidates"),
+            F.sum(F.col("_hit").cast("long")).alias("n_candidates"),
             F.sum((F.col("_is") == 1).cast("long")).alias("n_true"),
-            F.sum((probe & F.col("_is").isNull()).cast("long")).alias(
-                "n_false_pos"
-            ),
+            F.sum(
+                (F.col("_hit") & F.col("_is").isNull()).cast("long")
+            ).alias("n_false_pos"),
         )
     )
 
