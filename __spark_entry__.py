@@ -7844,7 +7844,10 @@ def modularity_label_prop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_prop_copart) and the identical fraction."""
     from bytewax_spark.functions import graph
 
-    edges = _part_coedges(spark, sf_dir)
+    # the coedges pipeline (lineitem collect_set + posexplode) feeds
+    # both the LPA rounds and modularity's own edge normalization;
+    # materialize it once so neither consumer re-runs it
+    edges = _part_coedges(spark, sf_dir).localCheckpoint(eager=True)
     labels = graph.label_propagation(edges, iters=2)
     return graph.modularity(edges, labels)
 

@@ -839,6 +839,10 @@ def modularity(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # read twice below (intra-edge tagging + degree agg); without
+        # the checkpoint each side re-executes the whole upstream edge
+        # builder — same posture as triangle_counts' `e` checkpoint.
+        .localCheckpoint(eager=True)
     )
     lab = labels.select(
         F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
