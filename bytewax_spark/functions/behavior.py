@@ -363,18 +363,39 @@ def rfm_segments(
     )
     scored = _cache_scored_table(scored)
     total = scored.count()  # 1 driver long; also warms the cache
-    r_t = _scalable_ntile(
-        scored, "recency_days", True, user_col, n_tiles, total, "r"
-    )
-    f_t = _scalable_ntile(
-        scored, "frequency", False, user_col, n_tiles, total, "f"
-    )
-    m_t = _scalable_ntile(
-        scored, "monetary_micro", False, user_col, n_tiles, total, "m"
-    )
-    out = (
-        scored.join(r_t, user_col).join(f_t, user_col).join(m_t, user_col)
-    )
+    if total <= _CROSSED_BLOCK_WINDOW_MAX:
+        # scale-adaptive: the ntile input is the PER-USER table, already
+        # reduced by the aggregation above — when it fits the same
+        # single-task sort bound the crossed-block path uses, three
+        # plain ANSI ntile windows (identical tile assignment — the
+        # distributed path reproduces exactly these, see
+        # test_scalable_ntile_matches_spark_ntile_under_heavy_ties)
+        # beat 3x the two-phase rank machinery and its joins outright.
+        # Above the bound the distributed-exact path takes over.
+        out = scored
+        for key, desc, name in (
+            ("recency_days", True, "r"),
+            ("frequency", False, "f"),
+            ("monetary_micro", False, "m"),
+        ):
+            w = Window.orderBy(
+                F.col(key).desc() if desc else F.col(key).asc(),
+                F.col(user_col).asc(),
+            )
+            out = out.withColumn(name, F.ntile(n_tiles).over(w).cast("long"))
+    else:
+        r_t = _scalable_ntile(
+            scored, "recency_days", True, user_col, n_tiles, total, "r"
+        )
+        f_t = _scalable_ntile(
+            scored, "frequency", False, user_col, n_tiles, total, "f"
+        )
+        m_t = _scalable_ntile(
+            scored, "monetary_micro", False, user_col, n_tiles, total, "m"
+        )
+        out = (
+            scored.join(r_t, user_col).join(f_t, user_col).join(m_t, user_col)
+        )
     return out.withColumn(
         "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
     )

@@ -668,16 +668,39 @@ def _window_partition_sizes(df):
     return out
 
 
-def test_rfm_no_unpartitioned_window_over_users(spark, sf_dir):
-    """r4->r6 fix: the three ntile windows used to move the whole user
-    table to ONE task, three times. Now every window in the plan is
-    partitioned (prefix-sum `_pid` buckets or crossed-tie-block keys);
-    driver pulls stay bounded at <= n_tiles-1 crossed blocks/dim."""
+def test_rfm_no_unpartitioned_window_over_users(spark, sf_dir, monkeypatch):
+    """r4->r6 fix, r7 scale-adaptive: above the single-task sort bound
+    (`_CROSSED_BLOCK_WINDOW_MAX`) every window in the plan must be
+    partitioned (prefix-sum `_pid` buckets or crossed-tie-block keys)
+    and driver pulls stay bounded at <= n_tiles-1 crossed blocks/dim.
+    Below the bound the per-user table is small by MEASUREMENT (the
+    count feeding the branch), and rfm deliberately uses the three
+    plain ntile windows instead. Force the big path to keep the scale
+    claim tested regardless of fixture size."""
+    from bytewax_spark.functions import behavior as bh
+
+    monkeypatch.setattr(bh, "_CROSSED_BLOCK_WINDOW_MAX", 0)
+    bh.release_rfm_caches()
     df = entry.queries()["rfm_segments_users"](spark, sf_dir)
     wins = _window_partition_sizes(df)
     assert wins, "expected partitioned windows in the rfm plan"
     bad = [w for w in wins if w[1] <= 0]
     assert not bad, f"unpartitioned window nodes in rfm plan: {bad}"
+    bh.release_rfm_caches()
+
+
+def test_rfm_small_input_takes_plain_ntile_windows(spark, sf_dir):
+    """Below the sort bound the plan should be the compact form: three
+    window nodes over the per-user aggregate, no prefix-sum buckets,
+    no ntile joins — and the tile assignment is identical to the
+    distributed path by the _scalable_ntile parity tests."""
+    from bytewax_spark.functions import behavior as bh
+
+    bh.release_rfm_caches()
+    plan = _plan(spark, "rfm_segments_users", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "ntile" in plan
+    bh.release_rfm_caches()
 
 
 def test_qq_is_pure_percentile_aggregate(spark, sf_dir):
