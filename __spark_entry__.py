@@ -5983,6 +5983,9 @@ def negative_samples_customer_parts(spark: SparkSession, sf_dir: str) -> DataFra
     inter = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item"))
+        # read twice inside negative_samples (user-distinct + pair
+        # anti-join): materialize the join once, |pairs| x 16 B
+        .localCheckpoint(eager=True)
     )
     n_items = _t(spark, sf_dir, "part").count()
     return sampling.negative_samples(inter, "user_id", "item", n_items, k=5)

@@ -789,7 +789,21 @@ def feature_prop(
     high-degree hubs can't overflow ``sum · 10⁶``."""
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if not directed:
-        e = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+        # symmetrize with a map-side explode, NOT a self-union: a
+        # union re-executes the whole upstream edge builder once per
+        # branch (for the purchase graph: the lineitem join +
+        # distinct, twice per run), while the explode doubles rows in
+        # the same scan and keeps AQE's stats intact
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("_s"), F.col("_d")),
+                    F.struct(
+                        F.col("_d").alias("_s"), F.col("_s").alias("_d")
+                    ),
+                )
+            ).alias("_p")
+        ).select("_p._s", "_p._d")
     fts = feats.select(
         F.col(node_col).alias("_fn"), F.col(feat_col).cast("long").alias("_fv")
     )

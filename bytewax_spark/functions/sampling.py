@@ -452,6 +452,12 @@ def negative_samples(
     from pyspark.sql import Window
 
     u = F.col(user_col)
+    # interactions is read twice (user-distinct for candidates, pair-
+    # distinct for the anti-join) — when it is the output of an
+    # upstream join, persist/checkpoint it in the caller so the join
+    # doesn't re-execute per branch (column pruning makes the two
+    # branches non-identical, so ReuseExchange cannot collapse them)
+    pos = interactions.select(u, F.col(item_col)).distinct()
     cand = (
         interactions.select(u).distinct()
         .select(
@@ -472,7 +478,6 @@ def negative_samples(
         .groupBy(user_col, item_col)
         .agg(F.min("_i").alias("_i"))
     )
-    pos = interactions.select(u, F.col(item_col)).distinct()
     neg = cand.join(pos, [user_col, item_col], "left_anti")
     w = Window.partitionBy(user_col).orderBy("_i")
     return (
