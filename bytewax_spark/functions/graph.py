@@ -515,10 +515,21 @@ def common_neighbors(
     retained for API compatibility; slicing is a no-op now."""
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
-    sym = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("u"),
-        F.greatest(F.col(src), F.col(dst)).alias("v"),
-    ).filter(F.col("u") != F.col("v"))
+    sym = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        # read 3x (both union branches + the adjacency sentinels):
+        # materialize the canonicalized pair stream once instead of
+        # re-running the upstream edge builder per branch. The r7
+        # checkpoint REJECT (BASELINE.md) applied to the r6 join-heavy
+        # shape, where a stats-less RDD leaf demoted broadcasts; this
+        # shape's only joins sit ABOVE shuffles, which AQE replans
+        # from runtime sizes — A/B'd ~18% faster, value-identical.
+        .localCheckpoint(eager=True)
+    )
     both = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     shuffle_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
@@ -623,10 +634,17 @@ def adamic_adar(
     repartition pins parallelism, so slicing is a no-op."""
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
-    sym = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("u"),
-        F.greatest(F.col(src), F.col(dst)).alias("v"),
-    ).filter(F.col("u") != F.col("v"))
+    sym = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        # read 3x — same materialize-once rationale as
+        # common_neighbors above (r7 A/B: ~18% faster, no joins below
+        # the shuffles for a stats-less leaf to demote)
+        .localCheckpoint(eager=True)
+    )
     both = sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     shuffle_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")

@@ -90,6 +90,13 @@ def spark_median(name: str, sf_dir: str, reps: int = 3) -> dict:
     cold = round(time.time() - t0, 3)
     times = []
     for _ in range(reps):
+        # same debt control as bench.py --worker: heavy reps leave
+        # multi-GB of dereferenced shuffle/agg garbage; without a
+        # collection the next rep measures old-gen churn, not the
+        # query (measured r7: adamic reps 12-76 s dirty vs 4-6 s
+        # steady). Runs BETWEEN timings — nothing measured changes.
+        if cold > 5.0:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         times.append(round(time.time() - t0, 3))
