@@ -303,7 +303,7 @@ def main() -> None:
 
     # parent's session is only needed for the headline tier; the aux
     # tiers run in fresh worker JVMs (isolation model, module
-    # docstring), so release the 24g heap before spawning them.
+    # docstring), so release the parent heap before spawning them.
     spark.stop()
 
     duckdb_on = os.environ.get("SPARK_GRAFT_DUCKDB", "0") == "1"

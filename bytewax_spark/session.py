@@ -35,8 +35,20 @@ def get_spark(app_name: str = "bytewax_spark", master: str | None = None) -> Spa
     par = default_parallelism()
     # local mode: the driver JVM is the whole engine — the 1g default
     # heap causes GC-locker stalls/OOM on wide shuffles long before the
-    # machine is used. Sized for this 128 GiB box; override via env.
-    mem = os.environ.get("SPARK_GRAFT_MEM", "24g")
+    # machine is used. Upper bound matters just as much HERE: the
+    # sandbox guest advertises 128 GiB but the host overcommits it, so
+    # freshly-touched pages fault in at ~0.03-0.4 GB/s while
+    # already-backed pages re-fault at ~1-2 GB/s (measured r7:
+    # touching 8 GiB fresh 21.9 s, re-touch 4.5 s, the NEXT 8 GiB
+    # 288 s). A big heap keeps G1 growing into fresh pages mid-query
+    # (link_prediction_parts at sf0.1: 24g heap cold 43.7 s / warm
+    # median 14.1 s vs 12g cold 9.5 s / median 7.2 s, same box,
+    # interleaved A/B; 96g documented as catastrophic in BASELINE.md),
+    # while a modest heap recycles already-faulted memory through GC.
+    # 12g is the measured sweet spot for the sf0.1/sf1 bench workloads
+    # on this box class; override via env for real clusters, where
+    # executor sizing follows the guide's §5 rules instead.
+    mem = os.environ.get("SPARK_GRAFT_MEM", "12g")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.driver.memory", mem)
