@@ -25,6 +25,8 @@ reproduces every signature bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -474,6 +476,39 @@ def release_signature_caches() -> None:
 
 _SIGNATURE_CACHE_SLOTS = 3
 
+# Persist a sliver only when its SOURCE input is small enough that the
+# exploded table (shingles/bands blow up ~100-1000x over compressed
+# parquet) sits comfortably inside the storage pool. Above the cap the
+# sliver is left to recompute per consumer subtree: measured r7 on
+# containment_pairs at sf1 (5.8 MB input, 12 g heap), warm noop reps
+# are a stable 22-27 s WITHOUT the persist vs 35-172 s WITH it — a
+# resident multi-GB cache squeezes execution memory for every
+# downstream join and churns pages the whole rep (guide §5: caching is
+# only worth it when recomputing costs more than the memory pressure
+# the cache creates). At 100 TB an unconditional persist of a corpus
+# sliver is wrong for the same reason; the cap makes the policy
+# scale-adaptive rather than tuned to either test scale.
+_SLIVER_CACHE_MAX_INPUT_BYTES = int(
+    os.environ.get("BYTEWAX_SPARK_SLIVER_CACHE_MAX_INPUT", str(3 << 20))
+)
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the plan's file-source leaves, or None
+    when any leaf is not a local file (then the caller should NOT
+    assume small)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        if not os.path.exists(p):
+            return None
+        total += os.path.getsize(p)
+    return total
+
 
 def _cache_signature_table(banded: DataFrame) -> DataFrame:
     """Lifecycle for persisted signature tables: at most
@@ -502,6 +537,12 @@ def _cache_signature_table(banded: DataFrame) -> DataFrame:
             # refresh LRU position
             _SIGNATURE_CACHES.append(_SIGNATURE_CACHES.pop(i))
             return prev
+    size = _input_bytes(banded)
+    if size is None or size > _SLIVER_CACHE_MAX_INPUT_BYTES:
+        # big (or unmeasurable) source: the exploded sliver would not
+        # sit comfortably in storage memory — recompute per consumer
+        # instead of thrashing the pool (policy note above)
+        return banded
     while len(_SIGNATURE_CACHES) >= _SIGNATURE_CACHE_SLOTS:
         _SIGNATURE_CACHES.pop(0).unpersist()
     banded = banded.persist()
