@@ -466,6 +466,99 @@ def kcore(
     )
 
 
+def _pair_suffix_agg_arrow(
+    pre: DataFrame, out_col: str, threshold: int, shuffle_parts: int
+) -> DataFrame:
+    """Aggregate the wedge suffix-array stream ``(id_a, _bs, _w)`` into
+    surviving non-adjacent pairs — the Arrow replacement for the
+    ``explode → HashAggregate`` tail of :func:`adamic_adar` /
+    :func:`common_neighbors` (guide §4.2: hand whole batches to
+    vectorized native code instead of a 60M-entry JVM hash map).
+
+    Exactness: the stream is hash-partitioned on ``id_a`` first, and
+    the group key is ``(id_a, id_b)`` — every group lives entirely in
+    one partition, so a per-partition aggregation IS the global one.
+    Per partition the kernel flattens the suffix arrays with
+    ``np.repeat`` (the Arrow list values buffer is already the
+    concatenated id_b stream), sorts one packed ``uint64`` key (or
+    ``np.lexsort`` when ids exceed 32 bits / are negative — semantics
+    hold for any long ids), and computes the group sums/mins with
+    ``np.add.reduceat``/``np.minimum.reduceat`` — a cache-friendly
+    sort aggregation in ~3 flat int64 arrays (~50 MB/task at sf0.1)
+    instead of ~3 GB of UnsafeRow hash maps, which on a
+    memory-overcommitted host is the difference between a 4 s and a
+    40 s run (measured r8). Sentinel rows (``_w < 0``, one per
+    adjacent pair, duplicates welcome) surface as ``min < 0`` and
+    drop the group; sums add only positive weights, matching the SQL
+    shape's ``sum(when(_w > 0, _w).otherwise(0))`` bit for bit.
+
+    Scale note: per-task memory is total_pairs / shuffle_parts — the
+    same quantity that sizes the SQL shape's hash maps; size
+    ``spark.sql.shuffle.partitions`` for the cluster as usual (the
+    kernel is linear + one sort, and its arrays are ~6x smaller than
+    the equivalent UnsafeRow state)."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        a_chunks: list = []
+        b_chunks: list = []
+        w_chunks: list = []
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            bs = batch.column(1)
+            w = batch.column(2).to_numpy(zero_copy_only=False)
+            lens = pc.list_value_length(bs).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(bs).to_numpy(zero_copy_only=False)
+            a_chunks.append(np.repeat(ids, lens))
+            b_chunks.append(flat)
+            w_chunks.append(np.repeat(w, lens))
+        if not a_chunks:
+            return
+        A = np.concatenate(a_chunks)
+        B = np.concatenate(b_chunks)
+        W = np.concatenate(w_chunks)
+        del a_chunks, b_chunks, w_chunks
+        if A.size == 0:
+            return
+        if A.min() >= 0 and B.min() >= 0 and A.max() < (1 << 32) and B.max() < (1 << 32):
+            K = (A.astype(np.uint64) << np.uint64(32)) | B.astype(np.uint64)
+            order = np.argsort(K)
+            K = K[order]
+            Ws = W[order]
+            starts = np.flatnonzero(np.r_[True, K[1:] != K[:-1]])
+            sums = np.add.reduceat(np.where(Ws > 0, Ws, 0), starts)
+            mins = np.minimum.reduceat(Ws, starts)
+            keep = (mins > 0) & (sums >= threshold)
+            Kk = K[starts[keep]]
+            out_a = (Kk >> np.uint64(32)).astype(np.int64)
+            out_b = Kk.astype(np.uint32).astype(np.int64)
+        else:
+            order = np.lexsort((B, A))
+            A = A[order]
+            B = B[order]
+            Ws = W[order]
+            starts = np.flatnonzero(
+                np.r_[True, (A[1:] != A[:-1]) | (B[1:] != B[:-1])]
+            )
+            sums = np.add.reduceat(np.where(Ws > 0, Ws, 0), starts)
+            mins = np.minimum.reduceat(Ws, starts)
+            keep = (mins > 0) & (sums >= threshold)
+            out_a = A[starts[keep]]
+            out_b = B[starts[keep]]
+        if out_a.size:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_a), pa.array(out_b), pa.array(sums[keep])],
+                names=["id_a", "id_b", out_col],
+            )
+
+    return pre.repartition(shuffle_parts, "id_a").mapInArrow(
+        gen, f"id_a long, id_b long, {out_col} long"
+    )
+
+
 def common_neighbors(
     edges: DataFrame,
     src: str = "id_a",
@@ -473,6 +566,7 @@ def common_neighbors(
     min_common: int = 2,
     max_degree: int | None = None,
     n_slices: int = 1,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Link prediction by common neighbors (Liben-Nowell & Kleinberg
     2003, public): for every NON-adjacent pair at distance 2, the
@@ -512,9 +606,16 @@ def common_neighbors(
     pair key: its dedup factor is near 1, so the map-side partial agg
     cannot shrink the shuffle and hashing raw pairs straight to their
     reducer keeps the partial pass same-stage. ``n_slices`` is
-    retained for API compatibility; slicing is a no-op now."""
+    retained for API compatibility; slicing is a no-op now.
+
+    ``impl="arrow"`` (default, r8) replaces the post-exchange
+    ``explode → HashAggregate`` with the :func:`_pair_suffix_agg_arrow`
+    numpy sort-aggregation — value-identical (parity-tested + oracle),
+    ~6x smaller per-task state; ``impl="sql"`` keeps the r7 plan."""
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     sym = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -558,19 +659,25 @@ def common_neighbors(
         F.array(F.col("v")).alias("_bs"),
         F.lit(-1).cast("long").alias("_c"),
     )
-    wedges = (
-        arrs.unionByName(sent)
-        .repartition(shuffle_parts, "id_a")
-        .select("id_a", F.explode("_bs").alias("id_b"), "_c")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum(F.when(F.col("_c") > 0, F.col("_c")).otherwise(0)).alias(
-                "common"
-            ),
-            F.min("_c").alias("_mn"),
+    if impl == "arrow":
+        wedges = _pair_suffix_agg_arrow(
+            arrs.unionByName(sent), "common", min_common, shuffle_parts
         )
-        .filter((F.col("_mn") > 0) & (F.col("common") >= min_common))
-    )
+    else:
+        wedges = (
+            arrs.unionByName(sent)
+            .repartition(shuffle_parts, "id_a")
+            .select("id_a", F.explode("_bs").alias("id_b"), "_c")
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.sum(
+                    F.when(F.col("_c") > 0, F.col("_c")).otherwise(0)
+                ).alias("common"),
+                F.min("_c").alias("_mn"),
+            )
+            .filter((F.col("_mn") > 0) & (F.col("common") >= min_common))
+            .select("id_a", "id_b", "common")
+        )
     deg = nbrs.select(F.col("m"), F.size("_ns").cast("long").alias("_d"))
     da = deg.select(F.col("m").alias("id_a"), F.col("_d").alias("_da"))
     db = deg.select(F.col("m").alias("id_b"), F.col("_d").alias("_db"))
@@ -597,6 +704,7 @@ def adamic_adar(
     min_score_micro: int = 1,
     max_degree: int | None = None,
     n_slices: int = 1,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Adamic-Adar link prediction (Adamic & Adar 2003, public):
     common neighbors weighted by 1/ln(degree) — a shared RARE neighbor
@@ -631,9 +739,16 @@ def adamic_adar(
     stage, no edge-side shuffle at corpus scale, and no second pass
     over the adjacency aggregate.
     ``n_slices`` is retained for API compatibility; the explicit
-    repartition pins parallelism, so slicing is a no-op."""
+    repartition pins parallelism, so slicing is a no-op.
+
+    ``impl="arrow"`` (default, r8) replaces the post-exchange
+    ``explode → HashAggregate`` with the :func:`_pair_suffix_agg_arrow`
+    numpy sort-aggregation — value-identical (parity-tested + oracle),
+    ~6x smaller per-task state; ``impl="sql"`` keeps the r7 plan."""
     if n_slices < 1:
         raise ValueError(f"n_slices must be >= 1, got {n_slices}")
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     sym = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -686,6 +801,10 @@ def adamic_adar(
         F.array(F.col("v")).alias("_bs"),
         F.lit(-1).cast("long").alias("_w"),
     )
+    if impl == "arrow":
+        return _pair_suffix_agg_arrow(
+            arrs.unionByName(sent), "aa_micro", min_score_micro, shuffle_parts
+        )
     return (
         arrs.unionByName(sent)
         .repartition(shuffle_parts, "id_a")

@@ -62,7 +62,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm guard: cosine with a zero vector is undefined — define
+    # it as 0.0 (rank-neutral) instead of tripping ANSI DIVIDE_BY_ZERO
+    # (Spark 4 defaults ansi on; a k-means centroid of a symmetric
+    # cloud can be exactly zero). No-op for any nonzero pair.
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != 0.0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def _qvec(query_vec: list[float]) -> Column:
