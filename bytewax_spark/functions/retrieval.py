@@ -81,11 +81,27 @@ def dsir_logratio_weights(
     tgt_toks = _bucketed_tokens(target_df, text_col, id_col, buckets)
     # per-doc counts are computed anyway for the final score — the raw
     # pool's bucket distribution rolls up from THEM (256-row second
-    # aggregation) instead of re-tokenizing the whole corpus; the
-    # shared (id, bucket) exchange is reused by Catalyst
-    per_doc = raw_toks.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_n"))
+    # aggregation) instead of re-tokenizing the whole corpus. That
+    # reuse must be MATERIALIZED: Catalyst never fired ReuseExchange on
+    # the shared subtree (measured r8 — the executed plan carried FIVE
+    # tokenize Generates: per_doc + rc + rtot re-derived the raw pool,
+    # tc + ttot the target). per_doc is ~buckets rows per doc — orders
+    # of magnitude smaller than the token stream it summarizes — so one
+    # localCheckpoint buys every downstream consumer (guide §2.4
+    # diamond reuse / §3.3 materialize-to-truncate); tc is a
+    # ``buckets``-row table, checkpointed so its total doesn't
+    # re-tokenize the target either. One tokenize pass per corpus.
+    per_doc = (
+        raw_toks.groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
     rc = per_doc.groupBy("_b").agg(F.sum("_n").alias("_rc"))
-    tc = tgt_toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_tc"))
+    tc = (
+        tgt_toks.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+        .localCheckpoint(eager=True)
+    )
     rtot = rc.agg(F.sum("_rc").alias("_R"))
     ttot = tc.agg(F.sum("_tc").alias("_T"))
     fb = float(buckets)
@@ -186,6 +202,11 @@ def ngram_nll(
         _bucketed_ngrams(lm_df, text_col, id_col, n, buckets)
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_c"))
+        # ``buckets`` rows, read by the weight table AND the total —
+        # checkpointed so the LM corpus tokenizes once, not per
+        # consumer (Catalyst does not reuse the shared exchange;
+        # measured r8 on the sibling dsir shape)
+        .localCheckpoint(eager=True)
     )
     tot = lm.agg(F.sum("_c").alias("_T"))
     fb = float(buckets)
@@ -228,9 +249,13 @@ def tfidf_top_terms(
     rank by (score desc, term asc) within each document.
 
     Scale: one (id, term) partial-count shuffle for tf; document
-    frequencies are a vocabulary-sized aggregate (tokens dedup per doc
-    map-side via the distinct (id, term) pairs tf already built) joined
-    back on term; corpus size N is a broadcast one-row aggregate. The
+    frequencies come from a count window PARTITIONED BY TERM over the
+    tf table itself — not a separate aggregate joined back, which
+    Catalyst planned as a SECOND full tokenize+explode of the corpus
+    (measured r8: ReuseExchange never fired on the shared tf subtree;
+    the plan carried 2 Generate passes). One tokenize pass, one window
+    (guide §2.4: two operations keyed the same data share one
+    computation). Corpus size N is a broadcast one-row aggregate. The
     rank window partitions by document — millions of small partitions,
     never a global sort."""
     from pyspark.sql import Window
@@ -240,11 +265,11 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     nd = df.agg(F.count_distinct(F.col(id_col)).alias("_N"))
     idf = F.log((F.col("_N") + 1.0) / (F.col("_df") + 1.0)) + 1.0
+    wt = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("_df", F.count(F.lit(1)).over(wt))
         .join(F.broadcast(nd))
         .withColumn("score", F.round(F.col("tf") * idf, 4))
     )
@@ -275,12 +300,24 @@ def bm25_scores(
 
     Scale: the term filter cuts the token stream to query terms BEFORE
     any shuffle (a scan-rate ``isin``); doc lengths are one partial-agg
-    pass; N/avgdl is a broadcast one-row aggregate; per-term document
-    frequencies are |query| rows. Final top-k is sort+limit →
-    TakeOrderedAndProject, no global sort."""
+    pass, CHECKPOINTED because three consumers read it (the corpus
+    totals, the per-term join) and Catalyst re-tokenized the corpus per
+    consumer instead of reusing the exchange (measured r8: 4 Generate
+    passes in the executed plan; the doc-length table is one row per
+    doc — orders of magnitude smaller than the token stream). N/avgdl
+    is a broadcast one-row aggregate; per-term document frequencies
+    come from a count window over the (tiny, already term-filtered) tf
+    table rather than a re-aggregated second token pass. Final top-k is
+    sort+limit → TakeOrderedAndProject, no global sort."""
+    from pyspark.sql import Window
+
     terms = [t.lower() for t in query_terms]
     toks = _spread(df).select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    dl = (
+        toks.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_dl"))
+        .localCheckpoint(eager=True)
+    )
     corpus = dl.agg(
         F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_TOT")
     )
@@ -288,8 +325,8 @@ def bm25_scores(
         toks.filter(F.col("term").isin(terms))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     avgdl = F.col("_TOT") / F.col("_N")
     idf = F.log(
         1.0 + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
@@ -298,8 +335,7 @@ def bm25_scores(
         F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / avgdl)
     )
     per_term = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
+        tf.join(dl, id_col)
         .join(F.broadcast(corpus))
         .select(F.col(id_col), (idf * tf_part).alias("_s"))
     )
