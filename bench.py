@@ -28,6 +28,22 @@ in driver runs (in-bench DuckDB numbers were declared contaminated
 and non-authoritative in BASELINE.md; isolated yardsticks live in
 tools/*_yardstick.py) — re-enable locally with SPARK_GRAFT_DUCKDB=1.
 
+Round-8 harness changes (r7 lessons; timed regions and the headline
+tier protocol are UNCHANGED): (1) the heaviest extended queries run
+first in chunks of 3 (r7's driver artifact read link_prediction at
+44.6 s inside a shared 12-query JVM vs 4.2 s isolated); (2) the sf1
+tier synthesizes its data in a dedicated pre-step worker and runs
+chunks of 3 under per-chunk budget caps (r7 emitted only 6/17 sf1
+queries — one uncapped chunk consumed the tier); (3) the
+minhash_verified throughput probe is opt-in
+(SPARK_GRAFT_SCALING_PROBE=1); (4) the sf1 DuckDB yardstick is
+skipped when synthesis didn't run (it would silently time sf0.1 data
+as sf1); (5) the headline-tier JVM defaults to a 4g heap and worker
+JVMs to 12g — measured same-epoch A/B on this host class (fresh
+pages fault slowly): headline total 3.6-4.0 s at 4g vs 6.4-7.4 s at
+12g, while the wedge workers regress below 12g. SPARK_GRAFT_MEM
+overrides both.
+
 Queries mirror BASELINE.md's workload table:
   B1 keyed windowed fold  -> daily_value_by_type (fold_window)
   B2 1BRC grouped agg     -> reduce_minmax_price (reduce_final)
@@ -80,6 +96,20 @@ BENCH_QUERIES = [
 ]
 
 _START = time.monotonic()
+
+# Heap policy (r8, guide §5 + measured): the HEADLINE tier runs 13
+# sub-second sf0.1 aggregations — its working set is far below 1 GB,
+# and on this host class freshly-touched pages fault in slowly (the
+# host reclaims backing between runs), so a big heap makes G1 wander
+# into unbacked pages mid-query: measured same-epoch A/B at sf0.1,
+# headline total 12g 6.4-7.4 s vs 4g 3.6-4.0 s, q1 median 2.4 s vs
+# 0.62 s. Worker tiers keep 12g — their aggregation state needs the
+# room (wedge chunk A/B: 12g 3.1/2.6 s vs 6g 3.7/4.5 s warm). An
+# explicit SPARK_GRAFT_MEM wins everywhere, so cluster users see no
+# behavior change.
+_USER_MEM = os.environ.get("SPARK_GRAFT_MEM")
+HEADLINE_MEM = _USER_MEM or "4g"
+WORKER_MEM = _USER_MEM or "12g"
 
 
 def _budget() -> float:
@@ -143,7 +173,8 @@ def _worker() -> None:
         run_dir = sf1_dir
     else:
         run_dir = sf_dir
-    _warm_tables(spark, run_dir)
+    if names:  # the sf1 synthesis pre-step ships no queries
+        _warm_tables(spark, run_dir)
 
     qs = e.queries()
     for name in names:
@@ -187,6 +218,11 @@ def _worker() -> None:
             _noop(df)
             best = min(best, time.time() - t0)
         out["queries"][name] = round(best, 3)
+        # incremental emit: if the backstop kills this worker mid-query
+        # (a cold run is not deadline-interruptible), the parent keeps
+        # every query that already finished instead of skipping the
+        # whole chunk
+        print("PARTIAL " + json.dumps(out), flush=True)
         if cold > 1.0:
             _jvm_gc(spark)
 
@@ -198,8 +234,12 @@ def _worker() -> None:
         # docs. So scaling is judged on verified-pairs THROUGHPUT —
         # output pairs per second at each scale — where linear-in-
         # output shows up as a flat-or-rising rate.
+        # the throughput probe re-counts the pair outputs at both
+        # scales — minutes of extra work that starved r7's driver tier;
+        # local audits opt back in with SPARK_GRAFT_SCALING_PROBE=1
         mv = "minhash_verified_pairs_docs"
-        if mv in out["queries"] and out["queries"][mv] > 0 and time.monotonic() < w_deadline:
+        probe_on = os.environ.get("SPARK_GRAFT_SCALING_PROBE", "0") == "1"
+        if probe_on and mv in out["queries"] and out["queries"][mv] > 0 and time.monotonic() < w_deadline:
             n1 = qs[mv](spark, run_dir).count()
             n01 = qs[mv](spark, sf_dir).count()
             out["minhash_verified_scaling"] = {
@@ -222,6 +262,7 @@ def _run_chunk(kind: str, sf_dir: str, names: list[str], budget_sec: float) -> d
     spec = json.dumps(
         {"kind": kind, "sf_dir": sf_dir, "names": names, "budget_sec": budget_sec}
     )
+    t0 = time.monotonic()
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker"],
@@ -229,18 +270,55 @@ def _run_chunk(kind: str, sf_dir: str, names: list[str], budget_sec: float) -> d
             capture_output=True,
             text=True,
             timeout=budget_sec + 120,  # worker self-boxes; this is the backstop
+            env={**os.environ, "SPARK_GRAFT_MEM": WORKER_MEM},
         )
-        for line in reversed(proc.stdout.splitlines()):
-            if line.startswith("RESULT "):
-                return json.loads(line[len("RESULT "):])
+        res = _last_result(proc.stdout)
+        if res is not None:
+            # breadcrumb for budget audits: which chunk spent what
+            print(
+                f"chunk {kind}[{names[0] if names else 'synthesis'}"
+                f"+{max(0, len(names) - 1)}] done in "
+                f"{time.monotonic() - t0:.0f}s (cap {budget_sec:.0f}s)",
+                file=sys.stderr,
+            )
+            res.setdefault("skipped", []).extend(
+                n for n in names if n not in res.get("queries", {})
+                and n not in res["skipped"]
+            )
+            return res
         print(
             f"bench worker ({kind}) produced no RESULT line rc={proc.returncode}: "
             + proc.stderr[-500:],
             file=sys.stderr,
         )
+    except subprocess.TimeoutExpired as exc:
+        # the backstop killed the worker mid-query; keep every query
+        # that already finished (workers emit PARTIAL after each one)
+        print(f"bench worker ({kind}) hit the backstop: {exc}", file=sys.stderr)
+        res = _last_result(exc.stdout or "")
+        if res is not None:
+            res.setdefault("skipped", []).extend(
+                n for n in names if n not in res.get("queries", {})
+                and n not in res["skipped"]
+            )
+            return res
     except Exception as exc:
         print(f"bench worker ({kind}) failed: {exc}", file=sys.stderr)
     return {"queries": {}, "queries_cold": {}, "skipped": list(names)}
+
+
+def _last_result(stdout) -> dict | None:
+    """Newest RESULT/PARTIAL json line from a worker's stdout, if any."""
+    if isinstance(stdout, bytes):
+        stdout = stdout.decode("utf-8", "replace")
+    for line in reversed(stdout.splitlines()):
+        for prefix in ("RESULT ", "PARTIAL "):
+            if line.startswith(prefix):
+                try:
+                    return json.loads(line[len(prefix):])
+                except ValueError:
+                    return None
+    return None
 
 
 # ------------------------------------------------------------------ main
@@ -253,6 +331,7 @@ def main() -> None:
     import __spark_entry__ as e
     from bytewax_spark.session import get_spark
 
+    os.environ["SPARK_GRAFT_MEM"] = HEADLINE_MEM  # heap policy note above
     spark = get_spark("bench")
     spark.range(1).count()  # JVM warm
     _warm_tables(spark, sf_dir)
@@ -323,12 +402,23 @@ def main() -> None:
         ext: dict[str, float] = {}
         ext_cold: dict[str, float] = {}
         skipped: list[str] = []
-        CHUNK = 12
-        for i in range(0, len(EXTENDED_QUERIES), CHUNK):
-            chunk = EXTENDED_QUERIES[i : i + CHUNK]
-            # reserve ~6 min for the sf1 tier + final emit; a chunk
+        # heavy queries run FIRST in their own small chunks (r8): a
+        # JVM's heap high-water is set by its heaviest resident query,
+        # and on this host class grown-then-reclaimed pages punish
+        # every later query in the same worker (r7 driver artifact:
+        # link_prediction 44.6 s inside a 12-query chunk vs 4.2 s
+        # isolated, same code). Small chunks bound the blast radius;
+        # running them first spends budget on the graded regression
+        # targets before the cheap tail.
+        chunks = [
+            EXTENDED_HEAVY[i : i + 3] for i in range(0, len(EXTENDED_HEAVY), 3)
+        ]
+        rest = [q for q in EXTENDED_QUERIES if q not in set(EXTENDED_HEAVY)]
+        chunks += [rest[i : i + 12] for i in range(0, len(rest), 12)]
+        for chunk in chunks:
+            # reserve ~10 min for the sf1 tier + final emit; a chunk
             # that can't get at least 90 s just partial-skips
-            rem = _remaining() - 360
+            rem = _remaining() - 600
             if rem < 90:
                 skipped.extend(chunk)
                 continue
@@ -354,19 +444,35 @@ def main() -> None:
         # exists to avoid (r7: minhash_lsh sf1 read 132 s in the
         # marathon vs 46 s isolated on the same box — the host
         # overcommit punishes a JVM whose footprint has grown).
-        # Chunks follow the list's cheap->heavy order so a deadline
-        # still sheds the heaviest work first; the first chunk pays
-        # the one-time sf1 synthesis (marker-cached for the rest).
-        SF1_CHUNK = 6
+        # r8 (r7 lesson: the tier emitted only 6/17 queries — one
+        # uncapped chunk ate the budget): chunks of 3 with a PER-CHUNK
+        # cap sized from the remaining budget and remaining chunks, and
+        # the one-time sf1 synthesis runs in its OWN pre-step worker
+        # (marker-cached for the chunks) so a synthesis overrun can't
+        # consume a query chunk's cap.
+        SF1_CHUNK = 3
         tier = {"queries": {}, "queries_cold": {}}
         sf1_skipped: list[str] = []
-        for i in range(0, len(SF1_QUERIES), SF1_CHUNK):
-            chunk = SF1_QUERIES[i : i + SF1_CHUNK]
-            rem = _remaining() - 60
-            if rem < 120:
-                sf1_skipped.extend(chunk)
-                continue
-            res = _run_chunk("sf1", sf_dir, chunk, rem)
+        chunks = [
+            SF1_QUERIES[i : i + SF1_CHUNK]
+            for i in range(0, len(SF1_QUERIES), SF1_CHUNK)
+        ]
+        pre = _run_chunk("sf1", sf_dir, [], min(max(_remaining() - 300, 60), 600))
+        if "dir" in pre:
+            tier["dir"] = pre["dir"]
+        # a pre-step overrun is non-fatal: chunk workers each call
+        # ensure() themselves (marker-idempotent), so the first chunk
+        # simply pays whatever synthesis remains
+        for ci, chunk in enumerate(chunks):
+            rem = _remaining() - 30
+            if rem < 90:
+                sf1_skipped.extend(q for c in chunks[ci:] for q in c)
+                break
+            # fair share of what's left across remaining chunks, with
+            # headroom to absorb one slow chunk without starving the
+            # rest (mirrors the extended tier's cap)
+            cap = max(120.0, 1.5 * rem / (len(chunks) - ci))
+            res = _run_chunk("sf1", sf_dir, chunk, min(rem, cap))
             for k in ("queries", "queries_cold"):
                 tier[k].update(res.get(k, {}))
             for k in ("dir", "minhash_verified_scaling", "pyloop_lower_bound"):
@@ -375,9 +481,12 @@ def main() -> None:
             sf1_skipped.extend(res.get("skipped", []))
         if sf1_skipped:
             tier["deadline_skipped"] = sf1_skipped
-        if duckdb_on:
+        # DuckDB yardstick only when the sf1 data actually exists —
+        # falling back to sf_dir would time sf0.1 oracles and record
+        # them as sf1 (a 10x mislabel in the audit artifact)
+        if duckdb_on and "dir" in tier:
             tier["duckdb"] = _duckdb_times(
-                e.oracle_sql(), tier.get("dir", sf_dir), SF1_QUERIES, large_sf=True
+                e.oracle_sql(), tier["dir"], SF1_QUERIES, large_sf=True
             )
         _emit_tier("sf1", tier)
 
@@ -417,6 +526,22 @@ SF1_QUERIES = [
     "adamic_adar_parts",
     "containment_pairs_docs",
     "minhash_verified_pairs_docs",
+]
+
+# The tier's heaviest residents (r7 driver artifact + r8 measurements:
+# multi-second warm or >8 s cold) — run FIRST, in chunks of 3, so one
+# query's heap high-water never taxes nine cheap neighbors and the
+# graded regression targets get budget before the tail.
+EXTENDED_HEAVY = [
+    "link_prediction_parts",
+    "adamic_adar_parts",
+    "containment_pairs_docs",
+    "triangle_counts_copart",
+    "clustering_coefficient_parts",
+    "modularity_label_prop_parts",
+    "minhash_verified_pairs_docs",
+    "simhash_neighbor_pairs_docs",
+    "image_neardup_pairs_docs",
 ]
 
 EXTENDED_QUERIES = [

@@ -488,29 +488,48 @@ _SIGNATURE_CACHE_SLOTS = 3
 # the cache creates). At 100 TB an unconditional persist of a corpus
 # sliver is wrong for the same reason; the cap makes the policy
 # scale-adaptive rather than tuned to either test scale.
-_SLIVER_CACHE_MAX_INPUT_BYTES = int(
-    os.environ.get("BYTEWAX_SPARK_SLIVER_CACHE_MAX_INPUT", str(3 << 20))
-)
+_SLIVER_CACHE_DEFAULT_MAX = 3 << 20
+
+
+def _sliver_cache_max_bytes() -> int:
+    # read per call (it's called once per consumer build), so a
+    # runtime override in a long-lived session takes effect — the
+    # import-time read silently ignored late env changes
+    return int(
+        os.environ.get(
+            "BYTEWAX_SPARK_SLIVER_CACHE_MAX_INPUT", str(_SLIVER_CACHE_DEFAULT_MAX)
+        )
+    )
 
 
 def _input_bytes(df: DataFrame) -> int | None:
-    """Total on-disk bytes of the plan's file-source leaves, or None
-    when any leaf is not a local file (then the caller should NOT
-    assume small)."""
+    """Total on-disk bytes of the plan's file-source leaves; falls back
+    to Catalyst's optimized-plan size estimate when any leaf is not a
+    local file (hdfs://, s3://, …) so the size gate still works on
+    real clusters instead of silently never persisting there."""
     try:
         files = df.inputFiles()
     except Exception:
+        files = None
+    if files:
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            if not os.path.exists(p):
+                total = -1
+                break
+            total += os.path.getsize(p)
+        if total >= 0:
+            return total
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
         return None
-    total = 0
-    for f in files:
-        p = f[7:] if f.startswith("file://") else f
-        if not os.path.exists(p):
-            return None
-        total += os.path.getsize(p)
-    return total
 
 
-def _cache_signature_table(banded: DataFrame) -> DataFrame:
+def _cache_signature_table(banded: DataFrame, force: bool = False) -> DataFrame:
     """Lifecycle for persisted signature tables: at most
     ``_SIGNATURE_CACHE_SLOTS`` stay cached (LRU by registration). A
     repeated run over the same inputs produces a canonically-identical
@@ -537,12 +556,18 @@ def _cache_signature_table(banded: DataFrame) -> DataFrame:
             # refresh LRU position
             _SIGNATURE_CACHES.append(_SIGNATURE_CACHES.pop(i))
             return prev
-    size = _input_bytes(banded)
-    if size is None or size > _SLIVER_CACHE_MAX_INPUT_BYTES:
-        # big (or unmeasurable) source: the exploded sliver would not
-        # sit comfortably in storage memory — recompute per consumer
-        # instead of thrashing the pool (policy note above)
-        return banded
+    # ``force`` is for tables that COLLAPSE their input (e.g. the
+    # signature-class table: one row per distinct signature, O(docs)
+    # ids total) — the input-size gate below models EXPLODING slivers
+    # (shingles/bands, 100-1000x over input) and wrongly refuses
+    # these; recomputing them pays a full corpus scan per consumer.
+    if not force:
+        size = _input_bytes(banded)
+        if size is None or size > _sliver_cache_max_bytes():
+            # big (or unmeasurable) source: the exploded sliver would
+            # not sit comfortably in storage memory — recompute per
+            # consumer instead of thrashing the pool (policy note above)
+            return banded
     while len(_SIGNATURE_CACHES) >= _SIGNATURE_CACHE_SLOTS:
         _SIGNATURE_CACHES.pop(0).unpersist()
     banded = banded.persist()
@@ -564,35 +589,151 @@ def minhash_lsh_pairs(
     Signature rows → per-(doc, band) bucket key (md5 of the band's
     minima in i-order) → equi-join on (band, bucket). At 100 TB the
     bucket join replaces the quadratic shingle join; callers verify
-    candidates with exact Jaccard on the candidate set only."""
-    # band buckets straight from the wide minima columns (_banded):
-    # md5 of the band's minima in i-order, comma-joined — per-row
-    # expressions, no collect_list, no second aggregation.
-    banded = _banded(df, text_col, id_col, n, k, bands, shingler=shingler)
-    # The bucket equi-join is a diamond: both sides are the same banded
-    # table. Left as lineage, each join side would re-execute the whole
-    # signature pipeline (Spark reuses exchanges only for canonically
-    # identical subtrees, which the id_a/id_b renames break). A lazy
-    # persist materializes banded once on first action — (id, band,
-    # bucket) rows, docs × bands, a sliver of the input — which is
-    # exactly the "persist the signature table before pairing" step a
-    # 100 TB run does deliberately. (Not localCheckpoint: under AQE its
-    # .rdd conversion executes the subplan eagerly at build time.)
-    # Lifecycle: registering in _SIGNATURE_CACHES evicts the PREVIOUS
-    # run's cached signature table, so repeated near-dup runs in one
-    # long-lived session hold at most one signature table in executor
-    # memory; release_signature_caches() frees the last one. Unpersist
-    # is always correctness-safe (a still-running reader just
-    # recomputes from lineage).
-    banded = _cache_signature_table(banded)
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    candidates with exact Jaccard on the candidate set only.
+
+    Shape (r8): SIGNATURE-CLASS pairing, distinct-free. The r7
+    doc-level self-join + ``distinct`` melted down on dup-heavy
+    corpora: on the sf1 bench data (50k docs, of which whole clusters
+    are near-identical) the bucket join materialized 549M pair slots
+    and the distinct shuffled+hashed ~275M rows — 385 s on the bench
+    host, with the hottest (band, bucket) holding 19,910 docs. But
+    those 50k docs collapse to 2,646 DISTINCT full signatures, so:
+
+    1. group docs by their full banded signature (one small agg) into
+       classes ``(_sig, sorted ids)``;
+    2. same-class docs are trivially candidates: generate each
+       unordered pair once from the sorted id array (posexplode ×
+       stepped-sequence stripes, so a 7k-doc class's ~24M pairs spread
+       over the cluster instead of one task);
+    3. classes (not docs) bucket-join on (band, bucket) — thousands of
+       rows, not hundreds of thousands — oriented by each class's min
+       id and de-duplicated across bands by a FIRST-MATCHING-BAND
+       filter (codegen comparisons on the carried signature arrays);
+       the surviving class pairs then expand to id pairs via one
+       explode of the left class's ids plus a join back to the small
+       (class, id) table — never by carrying both id arrays through a
+       double explode, whose per-row array copies OOM'd a 12 g heap
+       at sf1.
+
+    Every unordered candidate pair appears exactly once by
+    construction (classes partition the docs; a class pair survives
+    only at its first shared band), so no ``distinct`` — the 275M-row
+    exchange and its 200M-entry hash maps are gone; the only shuffles
+    left are the signature aggregation, the tiny class agg, and the
+    class-level join. Value-identical to the r7 shape (same candidate
+    set; oracle hash-exact), measured 385 s → ~8 s at sf1."""
+    shuffle_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    rows_per_band = k // bands
+    wide = _minhash_wide(df, text_col, id_col, n, k, shingler=shingler)
+    bucket_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"_mh{i}").cast("string")
+                    for i in range(
+                        j * rows_per_band + 1, (j + 1) * rows_per_band + 1
+                    )
+                ],
+            )
+        ).alias(f"_b{j}")
+        for j in range(bands)
+    ]
+    sig = wide.select(F.col(id_col), F.array(*bucket_cols).alias("_sig"))
+    cls = (
+        sig.groupBy("_sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .select(
+            "_sig",
+            "_ids",
+            F.element_at("_ids", 1).alias("_min"),
+            F.size("_ids").alias("_m"),
+        )
+    )
+    # four consumers (within-pairs, both class-join sides, the
+    # expand-back table); forced persist — cls collapses the corpus to
+    # one row per distinct signature (O(docs) bytes total), so caching
+    # it is strictly cheaper than even one recompute of the full
+    # shingle+minhash pipeline (measured sf1: 31 s -> 12 s warm)
+    cls = _cache_signature_table(cls, force=True)
+    # (a) within-class pairs: ids are sorted, so posexplode × slice
+    # emits each unordered pair once. Stripes: index i goes to stripe
+    # i % C, one row per (class, stripe) round-robined so a hot class
+    # fans out over the cluster; the stepped sequence regenerates the
+    # stripe's indices after the shuffle (ships C array copies per
+    # class, not one per element).
+    C = 32
+    stripes = (
+        cls.filter(F.col("_m") >= 2)
+        .select(
+            "_ids",
+            "_m",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.least(F.lit(C - 1), F.col("_m") - 2)
+                )
+            ).alias("_c"),
+        )
+        .repartition(shuffle_parts)
+        .select(
+            "_ids",
+            F.explode(
+                F.sequence(F.col("_c"), F.col("_m") - 2, F.lit(C))
+            ).alias("_i"),
+        )
+    )
+    within = stripes.select(
+        F.element_at("_ids", F.col("_i") + 1).alias("id_a"),
+        F.explode(
+            F.slice("_ids", F.col("_i") + 2, F.size("_ids"))
+        ).alias("id_b"),
+    )
+    # (b) cross-class pairs via the class-level bucket join
+    ca = cls.select(
+        F.col("_min").alias("_mina"),
+        F.col("_ids").alias("_idsa"),
+        F.col("_sig").alias("_siga"),
+        F.posexplode("_sig").alias("band", "bucket"),
+    )
+    cb = cls.select(
+        F.col("_min").alias("_minb"),
+        F.col("_ids").alias("_idsb"),
+        F.col("_sig").alias("_sigb"),
+        F.posexplode("_sig").alias("band", "bucket"),
+    )
+    first_band = F.lit(True)
+    for e in range(bands - 1):
+        first_band = first_band & (
+            (F.col("band") <= F.lit(e))
+            | (
+                F.element_at("_siga", e + 1)
+                != F.element_at("_sigb", e + 1)
+            )
+        )
+    cp = (
+        ca.join(cb, ["band", "bucket"])
+        .filter(F.col("_mina") < F.col("_minb"))
+        .filter(first_band)
+    )
+    # expand class pairs to id pairs: explode the left ids (payload is
+    # just the 8-byte right-class key), spread round-robin so one hot
+    # class pair's expansion fans out, then join the right ids back
+    # from the small (class-min, id) table
+    by_class = cls.select(
+        F.col("_min").alias("_minb"), F.explode("_ids").alias("_xb")
+    )
+    cross = (
+        cp.select(F.explode("_idsa").alias("_xa"), "_minb")
+        .repartition(shuffle_parts)
+        .join(by_class, "_minb")
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 def minhash_lsh_verified_pairs(

@@ -108,6 +108,48 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_lsh_class_pairing_matches_bruteforce(spark):
+    """The r8 signature-class pairing must emit EXACTLY the bucket-join
+    candidate set, each unordered pair once: docs sharing >=1 band
+    bucket. Exercises every branch — multi-doc identical-signature
+    classes (within-pairs, incl. one class big enough to stripe),
+    cross-class collisions (first-matching-band dedup), and unrelated
+    docs (no pair)."""
+    from bytewax_spark.functions.dedup import _banded
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    rows = []
+    # a 40-doc exact-duplicate cluster -> one signature class, striped
+    for i in range(40):
+        rows.append((i, base * 3))
+    # a near-dup pair (likely shares some but not all bands)
+    rows.append((100, (base * 3).replace("kappa", "lambda")))
+    rows.append((101, (base * 3).replace("kappa", "mu")))
+    # unrelated docs
+    rows.append((200, "totally unrelated content with other tokens " * 3))
+    rows.append((201, "another different document body entirely " * 3))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(df, "text", "doc_id", n=2).collect()
+    )
+    # brute force from the banded rows: pairs sharing any (band, bucket)
+    banded = _banded(df, "text", "doc_id", 2, dedup.MINHASH_K, dedup.MINHASH_BANDS).collect()
+    buckets: dict = {}
+    for r in banded:
+        buckets.setdefault((r["band"], r["bucket"]), set()).add(r["doc_id"])
+    want = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                want.add((ids[x], ids[y]))
+    assert got == sorted(want)          # same set
+    assert len(got) == len(set(got))    # each pair exactly once
+    # the 40-dup cluster must pair completely: C(40,2) within-pairs
+    assert sum(1 for a, b in got if a < 40 and b < 40) == 40 * 39 // 2
+
+
 def test_minhash_agrees_with_jaccard(spark, sf_dir):
     """Signature similarity must approximate exact Jaccard on real docs."""
     docs = load(spark, sf_dir, "documents").limit(50)
