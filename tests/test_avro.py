@@ -123,6 +123,7 @@ def test_to_spark_schema_mapping():
     assert st["kind"].dataType.typeName() == "string"
 
 
+@pytest.mark.slow
 def test_serde_avro_python_path_roundtrip_and_errs(spark):
     """serialize_avro -> deserialize_avro through the pure-Python codec
     (no jar in this container): values roundtrip, corrupt bytes split
@@ -158,6 +159,7 @@ def test_serialize_avro_python_requires_schema(spark):
         serde.serialize_avro("ser", up, ["a"])  # no schema, no jar
 
 
+@pytest.mark.slow
 def test_registry_avro_payload_roundtrip(spark, tmp_path):
     """Framed REAL Avro bytes through the registry serde: magic + BE32
     id + avro-binary payload; wrong-id frames -> errs."""

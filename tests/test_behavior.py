@@ -4,6 +4,8 @@ sequences where the expected numbers are computable by eye."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -391,6 +393,7 @@ def test_stickiness_daily_vs_single_visit(spark):
     assert row.stickiness_ppm == 666_666
 
 
+@pytest.mark.slow
 def test_scalable_ntile_matches_spark_ntile_under_heavy_ties(spark):
     """rfm's distributed ntile must reproduce NTILE(n) OVER (ORDER BY
     key [DESC], user ASC) bit-for-bit — including the big-buckets-first

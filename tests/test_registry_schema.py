@@ -17,11 +17,14 @@ whole registry in one pass at sf0.001.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql.types import ArrayType, MapType
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_no_registered_query_emits_array_or_map_columns(spark):
     import __spark_entry__ as entry
 

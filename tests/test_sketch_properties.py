@@ -5,6 +5,8 @@ fixtures."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import given, settings
@@ -45,6 +47,7 @@ def test_countmin_total_mass_per_depth(spark, keys):
 
 @settings(max_examples=6, deadline=None)
 @given(_keys, _keys)
+@pytest.mark.slow
 def test_hll_merge_associative(spark, ka, kb):
     a = spark.createDataFrame([(k,) for k in ka], "k string")
     b = spark.createDataFrame([(k,) for k in kb], "k string")

@@ -4,6 +4,8 @@ collocations, skip-grams, char entropy)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -310,6 +312,7 @@ def test_kmv_prefilter_bits_invariant(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_kmv_merge_equals_direct_union_build(spark):
     left = spark.createDataFrame([(f"a{i}",) for i in range(80)], "k string")
     right = spark.createDataFrame([(f"b{i}",) for i in range(80)], "k string")
@@ -337,6 +340,7 @@ def test_kmv_estimate_within_relative_error(spark):
     assert abs(est - n) / n < 0.3  # ~1/sqrt(k-2) ≈ 9% std err
 
 
+@pytest.mark.slow
 def test_kmv_jaccard_identical_and_disjoint(spark):
     a = spark.createDataFrame([(f"s{i}",) for i in range(100)], "k string")
     b = spark.createDataFrame([(f"t{i}",) for i in range(100)], "k string")
@@ -401,6 +405,7 @@ def test_bag_shingles_counts_occurrences(spark):
     assert got[1] == []
 
 
+@pytest.mark.slow
 def test_minhash_bag_distinguishes_repetition(spark):
     # same vocabulary, different repetition profile: set-based Jaccard
     # is 1.0, multiset Jaccard is 2/6 — the bag pipeline must report

@@ -19,6 +19,10 @@ from bytewax_spark.sinks import MemorySink
 from bytewax_spark.sources import TestingSource
 from bytewax_spark.streaming import StatefulBatchLogic, stateful_batch
 
+# every test here drives real microbatch streaming executions (7-35 s
+# each); the module is the bulk of the suite's wall time
+pytestmark = pytest.mark.slow
+
 
 def drain(spark, flow, name, **trigger):
     run_main(flow, checkpoint=tempfile.mkdtemp(prefix="bw_ckpt_"), **trigger)

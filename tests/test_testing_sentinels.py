@@ -26,6 +26,7 @@ def _drain(spark, df, out_dir: str, ck: str) -> list[int]:
     return sorted(r["v"] for r in spark.read.parquet(out_dir).collect())
 
 
+@pytest.mark.slow
 def test_eof_splits_executions(spark, tmp_path):
     """EOF ends the current execution; advance() + restart on the same
     checkpoint continues from the item after it, with no duplicates."""
@@ -40,6 +41,7 @@ def test_eof_splits_executions(spark, tmp_path):
     assert src.advance() is False  # no more phases
 
 
+@pytest.mark.slow
 def test_abort_fails_once_then_resumes(spark, tmp_path):
     """ABORT fails the query mid-stream exactly once; the restart
     replays the failed batch (at-least-once) and completes."""
@@ -54,6 +56,7 @@ def test_abort_fails_once_then_resumes(spark, tmp_path):
     assert _drain(spark, df, out, ck) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_pause_delays_stream(spark, tmp_path):
     src = TestingSource(
         [(1,), TestingSource.PAUSE(timedelta(milliseconds=800)), (2,)],

@@ -5,6 +5,8 @@ against a direct Python model over randomized timestamps."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from datetime import datetime, timedelta, timezone
 
@@ -36,6 +38,7 @@ def _model_sliding(ts_us: int, length_us: int, step_us: int) -> set[tuple[int, i
     length_m=st.integers(min_value=1, max_value=180),
     step_m=st.integers(min_value=1, max_value=180),
 )
+@pytest.mark.slow
 def test_sliding_assignment_matches_model(spark, offsets, length_m, step_m):
     if step_m > length_m:
         step_m = length_m  # windower requires offset <= length
@@ -63,6 +66,7 @@ def test_sliding_assignment_matches_model(spark, offsets, length_m, step_m):
     gaps=st.lists(st.integers(min_value=0, max_value=3600), min_size=2, max_size=12),
     gap_m=st.integers(min_value=1, max_value=30),
 )
+@pytest.mark.slow
 def test_session_assignment_matches_model(spark, gaps, gap_m):
     """Sessions from cumulative inter-arrival gaps: windows match a
     direct linear scan (merge when delta <= gap)."""
